@@ -1,0 +1,284 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators._
+
+/** Entity-matching operator family (SURVEY.md §2 J1/A1-A3/A6-A9/P1-P5/
+  * A13/W2-W3) instantiated over the testdata star schema: an order is a
+  * "document", the parts (and part+supplier combos) on its lineitems
+  * are its "entities"; orders sharing entities become candidate match
+  * pairs exactly as publications/proposals sharing persons/formulas/
+  * codes do in the reference.
+  */
+object MatchingQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** (doc_id, entity_id) from lineitem: entity = part. */
+  private def partEntities(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).select(
+      col("l_orderkey").as("doc_id"), col("l_partkey").as("entity_id"))
+
+  /** Second entity type: (part, supplier) combos — distinct id space. */
+  private def partSuppEntities(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).select(
+      col("l_orderkey").as("doc_id"),
+      (col("l_partkey") * 100000L + col("l_suppkey")).as("entity_id"))
+
+  private def partScores(s: SparkSession, dir: String): DataFrame =
+    EntityMatching.scorePairs(
+      EntityMatching.candidatePairs(partEntities(s, dir)), "part_overlap")
+
+  private def partSuppScores(s: SparkSession, dir: String): DataFrame =
+    EntityMatching.scorePairs(
+      EntityMatching.candidatePairs(partSuppEntities(s, dir)), "partsupp_overlap")
+
+  /** Document-type dim: open orders play the PROPOSAL role. */
+  private def docTypes(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(
+      col("o_orderkey").as("doc_id"),
+      when(col("o_orderstatus") === "O", lit("PROPOSAL"))
+        .otherwise(lit("PUBLICATION")).as("doc_type"))
+
+  private def docDates(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(
+      col("o_orderkey").as("doc_id"), col("o_orderdate").as("doc_date"))
+
+  // ---- queries -----------------------------------------------------
+
+  /** J1/A1/A2: inverted-index candidate generation with TF, doc entity
+    * counts and micro-quantized IDF. */
+  def q13Candidates(s: SparkSession, dir: String): DataFrame =
+    EntityMatching.candidatePairs(partEntities(s, dir))
+      .select("entity_id", "doc1", "doc2", "tf1", "tf2", "cnt1", "cnt2", "idf_micro")
+      .orderBy("entity_id", "doc1", "doc2")
+
+  /** A3: pair score roll-up with the reference's team factor. */
+  def q14EntityScores(s: SparkSession, dir: String): DataFrame =
+    partScores(s, dir).orderBy("doc1", "doc2")
+
+  /** P1: type filter — keep PROPOSAL↔PUBLICATION pairs only. */
+  def q15TypeFilter(s: SparkSession, dir: String): DataFrame =
+    PairFilters.typeFilter(partScores(s, dir), docTypes(s, dir),
+        t => t.startsWith("PROPOSAL"))
+      .select("doc1", "doc2", "score", "doc_type_1", "doc_type_2")
+      .orderBy("doc1", "doc2")
+
+  /** P2: date filter — proposal year <= publication year. */
+  def q16DateFilter(s: SparkSession, dir: String): DataFrame =
+    PairFilters.dateFilter(partScores(s, dir), docDates(s, dir))
+      .select(col("doc1"), col("doc2"), col("score"),
+        year(col("doc_date_1")).as("year_1"), year(col("doc_date_2")).as("year_2"))
+      .orderBy("doc1", "doc2")
+
+  /** P5: multi-type filter over the union of both matchers. */
+  def q17MultiTypeFilter(s: SparkSession, dir: String): DataFrame =
+    PairFilters.multiTypeFilter(
+        partScores(s, dir).unionByName(partSuppScores(s, dir)),
+        whitelist = Seq("partsupp_overlap"))
+      .orderBy("doc1", "doc2")
+
+  /** A7: per-document match statistics from exact integer moments. */
+  def q18MatchStats(s: SparkSession, dir: String): DataFrame =
+    MatchStats.perDocumentStats(partScores(s, dir))
+      .orderBy("doc_id")
+
+  /** A13: score-type pivot to one wide row per pair. */
+  def q19ScorePivot(s: SparkSession, dir: String): DataFrame =
+    partScores(s, dir).unionByName(partSuppScores(s, dir))
+      .groupBy("doc1", "doc2")
+      .pivot("score_type", Seq("part_overlap", "partsupp_overlap"))
+      .agg(max("score"))
+      .na.fill(0.0, Seq("part_overlap", "partsupp_overlap"))
+      .withColumnRenamed("part_overlap", "score_part")
+      .withColumnRenamed("partsupp_overlap", "score_partsupp")
+      .orderBy("doc1", "doc2")
+
+  /** A9/W3/J7: weight-grid evaluation — one pass over the match table
+    * for the whole grid. Labels are a deterministic synthetic rule. */
+  def q20WeightGrid(s: SparkSession, dir: String): DataFrame = {
+    val pairScores = partScores(s, dir).unionByName(partSuppScores(s, dir))
+      .groupBy("doc1", "doc2")
+      .pivot("score_type", Seq("part_overlap", "partsupp_overlap"))
+      .agg(max("score"))
+      .na.fill(0.0, Seq("part_overlap", "partsupp_overlap"))
+      .filter(col("part_overlap") > 0.0 && col("partsupp_overlap") > 0.0)
+      .select(col("doc1"), col("doc2"),
+        col("part_overlap").as("s1"), col("partsupp_overlap").as("s2"))
+    val labels = pairScores.select(col("doc1"), col("doc2"),
+      ((col("doc1") + col("doc2")) % 5 === 0).as("accepted"))
+    WeightTraining.evaluateGrid(pairScores, labels,
+        WeightTraining.twoTypeGrid(s, steps = 5))
+      .orderBy("weight_id")
+  }
+
+  /** Flagship pipeline: candidates → scores → type filter → date filter
+    * → percentile normalisation → ranked output (reference
+    * `FullMatcherApp.runMatcher`, `matching/app/FullMatcherApp.scala:70-298`). */
+  def flagship(s: SparkSession, dir: String): DataFrame = {
+    val filtered = PairFilters.dateFilter(
+      PairFilters.typeFilter(partScores(s, dir), docTypes(s, dir),
+        t => t.startsWith("PROPOSAL")),
+      docDates(s, dir))
+    Normalisation.percentileNormalise(
+        filtered.select("doc1", "doc2", "score_type", "item_count", "score"),
+        "score")
+      .orderBy(col("norm_score").desc, col("doc1"), col("doc2"))
+  }
+
+  // ---- oracle SQL --------------------------------------------------
+
+  /** CTE chain computing candidate pairs for an entity selection —
+    * column-for-column the plan of EntityMatching.candidatePairs. */
+  private def candsSql(entSel: String): String =
+    s"""ents AS ($entSel),
+       nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM ents),
+       keep AS (SELECT entity_id FROM
+         (SELECT entity_id, count(*) AS raw_freq FROM ents GROUP BY entity_id), nd
+         WHERE raw_freq < n_docs * 0.05),
+       g AS (SELECT ents.* FROM ents JOIN keep USING (entity_id)),
+       tf AS (SELECT doc_id, entity_id, count(*) AS tf FROM g GROUP BY doc_id, entity_id),
+       dc AS (SELECT doc_id, count(*) AS doc_entity_count FROM g GROUP BY doc_id),
+       idf AS (SELECT entity_id,
+         CAST(round(log10(CAST(n_docs AS DOUBLE)/df)*1e6) AS BIGINT) AS idf_micro
+         FROM (SELECT entity_id, count(*) AS df FROM tf GROUP BY entity_id), nd),
+       cands AS (SELECT a.entity_id, a.doc_id AS doc1, b.doc_id AS doc2,
+         a.tf AS tf1, b.tf AS tf2,
+         a.doc_entity_count AS cnt1, b.doc_entity_count AS cnt2, idf.idf_micro
+         FROM (SELECT tf.doc_id, tf.entity_id, tf.tf, dc.doc_entity_count
+               FROM tf JOIN dc USING (doc_id)) a
+         JOIN (SELECT tf.doc_id, tf.entity_id, tf.tf, dc.doc_entity_count
+               FROM tf JOIN dc USING (doc_id)) b
+           ON a.entity_id = b.entity_id AND a.doc_id < b.doc_id
+         JOIN idf ON idf.entity_id = a.entity_id)"""
+
+  private def scoresSql(entSel: String, scoreType: String): String =
+    s"""${candsSql(entSel)},
+       scores AS (SELECT doc1, doc2, '$scoreType' AS score_type, item_count,
+         CAST(round(((sum_micro/1e6) * (1.0 + 10.0 * (item_count * (0.5/cnt1 + 0.5/cnt2))))*1e6) AS BIGINT)/1e6 AS score
+         FROM (SELECT doc1, doc2, cnt1, cnt2,
+           CAST(sum((tf1+tf2)*idf_micro) AS BIGINT) AS sum_micro,
+           count(*) AS item_count
+           FROM cands GROUP BY doc1, doc2, cnt1, cnt2))"""
+
+  private val partEnts =
+    "SELECT l_orderkey AS doc_id, l_partkey AS entity_id FROM lineitem"
+  private val partSuppEnts =
+    "SELECT l_orderkey AS doc_id, l_partkey * 100000 + l_suppkey AS entity_id FROM lineitem"
+
+  /** Same scores CTE built twice with disambiguated names + unioned. */
+  private def bothScoresSql: String = {
+    def rename(sql: String, suffix: String): String =
+      Seq("ents", "nd", "keep", "g", "tf", "dc", "idf", "cands", "scores")
+        .foldLeft(sql)((acc, n) => acc.replaceAll(s"\\b$n\\b", s"${n}_$suffix"))
+    s"""${rename(scoresSql(partEnts, "part_overlap"), "p")},
+       ${rename(scoresSql(partSuppEnts, "partsupp_overlap"), "ps")},
+       allscores AS (SELECT * FROM scores_p UNION ALL SELECT * FROM scores_ps)"""
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q13_entity_candidates" -> (q13Candidates _),
+    "q14_entity_scores" -> (q14EntityScores _),
+    "q15_type_filter" -> (q15TypeFilter _),
+    "q16_date_filter" -> (q16DateFilter _),
+    "q17_multitype_filter" -> (q17MultiTypeFilter _),
+    "q18_match_stats" -> (q18MatchStats _),
+    "q19_score_pivot" -> (q19ScorePivot _),
+    "q20_weight_grid" -> (q20WeightGrid _))
+
+  val oracles: Map[String, String] = Map(
+    "q13_entity_candidates" ->
+      s"""WITH ${candsSql(partEnts)}
+         SELECT entity_id, doc1, doc2, tf1, tf2, cnt1, cnt2, idf_micro
+         FROM cands ORDER BY entity_id, doc1, doc2""",
+    "q14_entity_scores" ->
+      s"""WITH ${scoresSql(partEnts, "part_overlap")}
+         SELECT doc1, doc2, score_type, item_count, score
+         FROM scores ORDER BY doc1, doc2""",
+    "q15_type_filter" ->
+      s"""WITH ${scoresSql(partEnts, "part_overlap")},
+         dt AS (SELECT o_orderkey AS doc_id,
+           CASE WHEN o_orderstatus = 'O' THEN 'PROPOSAL' ELSE 'PUBLICATION' END AS doc_type
+           FROM orders)
+         SELECT doc1, doc2, score, t1.doc_type AS doc_type_1, t2.doc_type AS doc_type_2
+         FROM scores
+         JOIN dt t1 ON t1.doc_id = doc1
+         JOIN dt t2 ON t2.doc_id = doc2
+         WHERE (starts_with(t1.doc_type, 'PROPOSAL') AND NOT starts_with(t2.doc_type, 'PROPOSAL'))
+            OR (starts_with(t2.doc_type, 'PROPOSAL') AND NOT starts_with(t1.doc_type, 'PROPOSAL'))
+         ORDER BY doc1, doc2""",
+    "q16_date_filter" ->
+      s"""WITH ${scoresSql(partEnts, "part_overlap")},
+         dd AS (SELECT o_orderkey AS doc_id, o_orderdate AS doc_date FROM orders)
+         SELECT doc1, doc2, score,
+           year(d1.doc_date) AS year_1, year(d2.doc_date) AS year_2
+         FROM scores
+         JOIN dd d1 ON d1.doc_id = doc1
+         JOIN dd d2 ON d2.doc_id = doc2
+         WHERE year(d1.doc_date) <= year(d2.doc_date)
+         ORDER BY doc1, doc2""",
+    "q17_multitype_filter" ->
+      s"""WITH $bothScoresSql
+         SELECT doc1, doc2, n_types, types FROM (
+           SELECT doc1, doc2,
+             count(DISTINCT score_type) AS n_types,
+             string_agg(DISTINCT score_type, ',' ORDER BY score_type) AS types
+           FROM allscores GROUP BY doc1, doc2)
+         WHERE n_types > 1 OR contains(types, 'partsupp_overlap')
+         ORDER BY doc1, doc2""",
+    "q18_match_stats" ->
+      s"""WITH ${scoresSql(partEnts, "part_overlap")},
+         sides AS (
+           SELECT doc1 AS doc_id, CAST(round(score*1000) AS BIGINT) AS score_milli FROM scores
+           UNION ALL
+           SELECT doc2 AS doc_id, CAST(round(score*1000) AS BIGINT) AS score_milli FROM scores),
+         wm AS (SELECT doc_id, score_milli,
+           max(score_milli) OVER (PARTITION BY doc_id) AS max_milli FROM sides),
+         base AS (SELECT doc_id,
+           count(*) AS n_matches,
+           min(score_milli) AS min_milli,
+           max(score_milli) AS max_milli,
+           CAST(sum(score_milli) AS BIGINT) AS sum_milli,
+           CAST(sum(score_milli * score_milli) AS BIGINT) AS sxx,
+           quantile_cont(score_milli, 0.5) AS median_milli,
+           CAST(sum(CASE WHEN score_milli * 5 >= max_milli * 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_band_top
+           FROM wm GROUP BY doc_id)
+         SELECT doc_id, n_matches, min_milli, max_milli, sum_milli,
+           CAST(round(((sum_milli / 1000.0) / n_matches)*1e6) AS BIGINT)/1e6 AS mean_score,
+           CAST(round((median_milli / 1000.0)*1e6) AS BIGINT)/1e6 AS median_score,
+           CASE WHEN n_matches > 1 THEN
+             CAST(round((sqrt((n_matches * sxx - sum_milli * sum_milli)
+               / (n_matches * (n_matches - 1.0))) / 1000.0)*1e6) AS BIGINT)/1e6
+           ELSE 0.0 END AS std_score,
+           n_band_top
+         FROM base ORDER BY doc_id""",
+    "q19_score_pivot" ->
+      s"""WITH $bothScoresSql
+         SELECT doc1, doc2,
+           coalesce(max(CASE WHEN score_type = 'part_overlap' THEN score END), 0.0) AS score_part,
+           coalesce(max(CASE WHEN score_type = 'partsupp_overlap' THEN score END), 0.0) AS score_partsupp
+         FROM allscores GROUP BY doc1, doc2 ORDER BY doc1, doc2""",
+    "q20_weight_grid" ->
+      s"""WITH $bothScoresSql,
+         pairsc AS (SELECT doc1, doc2, s1, s2 FROM (
+           SELECT doc1, doc2,
+             coalesce(max(CASE WHEN score_type = 'part_overlap' THEN score END), 0.0) AS s1,
+             coalesce(max(CASE WHEN score_type = 'partsupp_overlap' THEN score END), 0.0) AS s2
+           FROM allscores GROUP BY doc1, doc2)
+           WHERE s1 > 0.0 AND s2 > 0.0),
+         grid AS (SELECT i AS weight_id, i/5.0 AS w1, 1.0 - i/5.0 AS w2 FROM range(0, 6) t(i)),
+         scored AS (SELECT weight_id, doc1, doc2,
+           ((doc1 + doc2) % 5 = 0) AS accepted,
+           CAST(round((w1 * s1 + w2 * s2) * 1e6) AS BIGINT) AS total_micro
+           FROM pairsc, grid),
+         ranked AS (SELECT *, row_number() OVER (PARTITION BY weight_id, doc1
+           ORDER BY total_micro DESC, doc2) AS rnk FROM scored)
+         SELECT weight_id,
+           CAST(sum(CASE WHEN accepted THEN rnk - 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(sum(CASE WHEN accepted AND rnk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_top1,
+           CAST(sum(CASE WHEN accepted AND rnk <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_top3,
+           CAST(sum(CASE WHEN accepted THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted
+         FROM ranked GROUP BY weight_id ORDER BY weight_id""")
+}
