@@ -16,6 +16,7 @@ object SparkEntry {
     Seq(
       (RelationalQueries.queries, RelationalQueries.oracles),
       (MatchingQueries.queries, MatchingQueries.oracles),
+      (TextQueries.queries, TextQueries.oracles),
     )
 
   /** Flagship: full entity-matching pipeline on sf0.001 (candidates →

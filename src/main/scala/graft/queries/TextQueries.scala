@@ -1,0 +1,258 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.Exact.r6
+import graft.functions.TextFns
+import graft.functions.TextFns._
+import graft.operators.{CosineText, TextDedup}
+
+/** Text-analysis + deduplication operator family over the `documents`
+  * table: token stats, exact dedup, language-ID heuristic, quality
+  * scoring, MinHash signatures, LSH near-dup pairs, SimHash,
+  * fingerprinting, shingle TF-IDF cosine. These are the LLM-training-
+  * data-pipeline operators beyond the reference's own surface
+  * (BASELINE.json north star).
+  */
+object TextQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val langSets: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und"),
+    "en" -> Seq("the", "a", "is", "of", "to"),
+    "es" -> Seq("el", "los", "las", "y"),
+    "fr" -> Seq("le", "la", "les", "et"))
+
+  private def toks(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+
+  /** Token counting: counts, distinct counts, char/avg lengths, a
+    * chars-per-token subword estimate. */
+  def q21TokenStats(s: SparkSession, dir: String): DataFrame =
+    toks(s, dir)
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct"),
+        length(col("text")).as("text_len"),
+        r6(aggregate(transform(col("toks"), t => length(t)), lit(0),
+          (a, x) => a + x) / size(col("toks"))).as("avg_tok_len"),
+        ceil(length(col("text")) / 3.5).cast("long").as("subword_est"))
+      .orderBy("doc_id")
+
+  /** Exact dedup via content hash (canonical = min doc_id per md5). */
+  def q22ExactDedup(s: SparkSession, dir: String): DataFrame =
+    TextDedup.exactDedup(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Language-ID: stopword-hit argmax with deterministic tiebreak. */
+  def q23LangId(s: SparkSession, dir: String): DataFrame = {
+    val t = toks(s, dir)
+    val scores = langSets.map { case (lang, words) =>
+      t.select(col("doc_id"), size(col("toks")).as("n_tokens"), lit(lang).as("lang"),
+        size(filter(col("toks"),
+          x => array_contains(array(words.map(lit): _*), x))).as("hits"))
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy("doc_id").orderBy(col("hits").desc, col("lang"))
+    scores.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang").as("predicted_lang"), col("hits"),
+        col("n_tokens"), r6(col("hits") / col("n_tokens")).as("ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: length/stopword/alpha ratios + composite. */
+  def q24QualityScore(s: SparkSession, dir: String): DataFrame = {
+    val en = langSets.toMap.apply("en")
+    toks(s, dir)
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("text_len", length(col("text")))
+      .withColumn("stop_hits", size(filter(col("toks"),
+        x => array_contains(array(en.map(lit): _*), x))))
+      .withColumn("alpha_chars",
+        length(regexp_replace(lower(col("text")), "[^a-z]", "")))
+      .withColumn("stop_ratio_raw", col("stop_hits") / col("n_tokens"))
+      .withColumn("alpha_ratio_raw", col("alpha_chars") / col("text_len"))
+      .select(col("doc_id"), col("n_tokens"),
+        r6(col("stop_ratio_raw")).as("stop_ratio"),
+        r6(col("alpha_ratio_raw")).as("alpha_ratio"),
+        r6(lit(0.3) * least(lit(1.0), col("n_tokens") / 50.0)
+          + lit(0.4) * col("stop_ratio_raw")
+          + lit(0.3) * col("alpha_ratio_raw")).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** MinHash signature rows (doc × seed), the raw dedup machinery. */
+  def q25MinhashSignature(s: SparkSession, dir: String): DataFrame =
+    TextDedup.shingleSets(Tables.documents(s, dir), "doc_id", "text", 5)
+      .filter(size(col("hashes")) > 0)
+      .select(col("doc_id"),
+        posexplode(minhashSignature(col("hashes"), 12)).as(Seq("seed_idx", "minhash")))
+      .orderBy("doc_id", "seed_idx")
+
+  /** MinHash-LSH near-duplicate pairs, exact-Jaccard verified. */
+  def q26LshDupPairs(s: SparkSession, dir: String): DataFrame =
+    TextDedup.minhashDupPairs(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc1", "doc2")
+
+  /** SimHash signatures (tf-weighted token hashes). */
+  def q27Simhash(s: SparkSession, dir: String): DataFrame =
+    toks(s, dir)
+      .select(col("doc_id"),
+        simhash32(transform(col("toks"), t => polyHash(t))).as("simhash"))
+      .withColumn("band16", floor(col("simhash") / 65536.0).cast("long"))
+      .orderBy("doc_id")
+
+  /** Document fingerprint: 4 smallest distinct 3-shingle hashes. */
+  def q28Fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        shingleHashes(TextFns.tokens(col("text")), 3).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"), fingerprint(col("hs"), 4).as("fp"))
+      .orderBy("doc_id")
+
+  /** Shingle TF-IDF cosine pairs (the CosineMatcher analogue). */
+  def q29CosineShingles(s: SparkSession, dir: String): DataFrame =
+    CosineText.cosinePairs(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc1", "doc2")
+
+  val queries: Map[String, Q] = Map(
+    "q21_token_stats" -> (q21TokenStats _),
+    "q22_exact_dedup" -> (q22ExactDedup _),
+    "q23_lang_id" -> (q23LangId _),
+    "q24_quality_score" -> (q24QualityScore _),
+    "q25_minhash_signature" -> (q25MinhashSignature _),
+    "q26_lsh_dup_pairs" -> (q26LshDupPairs _),
+    "q27_simhash" -> (q27Simhash _),
+    "q28_fingerprint" -> (q28Fingerprint _),
+    "q29_cosine_shingles" -> (q29CosineShingles _))
+
+  // ---- oracle SQL --------------------------------------------------
+
+  private val toksCte =
+    s"""toks AS (SELECT doc_id, text, ${sqlTokens("text")} AS toks FROM documents)"""
+
+  private def langUnion: String = langSets.map { case (lang, words) =>
+    val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""SELECT doc_id, len(toks) AS n_tokens, '$lang' AS lang,
+        len(list_filter(toks, x -> list_contains($lst, x))) AS hits
+        FROM toks WHERE len(toks) > 0"""
+  }.mkString("\nUNION ALL\n")
+
+  private def r6Sql(e: String): String =
+    s"CAST(round(($e)*1e6) AS BIGINT)/1e6"
+
+  val oracles: Map[String, String] = Map(
+    "q21_token_stats" ->
+      s"""WITH $toksCte
+         SELECT doc_id, len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct,
+           length(text) AS text_len,
+           ${r6Sql("list_reduce(list_prepend(0, list_transform(toks, t -> length(t))), (a, x) -> a + x) / len(toks)")} AS avg_tok_len,
+           CAST(ceil(length(text) / 3.5) AS BIGINT) AS subword_est
+         FROM toks WHERE len(toks) > 0 ORDER BY doc_id""",
+    "q22_exact_dedup" ->
+      """SELECT doc_id, md5(text) AS content_hash,
+         min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+         count(*) OVER (PARTITION BY md5(text)) AS group_size
+         FROM documents ORDER BY doc_id""",
+    "q23_lang_id" ->
+      s"""WITH $toksCte,
+         scores AS ($langUnion),
+         ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+           ORDER BY hits DESC, lang) AS rn FROM scores)
+         SELECT doc_id, lang AS predicted_lang, hits, n_tokens,
+           ${r6Sql("hits / n_tokens")} AS ratio
+         FROM ranked WHERE rn = 1 ORDER BY doc_id""",
+    "q24_quality_score" ->
+      s"""WITH $toksCte,
+         base AS (SELECT doc_id, len(toks) AS n_tokens, length(text) AS text_len,
+           len(list_filter(toks, x -> list_contains(['the', 'a', 'is', 'of', 'to'], x))) AS stop_hits,
+           length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha_chars
+           FROM toks WHERE len(toks) > 0),
+         ratios AS (SELECT doc_id, n_tokens,
+           stop_hits / n_tokens AS stop_ratio_raw,
+           alpha_chars / text_len AS alpha_ratio_raw FROM base)
+         SELECT doc_id, n_tokens,
+           ${r6Sql("stop_ratio_raw")} AS stop_ratio,
+           ${r6Sql("alpha_ratio_raw")} AS alpha_ratio,
+           ${r6Sql("0.3 * least(1.0, n_tokens / 50.0) + 0.4 * stop_ratio_raw + 0.3 * alpha_ratio_raw")} AS quality
+         FROM ratios ORDER BY doc_id""",
+    "q25_minhash_signature" ->
+      s"""WITH $toksCte,
+         sets AS (SELECT doc_id,
+           list_sort(list_distinct(${sqlShingleHashes("toks", 5)})) AS hashes
+           FROM toks),
+         sigs AS (SELECT doc_id, ${sqlMinhashSignature("hashes", 12)} AS sig
+           FROM sets WHERE len(hashes) > 0)
+         SELECT doc_id, i AS seed_idx, sig[i+1] AS minhash
+         FROM sigs, range(0, 12) t(i) ORDER BY doc_id, seed_idx""",
+    "q26_lsh_dup_pairs" ->
+      s"""WITH $toksCte,
+         sets AS (SELECT doc_id,
+           list_sort(list_distinct(${sqlShingleHashes("toks", 5)})) AS hashes
+           FROM toks),
+         fsets AS (SELECT * FROM sets WHERE len(hashes) > 0),
+         sigs AS (SELECT doc_id, ${sqlMinhashSignature("hashes", 12)} AS sig FROM fsets),
+         buckets AS (SELECT doc_id, b AS band,
+           ${sqlBandKey("list_slice(sig, b*3+1, b*3+3)")} AS key
+           FROM sigs, range(0, 4) t(b)),
+         sized AS (SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY band, key) AS bucket_n
+           FROM buckets) WHERE bucket_n <= 50),
+         cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+           FROM sized a JOIN sized b ON a.band = b.band AND a.key = b.key
+             AND a.doc_id < b.doc_id),
+         joined AS (SELECT doc1, doc2,
+           len(list_intersect(h1.hashes, h2.hashes)) AS n_shared,
+           len(h1.hashes) AS n1, len(h2.hashes) AS n2
+           FROM cand
+           JOIN fsets h1 ON h1.doc_id = doc1
+           JOIN fsets h2 ON h2.doc_id = doc2)
+         SELECT doc1, doc2, n_shared,
+           ${r6Sql("n_shared / (n1 + n2 - n_shared)")} AS jaccard
+         FROM joined
+         WHERE ${r6Sql("n_shared / (n1 + n2 - n_shared)")} >= 0.2
+         ORDER BY doc1, doc2""",
+    "q27_simhash" ->
+      s"""WITH $toksCte,
+         th AS (SELECT doc_id, list_transform(toks, t -> ${sqlPolyHash("t")}) AS hs
+           FROM toks WHERE len(toks) > 0)
+         SELECT doc_id, simhash,
+           CAST(floor(simhash / 65536.0) AS BIGINT) AS band16
+         FROM (SELECT doc_id, ${sqlSimhash32("hs")} AS simhash FROM th)
+         ORDER BY doc_id""",
+    "q28_fingerprint" ->
+      s"""WITH $toksCte,
+         hs3 AS (SELECT doc_id, ${sqlShingleHashes("toks", 3)} AS hs FROM toks)
+         SELECT doc_id, ${sqlFingerprint("hs", 4)} AS fp
+         FROM hs3 WHERE len(hs) > 0 ORDER BY doc_id""",
+    "q29_cosine_shingles" ->
+      s"""WITH $toksCte,
+         terms AS (SELECT doc_id, unnest(${sqlShingleHashes("toks", 3)}) AS term FROM toks),
+         nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM terms),
+         tfr AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+         idf AS (SELECT term,
+           CAST(round(log10(CAST(n_docs AS DOUBLE)/df)*1000) AS BIGINT) AS idf_milli
+           FROM (SELECT term, count(*) AS df FROM tfr GROUP BY term), nd
+           WHERE df <= 100),
+         weights AS (SELECT doc_id, tfr.term, tf * idf_milli AS w
+           FROM tfr JOIN idf ON tfr.term = idf.term),
+         norms AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS sxx
+           FROM weights GROUP BY doc_id),
+         dots AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+           CAST(sum(a.w * b.w) AS BIGINT) AS dot, count(*) AS n_shared
+           FROM weights a JOIN weights b ON a.term = b.term AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id)
+         SELECT doc1, doc2, n_shared,
+           ${r6Sql("dot / (sqrt(n1.sxx) * sqrt(n2.sxx))")} AS cosine
+         FROM dots
+         JOIN norms n1 ON n1.doc_id = doc1
+         JOIN norms n2 ON n2.doc_id = doc2
+         WHERE ${r6Sql("dot / (sqrt(n1.sxx) * sqrt(n2.sxx))")} >= 0.1
+         ORDER BY doc1, doc2""")
+}
