@@ -20,12 +20,18 @@ object Normalisation {
   def percentileNormalise(df: DataFrame, scoreCol: String,
                           topFraction: Double = 0.01,
                           cap: Double = 100.0): DataFrame = {
-    val n = df.count()
+    // count() is a separate action, so an unpersisted input pipeline
+    // would be computed twice (once for n, once for the output).
+    val in =
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
+    val n = in.count()
     val k = math.max(1L, math.ceil(n * topFraction).toLong).toInt
-    val ref = df.select(col(scoreCol).as("s"))
+    val ref = in.select(col(scoreCol).as("s"))
       .orderBy(col("s").desc).limit(k)
       .agg(min("s").as("ref_score"))
-    df.crossJoin(broadcast(ref))
+    in.crossJoin(broadcast(ref))
       .withColumn("norm_score",
         graft.functions.Exact.r6(least(lit(cap), lit(cap) * col(scoreCol) / col("ref_score"))))
       .drop("ref_score")

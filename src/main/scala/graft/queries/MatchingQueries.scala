@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.Tables
 import graft.operators._
 
@@ -27,13 +28,33 @@ object MatchingQueries {
       col("l_orderkey").as("doc_id"),
       (col("l_partkey") * 100000L + col("l_suppkey")).as("entity_id"))
 
+  /** The candidate/score pipelines are quadratic (~9M pair rows at
+    * sf0.1) and shared by most queries here; without reuse a full
+    * Verify/Bench sweep recomputes the self-join shuffle ~8 times and
+    * the accumulated shuffle files can exhaust local disk (the round-1
+    * bench died exactly that way). Persisting the shared frame once per
+    * (session, dir) is the idiomatic Spark answer — same thing a user
+    * composing several queries over one match table would do. */
+  private val memo =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def memoized(s: SparkSession, dir: String, key: String)
+                      (build: => DataFrame): DataFrame =
+    memo.getOrElseUpdate(s"${s.sparkContext.applicationId}|$dir|$key",
+      build.persist(StorageLevel.MEMORY_AND_DISK))
+
+  private def partCands(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "partCands")(
+      EntityMatching.candidatePairs(partEntities(s, dir)))
+
   private def partScores(s: SparkSession, dir: String): DataFrame =
-    EntityMatching.scorePairs(
-      EntityMatching.candidatePairs(partEntities(s, dir)), "part_overlap")
+    memoized(s, dir, "partScores")(
+      EntityMatching.scorePairs(partCands(s, dir), "part_overlap"))
 
   private def partSuppScores(s: SparkSession, dir: String): DataFrame =
-    EntityMatching.scorePairs(
-      EntityMatching.candidatePairs(partSuppEntities(s, dir)), "partsupp_overlap")
+    memoized(s, dir, "partSuppScores")(
+      EntityMatching.scorePairs(
+        EntityMatching.candidatePairs(partSuppEntities(s, dir)), "partsupp_overlap"))
 
   /** Document-type dim: open orders play the PROPOSAL role. */
   private def docTypes(s: SparkSession, dir: String): DataFrame =
@@ -51,7 +72,7 @@ object MatchingQueries {
   /** J1/A1/A2: inverted-index candidate generation with TF, doc entity
     * counts and micro-quantized IDF. */
   def q13Candidates(s: SparkSession, dir: String): DataFrame =
-    EntityMatching.candidatePairs(partEntities(s, dir))
+    partCands(s, dir)
       .select("entity_id", "doc1", "doc2", "tf1", "tf2", "cnt1", "cnt2", "idf_micro")
       .orderBy("entity_id", "doc1", "doc2")
 

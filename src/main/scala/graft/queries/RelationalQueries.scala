@@ -187,14 +187,14 @@ object RelationalQueries {
       """SELECT l_returnflag, l_linestatus,
          CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
          count(*) AS n_rows,
-         sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_price_cents,
-         sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS revenue_cents
+         CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+         CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
          FROM lineitem GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
     "q02_region_revenue" ->
       """SELECT r_name,
          count(DISTINCT o_orderkey) AS n_orders,
-         sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS revenue_cents
+         CAST(sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
@@ -238,9 +238,9 @@ object RelationalQueries {
          ORDER BY o_custkey, tag""",
     "q09_pivot" ->
       """SELECT c_mktsegment,
-         coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(round(o_totalprice*100) AS BIGINT) END), 0) AS status_f_cents,
-         coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(round(o_totalprice*100) AS BIGINT) END), 0) AS status_o_cents,
-         coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(round(o_totalprice*100) AS BIGINT) END), 0) AS status_p_cents
+         CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(round(o_totalprice*100) AS BIGINT) END), 0) AS BIGINT) AS status_f_cents,
+         CAST(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(round(o_totalprice*100) AS BIGINT) END), 0) AS BIGINT) AS status_o_cents,
+         CAST(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(round(o_totalprice*100) AS BIGINT) END), 0) AS BIGINT) AS status_p_cents
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q10_conditional_agg" ->
@@ -248,8 +248,8 @@ object RelationalQueries {
          CAST(round((CAST(n_f AS DOUBLE) / n_total)*1e6) AS BIGINT)/1e6 AS share_f
          FROM (SELECT o_orderpriority,
            count(*) AS n_total,
-           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-           sum(CASE WHEN o_orderstatus = 'O' AND o_totalprice > 100000.0 THEN 1 ELSE 0 END) AS n_open_big
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' AND o_totalprice > 100000.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_open_big
            FROM orders GROUP BY o_orderpriority) t
          ORDER BY o_orderpriority""",
     "q11_distinct_count" ->

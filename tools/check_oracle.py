@@ -50,6 +50,13 @@ def main():
         diffs = []
         for c in gc:
             a, b = got[c], want[c]
+            # The driver hashes typed values: a *kind* mismatch (e.g.
+            # DuckDB HUGEINT sum -> float64/object vs Spark int64) is a
+            # hash FAIL even when pandas == says values are equal.
+            # Width-only differences (int32 vs int64) hash identically.
+            if a.dtype.kind != b.dtype.kind:
+                diffs.append(f"col {c}: dtype spark={a.dtype} duck={b.dtype}")
+                continue
             try:
                 neq = (a != b) & ~(a.isna() & b.isna())
             except Exception:
