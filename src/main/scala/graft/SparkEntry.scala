@@ -17,6 +17,10 @@ object SparkEntry {
       (RelationalQueries.queries, RelationalQueries.oracles),
       (MatchingQueries.queries, MatchingQueries.oracles),
       (TextQueries.queries, TextQueries.oracles),
+      (VectorQueries.queries, VectorQueries.oracles),
+      (EventQueries.queries, EventQueries.oracles),
+      (DedupQueries.queries, DedupQueries.oracles),
+      (ScalarQueries.queries, ScalarQueries.oracles),
     )
 
   /** Flagship: full entity-matching pipeline on sf0.001 (candidates →

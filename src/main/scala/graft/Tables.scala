@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Parquet star-schema loaders over the driver-generated testdata
   * (TESTDATA.md). In the reference these were JDBC subqueries pushed to
@@ -24,7 +26,17 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = apply(s, d, "events")
+  /** The events parquet stores TIMESTAMP(NANOS), which Spark's reader
+    * rejects; sessions set `spark.sql.legacy.parquet.nanosAsLong` so it
+    * arrives as a long, converted here to a micros timestamp (integer
+    * `div 1000` — exactly DuckDB's TIMESTAMP_NS → TIMESTAMP cast). */
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeTs(apply(s, d, "events"))
+
+  def normalizeTs(df: DataFrame): DataFrame =
+    if (df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

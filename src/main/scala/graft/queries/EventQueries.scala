@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+import graft.operators.EventAnalytics
+import graft.streaming.EventStream
+
+/** Event-time analytics over the `events` table: tumbling windows,
+  * gap sessionization, and the same windowed aggregation executed via
+  * Structured Streaming (readStream → watermark → windowed agg →
+  * memory sink, drained with Trigger.AvailableNow) — all verified
+  * against batch DuckDB SQL.
+  */
+object EventQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def q33EventWindows(s: SparkSession, dir: String): DataFrame =
+    EventAnalytics.tumblingCounts(Tables.events(s, dir))
+      .orderBy("wstart", "event_type")
+
+  def q34Sessionize(s: SparkSession, dir: String): DataFrame =
+    EventAnalytics.sessionize(Tables.events(s, dir))
+      .orderBy("user_id", "sess_id")
+
+  /** Streaming execution of the q33-shaped aggregation; the oracle is
+    * plain batch SQL, proving stream/batch parity. */
+  def q35StreamWindows(s: SparkSession, dir: String): DataFrame =
+    EventStream.windowedCountsOnce(s, dir)
+      .orderBy("wstart", "event_type")
+
+  val queries: Map[String, Q] = Map(
+    "q33_event_windows" -> (q33EventWindows _),
+    "q34_event_sessions" -> (q34Sessionize _),
+    "q35_stream_windows" -> (q35StreamWindows _))
+
+  private val sumCents =
+    "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)"
+
+  /** The parquet stores TIMESTAMP_NS; cast to micros TIMESTAMP exactly
+    * like Tables.events does on the Spark side. */
+  private val evCte =
+    """ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+       event_type, value, props FROM events)"""
+
+  val oracles: Map[String, String] = Map(
+    "q33_event_windows" ->
+      s"""WITH $evCte
+         SELECT date_trunc('hour', ts) AS wstart, event_type,
+         count(*) AS n_events,
+         $sumCents AS sum_value_cents,
+         count(DISTINCT user_id) AS n_users
+         FROM ev GROUP BY 1, 2 ORDER BY wstart, event_type""",
+    "q34_event_sessions" ->
+      s"""WITH $evCte,
+         e AS (SELECT *, lag(epoch_us(ts)) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us FROM ev),
+         f AS (SELECT *, CASE WHEN prev_us IS NULL
+             OR epoch_us(ts) - prev_us > 1800000000
+           THEN 1 ELSE 0 END AS new_sess FROM e),
+         g AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+           FROM f)
+         SELECT user_id, sess_id,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events,
+           $sumCents AS sum_value_cents
+         FROM g GROUP BY user_id, sess_id ORDER BY user_id, sess_id""",
+    "q35_stream_windows" ->
+      s"""WITH $evCte
+         SELECT date_trunc('hour', ts) AS wstart, event_type,
+         count(*) AS n_events,
+         $sumCents AS sum_value_cents
+         FROM ev GROUP BY 1, 2 ORDER BY wstart, event_type""")
+}

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.storage.StorageLevel
 import graft.Tables
 import graft.operators._
@@ -135,6 +136,56 @@ object MatchingQueries {
       .orderBy("weight_id")
   }
 
+  /** A8/W2 (reference `TotalStatisticStage.scala:58-132`): join the
+    * per-type weight dim, contextual score = score normalized by the
+    * per-(doc2, type) max capped at 100, total = weighted sum per pair.
+    * Sums are micro-quantized so the distributed agg is exact. */
+  def q43TotalScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scores = partScores(s, dir).unionByName(partSuppScores(s, dir))
+    val wdf = Seq(("part_overlap", 0.7), ("partsupp_overlap", 0.3))
+      .toDF("score_type", "weight")
+    val wCtx = Window.partitionBy("doc2", "score_type")
+    scores.join(broadcast(wdf), Seq("score_type"))
+      .withColumn("ctx_max", max("score").over(wCtx))
+      .withColumn("w_micro",
+        round(col("score") * col("weight") * 1e6).cast("long"))
+      .withColumn("ctx_micro", least(
+        round(col("score") / col("ctx_max") * 100.0 * 1e6).cast("long"),
+        lit(100000000L)))
+      .groupBy("doc1", "doc2")
+      .agg(
+        count(lit(1)).as("n_types"),
+        sum("w_micro").as("total_micro"),
+        sum("ctx_micro").as("ctx_micro_sum"))
+      .select(col("doc1"), col("doc2"), col("n_types"),
+        (col("total_micro") / 1e6).as("total_score"),
+        (col("ctx_micro_sum") / 1e6).as("ctx_score"))
+      .orderBy("doc1", "doc2")
+  }
+
+  /** A6 (reference `MatchCandidatePersisterStage.scala:52-62`): collapse
+    * (dv1,dv2)/(dv2,dv1) duplicate directions. The reference used
+    * nondeterministic `first()`; canonical (least, greatest) keys +
+    * min/max/sum aggregates make the result hash-stable (SURVEY §7.4-2). */
+  def q44PairDedup(s: SparkSession, dir: String): DataFrame = {
+    val sc = partScores(s, dir)
+    val dups = sc.unionByName(sc.select(
+      col("doc2").as("doc1"), col("doc1").as("doc2"),
+      col("score_type"), col("item_count"), col("score")))
+    dups
+      .select(
+        least(col("doc1"), col("doc2")).as("pair_lo"),
+        greatest(col("doc1"), col("doc2")).as("pair_hi"),
+        col("score_type"), col("item_count"), col("score"))
+      .groupBy("pair_lo", "pair_hi", "score_type")
+      .agg(
+        count(lit(1)).as("n_directions"),
+        sum("item_count").as("total_items"),
+        max("score").as("score"))
+      .orderBy("pair_lo", "pair_hi")
+  }
+
   /** Flagship pipeline: candidates → scores → type filter → date filter
     * → percentile normalisation → ranked output (reference
     * `FullMatcherApp.runMatcher`, `matching/app/FullMatcherApp.scala:70-298`). */
@@ -207,7 +258,9 @@ object MatchingQueries {
     "q17_multitype_filter" -> (q17MultiTypeFilter _),
     "q18_match_stats" -> (q18MatchStats _),
     "q19_score_pivot" -> (q19ScorePivot _),
-    "q20_weight_grid" -> (q20WeightGrid _))
+    "q20_weight_grid" -> (q20WeightGrid _),
+    "q43_total_score" -> (q43TotalScore _),
+    "q44_pair_dedup" -> (q44PairDedup _))
 
   val oracles: Map[String, String] = Map(
     "q13_entity_candidates" ->
@@ -301,5 +354,32 @@ object MatchingQueries {
            CAST(sum(CASE WHEN accepted AND rnk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_top1,
            CAST(sum(CASE WHEN accepted AND rnk <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_top3,
            CAST(sum(CASE WHEN accepted THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted
-         FROM ranked GROUP BY weight_id ORDER BY weight_id""")
+         FROM ranked GROUP BY weight_id ORDER BY weight_id""",
+    "q43_total_score" ->
+      s"""WITH $bothScoresSql,
+         weights(score_type, weight) AS (SELECT * FROM (VALUES
+           ('part_overlap', 0.7), ('partsupp_overlap', 0.3))),
+         j AS (SELECT a.doc1, a.doc2, a.score, w.weight,
+             max(a.score) OVER (PARTITION BY a.doc2, a.score_type) AS ctx_max
+           FROM allscores a JOIN weights w ON a.score_type = w.score_type),
+         q AS (SELECT doc1, doc2,
+             CAST(round(score * weight * 1e6) AS BIGINT) AS w_micro,
+             least(CAST(round(score / ctx_max * 100.0 * 1e6) AS BIGINT),
+               100000000) AS ctx_micro
+           FROM j)
+         SELECT doc1, doc2, count(*) AS n_types,
+           CAST(sum(w_micro) AS BIGINT)/1e6 AS total_score,
+           CAST(sum(ctx_micro) AS BIGINT)/1e6 AS ctx_score
+         FROM q GROUP BY doc1, doc2 ORDER BY doc1, doc2""",
+    "q44_pair_dedup" ->
+      s"""WITH ${scoresSql(partEnts, "part_overlap")},
+         dups AS (SELECT doc1, doc2, score_type, item_count, score FROM scores
+           UNION ALL
+           SELECT doc2, doc1, score_type, item_count, score FROM scores)
+         SELECT least(doc1, doc2) AS pair_lo, greatest(doc1, doc2) AS pair_hi,
+           score_type,
+           count(*) AS n_directions,
+           CAST(sum(item_count) AS BIGINT) AS total_items,
+           max(score) AS score
+         FROM dups GROUP BY 1, 2, 3 ORDER BY pair_lo, pair_hi""")
 }

@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.TextFns
+import graft.functions.TextFns.sqlTokens
+import graft.operators.Multimodal
+
+/** Scalar-function / generator family: JSON field extraction,
+  * regex-extract-all code mining (the DOI / proposal-code analyser
+  * analogue, `utils/nlp/CodeAnalyser/CodeAnalyserService.java:28-53`),
+  * the positional band join (J4 "word window" range join,
+  * `matching/analyser/AdvancedInstrumentAnalyser.scala:478`), the
+  * contiguous-run merge (A5, `matching/matcher/TextMatcher.scala:95-157`
+  * rebuilt as gaps-and-islands windows), and multimodal binary-column
+  * plumbing.
+  */
+object ScalarQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** JSON extraction from the events props column + aggregation. */
+  def q39JsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  /** Code mining: regexp_extract_all over text, exploded, with
+    * document-frequency stats per code (DoiAnalyser shape). */
+  def q40CodeExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(text, '[a-z]{6,}', 0)")).as("code"))
+      .groupBy("code")
+      .agg(
+        countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .orderBy("code")
+
+  private def tokenPositions(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "tok")))
+
+  /** J4: positional band join — context window of ±3 tokens around
+    * every "spark" hit; counts context size and "table" tokens inside.
+    * The join is equi on doc_id with a range residual, so Catalyst
+    * plans a shuffled join on doc_id (co-partitioned, no broadcast of
+    * the big side) + an in-partition range filter. */
+  def q41BandJoin(s: SparkSession, dir: String): DataFrame = {
+    val tok = tokenPositions(s, dir)
+    val hits = tok.filter(col("tok") === "spark")
+      .select(col("doc_id"), col("pos").as("hit_pos"))
+    hits.join(tok, Seq("doc_id"))
+      .filter(col("pos").between(col("hit_pos") - 3, col("hit_pos") + 3))
+      .groupBy("doc_id", "hit_pos")
+      .agg(
+        count(lit(1)).as("n_context"),
+        sum(when(col("tok") === "table", 1L).otherwise(0L)).as("n_table"))
+      .orderBy("doc_id", "hit_pos")
+  }
+
+  /** A5: contiguous-run merge over hit positions (gaps-and-islands:
+    * pos - row_number is constant within a run). */
+  def q42TokenRuns(s: SparkSession, dir: String): DataFrame = {
+    val hits = tokenPositions(s, dir)
+      .filter(col("tok") === "table")
+      .select("doc_id", "pos")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    hits
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "grp")
+      .agg(count(lit(1)).as("run_len"), min("pos").as("run_start"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_runs"),
+        max("run_len").as("max_run"),
+        sum("run_len").as("n_hits"))
+      .orderBy("doc_id")
+  }
+
+  /** Multimodal plumbing: text packed as an opaque binary payload with
+    * typed metadata; deterministic features computed after a binary
+    * round-trip (decode(payload) == original text). The batched
+    * partition-level decoder stub is exercised by MultimodalSpec. */
+  def q46MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+    val packed = Multimodal.packBinary(Tables.documents(s, dir), "doc_id", "text")
+    val decoded = decode(col("payload"), "UTF-8")
+    packed.select(
+        col("doc_id"),
+        col("meta.n_bytes").as("n_bytes"),
+        (1 to 16).map(i => coalesce(ascii(substring(decoded, i, 1)), lit(0)))
+          .reduce(_ + _).as("cp16"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q39_json_extract" -> (q39JsonExtract _),
+    "q40_code_extract" -> (q40CodeExtract _),
+    "q41_band_join" -> (q41BandJoin _),
+    "q42_token_runs" -> (q42TokenRuns _),
+    "q46_multimodal_features" -> (q46MultimodalFeatures _))
+
+  private val tokCte =
+    s"""toks AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents),
+       tok AS (SELECT doc_id, s.pos AS pos, s.tok AS tok FROM
+         (SELECT doc_id, unnest(list_transform(t,
+            (x, i) -> struct_pack(pos := i - 1, tok := x))) AS s
+          FROM toks))"""
+
+  val oracles: Map[String, String] = Map(
+    "q39_json_extract" ->
+      """SELECT event_type, count(*) AS n_events,
+         CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+         min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+         max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q40_code_extract" ->
+      """SELECT code, count(DISTINCT doc_id) AS n_docs,
+         count(*) AS n_occurrences
+         FROM (SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]{6,}')) AS code
+               FROM documents)
+         GROUP BY code ORDER BY code""",
+    "q41_band_join" ->
+      s"""WITH $tokCte,
+         hits AS (SELECT doc_id, pos AS hit_pos FROM tok WHERE tok = 'spark')
+         SELECT h.doc_id, h.hit_pos, count(*) AS n_context,
+           CAST(sum(CASE WHEN t.tok = 'table' THEN 1 ELSE 0 END) AS BIGINT) AS n_table
+         FROM hits h JOIN tok t ON t.doc_id = h.doc_id
+           AND t.pos BETWEEN h.hit_pos - 3 AND h.hit_pos + 3
+         GROUP BY h.doc_id, h.hit_pos ORDER BY h.doc_id, h.hit_pos""",
+    "q42_token_runs" ->
+      s"""WITH $tokCte,
+         hits AS (SELECT doc_id, pos FROM tok WHERE tok = 'table'),
+         grps AS (SELECT doc_id, pos,
+           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+           FROM hits),
+         runs AS (SELECT doc_id, grp, count(*) AS run_len, min(pos) AS run_start
+           FROM grps GROUP BY doc_id, grp)
+         SELECT doc_id, count(*) AS n_runs, max(run_len) AS max_run,
+           CAST(sum(run_len) AS BIGINT) AS n_hits
+         FROM runs GROUP BY doc_id ORDER BY doc_id""",
+    "q46_multimodal_features" ->
+      ("""SELECT doc_id,
+         CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes, ("""
+        + (1 to 16).map(i => s"ascii(substr(text, $i, 1))").mkString(" + ")
+        + """) AS cp16
+         FROM documents ORDER BY doc_id"""))
+}

@@ -121,6 +121,34 @@ object TextQueries {
     CosineText.cosinePairs(Tables.documents(s, dir), "doc_id", "text")
       .orderBy("doc1", "doc2")
 
+  /** SimHash hamming near-dup pairs (the PictureScorer-hamming
+    * analogue, `matching/scorer/PictureScorer.scala:45,75-92`, with the
+    * banded prefilter replacing MinHashLSH): docs sharing any 8-bit
+    * band of their 32-bit simhash are candidates; exact
+    * `bit_count(xor)` filters to hamming distance <= threshold. */
+  def q45HammingPairs(s: SparkSession, dir: String): DataFrame = {
+    val maxHamming = 14
+    val sh = toks(s, dir).select(col("doc_id"),
+      simhash32(transform(col("toks"), t => polyHash(t))).as("simhash"))
+    val bands = (0 until 4).map { b =>
+      val p = math.pow(256, b).toLong
+      sh.select(col("doc_id"), lit(b).as("band"),
+        (expr(s"simhash div $p") % 256).as("key"))
+    }.reduce(_ unionByName _)
+    val cands = bands.select(col("band"), col("key"), col("doc_id").as("doc1"))
+      .join(bands.select(col("band"), col("key"), col("doc_id").as("doc2")),
+        Seq("band", "key"))
+      .filter(col("doc1") < col("doc2"))
+      .select("doc1", "doc2").distinct()
+    cands
+      .join(sh.select(col("doc_id").as("doc1"), col("simhash").as("s1")), Seq("doc1"))
+      .join(sh.select(col("doc_id").as("doc2"), col("simhash").as("s2")), Seq("doc2"))
+      .withColumn("hamming", bit_count(col("s1").bitwiseXOR(col("s2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc1", "doc2", "hamming")
+      .orderBy("doc1", "doc2")
+  }
+
   val queries: Map[String, Q] = Map(
     "q21_token_stats" -> (q21TokenStats _),
     "q22_exact_dedup" -> (q22ExactDedup _),
@@ -130,12 +158,43 @@ object TextQueries {
     "q26_lsh_dup_pairs" -> (q26LshDupPairs _),
     "q27_simhash" -> (q27Simhash _),
     "q28_fingerprint" -> (q28Fingerprint _),
-    "q29_cosine_shingles" -> (q29CosineShingles _))
+    "q29_cosine_shingles" -> (q29CosineShingles _),
+    "q45_hamming_pairs" -> (q45HammingPairs _))
 
   // ---- oracle SQL --------------------------------------------------
 
   private val toksCte =
     s"""toks AS (SELECT doc_id, text, ${sqlTokens("text")} AS toks FROM documents)"""
+
+  /** CTE chain ending in `dup_pairs(doc1, doc2, n_shared, jaccard)` —
+    * the MinHash-LSH near-dup pairs. Shared with DedupQueries'
+    * connected-components oracle. Keep parameters in sync with
+    * [[graft.operators.TextDedup.minhashDupPairs]] defaults. */
+  val lshDupPairsCtes: String =
+    s"""$toksCte,
+       sets AS (SELECT doc_id,
+         list_sort(list_distinct(${sqlShingleHashes("toks", 5)})) AS hashes
+         FROM toks),
+       fsets AS (SELECT * FROM sets WHERE len(hashes) > 0),
+       sigs AS (SELECT doc_id, ${sqlMinhashSignature("hashes", 12)} AS sig FROM fsets),
+       buckets AS (SELECT doc_id, b AS band,
+         ${sqlBandKey("list_slice(sig, b*3+1, b*3+3)")} AS key
+         FROM sigs, range(0, 4) t(b)),
+       sized AS (SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY band, key) AS bucket_n
+         FROM buckets) WHERE bucket_n <= 50),
+       cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+         FROM sized a JOIN sized b ON a.band = b.band AND a.key = b.key
+           AND a.doc_id < b.doc_id),
+       joined AS (SELECT doc1, doc2,
+         len(list_intersect(h1.hashes, h2.hashes)) AS n_shared,
+         len(h1.hashes) AS n1, len(h2.hashes) AS n2
+         FROM cand
+         JOIN fsets h1 ON h1.doc_id = doc1
+         JOIN fsets h2 ON h2.doc_id = doc2),
+       dup_pairs AS (SELECT doc1, doc2, n_shared,
+         ${r6Sql("n_shared / (n1 + n2 - n_shared)")} AS jaccard
+         FROM joined
+         WHERE ${r6Sql("n_shared / (n1 + n2 - n_shared)")} >= 0.2)"""
 
   private def langUnion: String = langSets.map { case (lang, words) =>
     val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -193,30 +252,8 @@ object TextQueries {
          SELECT doc_id, i AS seed_idx, sig[i+1] AS minhash
          FROM sigs, range(0, 12) t(i) ORDER BY doc_id, seed_idx""",
     "q26_lsh_dup_pairs" ->
-      s"""WITH $toksCte,
-         sets AS (SELECT doc_id,
-           list_sort(list_distinct(${sqlShingleHashes("toks", 5)})) AS hashes
-           FROM toks),
-         fsets AS (SELECT * FROM sets WHERE len(hashes) > 0),
-         sigs AS (SELECT doc_id, ${sqlMinhashSignature("hashes", 12)} AS sig FROM fsets),
-         buckets AS (SELECT doc_id, b AS band,
-           ${sqlBandKey("list_slice(sig, b*3+1, b*3+3)")} AS key
-           FROM sigs, range(0, 4) t(b)),
-         sized AS (SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY band, key) AS bucket_n
-           FROM buckets) WHERE bucket_n <= 50),
-         cand AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
-           FROM sized a JOIN sized b ON a.band = b.band AND a.key = b.key
-             AND a.doc_id < b.doc_id),
-         joined AS (SELECT doc1, doc2,
-           len(list_intersect(h1.hashes, h2.hashes)) AS n_shared,
-           len(h1.hashes) AS n1, len(h2.hashes) AS n2
-           FROM cand
-           JOIN fsets h1 ON h1.doc_id = doc1
-           JOIN fsets h2 ON h2.doc_id = doc2)
-         SELECT doc1, doc2, n_shared,
-           ${r6Sql("n_shared / (n1 + n2 - n_shared)")} AS jaccard
-         FROM joined
-         WHERE ${r6Sql("n_shared / (n1 + n2 - n_shared)")} >= 0.2
+      s"""WITH $lshDupPairsCtes
+         SELECT doc1, doc2, n_shared, jaccard FROM dup_pairs
          ORDER BY doc1, doc2""",
     "q27_simhash" ->
       s"""WITH $toksCte,
@@ -254,5 +291,23 @@ object TextQueries {
          JOIN norms n1 ON n1.doc_id = doc1
          JOIN norms n2 ON n2.doc_id = doc2
          WHERE ${r6Sql("dot / (sqrt(n1.sxx) * sqrt(n2.sxx))")} >= 0.1
+         ORDER BY doc1, doc2""",
+    "q45_hamming_pairs" ->
+      s"""WITH $toksCte,
+         th AS (SELECT doc_id, list_transform(toks, t -> ${sqlPolyHash("t")}) AS hs
+           FROM toks WHERE len(toks) > 0),
+         sh AS (SELECT doc_id, ${sqlSimhash32("hs")} AS simhash FROM th),
+         bands AS (SELECT doc_id, b AS band,
+           (simhash // CAST(power(256, b) AS BIGINT)) % 256 AS key
+           FROM sh, range(0, 4) t(b)),
+         cands AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+           FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+             AND a.doc_id < b.doc_id)
+         SELECT doc1, doc2,
+           bit_count(xor(s1.simhash, s2.simhash)) AS hamming
+         FROM cands
+         JOIN sh s1 ON s1.doc_id = doc1
+         JOIN sh s2 ON s2.doc_id = doc2
+         WHERE bit_count(xor(s1.simhash, s2.simhash)) <= 14
          ORDER BY doc1, doc2""")
 }

@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.Exact.{micro, r6}
+import graft.operators.VectorSearch
+import graft.operators.VectorSearch._
+
+/** Similarity search over the `embeddings` table (64-dim float
+  * vectors): brute-force cosine top-k as the correctness baseline,
+  * random-hyperplane LSH bucketing as the scale path, and elementwise
+  * centroid aggregation. The query set is the deterministic slice
+  * `vec_id % 50 = 0` (≈2% of the corpus), playing the "batch of search
+  * requests" role.
+  */
+object VectorQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val K = 5
+  private val NPlanes = 12
+  private val BandBits = 4
+  private val Dim = 64
+
+  /** Shared, fixed hyperplanes — the same literal values are embedded
+    * in the oracle SQL, so Spark and DuckDB run the same projection. */
+  private val planes: Seq[Seq[Double]] =
+    VectorSearch.hyperplanes(NPlanes, Dim, seed = 42L)
+
+  private def queriesOf(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+
+  /** Brute-force cosine top-k: broadcast query batch × corpus scan. */
+  def q30KnnBrute(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    VectorSearch.cosineTopK(
+        emb.select("vec_id", "embedding"), queriesOf(emb), K)
+      .orderBy("qid", "rnk")
+  }
+
+  /** LSH-bucketed ANN: sign-bit signatures over fixed hyperplanes,
+    * banded; candidates = corpus vectors sharing any band key with the
+    * query; exact cosine + top-k within candidates only. */
+  def q31KnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val buckets = VectorSearch.lshBuckets(
+      emb, "vec_id", "embedding", VectorSearch.planesDF(s, planes), BandBits)
+    val qIds = queriesOf(emb).select("qid")
+    val qBuckets = buckets
+      .join(qIds, buckets("vec_id") === qIds("qid"))
+      .select(col("qid"), col("band"), col("key"))
+    val cands = qBuckets.join(buckets, Seq("band", "key"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id").distinct()
+    val scored = cands
+      .join(Tables.embeddings(s, dir).select(col("vec_id").as("qid"), col("embedding").as("qemb")), Seq("qid"))
+      .join(Tables.embeddings(s, dir).select("vec_id", "embedding"), Seq("vec_id"))
+      .withColumn("cosine", r6(cosine(col("qemb"), col("embedding"))))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select("qid", "vec_id", "cosine", "rnk")
+      .orderBy("qid", "rnk")
+  }
+
+  /** Per-label centroids, elementwise over the array column. Sums are
+    * micro-quantized so the distributed aggregation is exact. */
+  def q32LabelCentroids(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(
+        sum(micro(col("v").cast("double"))).as("sum_micro"),
+        count(lit(1)).as("n_vecs"))
+      .select(col("label"), col("pos"),
+        r6(col("sum_micro") / 1e6 / col("n_vecs")).as("centroid"),
+        col("n_vecs"))
+      .orderBy("label", "pos")
+
+  val queries: Map[String, Q] = Map(
+    "q30_knn_brute" -> (q30KnnBrute _),
+    "q31_knn_lsh" -> (q31KnnLsh _),
+    "q32_label_centroids" -> (q32LabelCentroids _))
+
+  // ---- oracle SQL --------------------------------------------------
+
+  private def r6Sql(e: String): String =
+    s"CAST(round(($e)*1e6) AS BIGINT)/1e6"
+
+  private val bruteCtes =
+    s"""q AS (SELECT vec_id AS qid, embedding AS qemb
+         FROM embeddings WHERE vec_id % 50 = 0),
+       scored AS (SELECT qid, vec_id,
+         ${r6Sql(sqlCosine("qemb", "embedding"))} AS cosine
+         FROM embeddings CROSS JOIN q WHERE qid <> vec_id),
+       ranked AS (SELECT *, row_number() OVER (PARTITION BY qid
+         ORDER BY cosine DESC, vec_id) AS rnk FROM scored)"""
+
+  private val lshCtes =
+    s"""${sqlPlanesCte(planes)},
+       bits AS (SELECT vec_id, h,
+         CASE WHEN ${sqlDotD("embedding", "plane")} >= 0 THEN CAST(1 AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS bit
+         FROM embeddings, planes),
+       buckets AS (SELECT vec_id, h // $BandBits AS band,
+         CAST(sum(bit * CAST(power(2, h % $BandBits) AS BIGINT)) AS BIGINT) AS key
+         FROM bits GROUP BY vec_id, h // $BandBits),
+       qb AS (SELECT vec_id AS qid, band, key FROM buckets
+         WHERE vec_id % 50 = 0),
+       cand AS (SELECT DISTINCT qb.qid, b.vec_id
+         FROM qb JOIN buckets b ON qb.band = b.band AND qb.key = b.key
+         WHERE b.vec_id <> qb.qid),
+       scored AS (SELECT cand.qid, cand.vec_id,
+         ${r6Sql(sqlCosine("eq.embedding", "ev.embedding"))} AS cosine
+         FROM cand
+         JOIN embeddings eq ON eq.vec_id = cand.qid
+         JOIN embeddings ev ON ev.vec_id = cand.vec_id),
+       ranked AS (SELECT *, row_number() OVER (PARTITION BY qid
+         ORDER BY cosine DESC, vec_id) AS rnk FROM scored)"""
+
+  val oracles: Map[String, String] = Map(
+    "q30_knn_brute" ->
+      s"""WITH $bruteCtes
+         SELECT qid, vec_id, cosine, rnk FROM ranked
+         WHERE rnk <= $K ORDER BY qid, rnk""",
+    "q31_knn_lsh" ->
+      s"""WITH $lshCtes
+         SELECT qid, vec_id, cosine, rnk FROM ranked
+         WHERE rnk <= $K ORDER BY qid, rnk""",
+    "q32_label_centroids" ->
+      s"""SELECT label, i AS pos,
+         ${r6Sql(s"CAST(sum(CAST(round(CAST(embedding[i+1] AS DOUBLE)*1e6) AS BIGINT)) AS BIGINT)/1e6 / count(*)")} AS centroid,
+         count(*) AS n_vecs
+         FROM embeddings, range(0, $Dim) t(i)
+         GROUP BY label, i ORDER BY label, pos""")
+}
