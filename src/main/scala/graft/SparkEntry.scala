@@ -21,6 +21,8 @@ object SparkEntry {
       (EventQueries.queries, EventQueries.oracles),
       (DedupQueries.queries, DedupQueries.oracles),
       (ScalarQueries.queries, ScalarQueries.oracles),
+      (ParityQueries.queries, ParityQueries.oracles),
+      (MlQueries.queries, MlQueries.oracles),
     )
 
   /** Flagship: full entity-matching pipeline on sf0.001 (candidates →

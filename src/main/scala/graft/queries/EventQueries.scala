@@ -29,10 +29,18 @@ object EventQueries {
     EventStream.windowedCountsOnce(s, dir)
       .orderBy("wstart", "event_type")
 
+  /** Sessionization via the stateful streaming API
+    * (flatMapGroupsWithState); the oracle is the same batch SQL as
+    * q34, proving stateful-stream/batch parity. */
+  def q54StreamSessions(s: SparkSession, dir: String): DataFrame =
+    EventStream.statefulSessionsOnce(s, dir)
+      .orderBy("user_id", "sess_id")
+
   val queries: Map[String, Q] = Map(
     "q33_event_windows" -> (q33EventWindows _),
     "q34_event_sessions" -> (q34Sessionize _),
-    "q35_stream_windows" -> (q35StreamWindows _))
+    "q35_stream_windows" -> (q35StreamWindows _),
+    "q54_stream_sessions" -> (q54StreamSessions _))
 
   private val sumCents =
     "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)"
@@ -43,16 +51,9 @@ object EventQueries {
     """ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
        event_type, value, props FROM events)"""
 
-  val oracles: Map[String, String] = Map(
-    "q33_event_windows" ->
-      s"""WITH $evCte
-         SELECT date_trunc('hour', ts) AS wstart, event_type,
-         count(*) AS n_events,
-         $sumCents AS sum_value_cents,
-         count(DISTINCT user_id) AS n_users
-         FROM ev GROUP BY 1, 2 ORDER BY wstart, event_type""",
-    "q34_event_sessions" ->
-      s"""WITH $evCte,
+  /** Shared by q34 (batch windows) and q54 (stateful streaming). */
+  private val sessionsSql =
+    s"""WITH $evCte,
          e AS (SELECT *, lag(epoch_us(ts)) OVER
            (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us FROM ev),
          f AS (SELECT *, CASE WHEN prev_us IS NULL
@@ -65,11 +66,22 @@ object EventQueries {
            min(ts) AS session_start, max(ts) AS session_end,
            count(*) AS n_events,
            $sumCents AS sum_value_cents
-         FROM g GROUP BY user_id, sess_id ORDER BY user_id, sess_id""",
+         FROM g GROUP BY user_id, sess_id ORDER BY user_id, sess_id"""
+
+  val oracles: Map[String, String] = Map(
+    "q33_event_windows" ->
+      s"""WITH $evCte
+         SELECT date_trunc('hour', ts) AS wstart, event_type,
+         count(*) AS n_events,
+         $sumCents AS sum_value_cents,
+         count(DISTINCT user_id) AS n_users
+         FROM ev GROUP BY 1, 2 ORDER BY wstart, event_type""",
+    "q34_event_sessions" -> sessionsSql,
     "q35_stream_windows" ->
       s"""WITH $evCte
          SELECT date_trunc('hour', ts) AS wstart, event_type,
          count(*) AS n_events,
          $sumCents AS sum_value_cents
-         FROM ev GROUP BY 1, 2 ORDER BY wstart, event_type""")
+         FROM ev GROUP BY 1, 2 ORDER BY wstart, event_type""",
+    "q54_stream_sessions" -> sessionsSql)
 }

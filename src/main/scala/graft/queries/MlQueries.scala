@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, VectorAssembler}
+import org.apache.spark.ml.classification.RandomForestClassifier
+import graft.Tables
+import graft.functions.{PorterStemmer, TextFns}
+
+/** ML-adjacent operators from SURVEY.md §2.8-2.9 whose logic cannot be
+  * expressed in DuckDB SQL (Porter stemming; seeded `spark.ml`
+  * pipelines): Porter stem indexing (`analyser/TextEntitiesAnalyser
+  * .scala:275-279`), the RandomForest mention classifier
+  * (`analyser/AdvancedInstrumentAnalyser.scala:113-118,225-359` — M6),
+  * and `MinHashLSH.approxSimilarityJoin` (`matcher/PictureMatcher
+  * .scala:54-68` — M4/J9, here over text shingle sets).
+  *
+  * These are registered WITHOUT oracle SQL — the driver records a
+  * rows-only check — and their semantics are asserted by MlSpec
+  * (golden stem cases from the published algorithm; seeded-pipeline
+  * determinism; LSH-pair containment in the exact-Jaccard pair set).
+  */
+object MlQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Stemmed vocabulary index: distinct token → Porter stem, with stem
+    * group sizes. The UDF runs on the distinct vocabulary (tiny
+    * relative to the corpus), never per-token-occurrence. */
+  def q55StemTokens(s: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.documents(s, dir)
+      .select(explode(TextFns.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+    vocab.withColumn("stem", PorterStemmer.stemUdf(col("token")))
+      .withColumn("stem_group_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("stem")))
+      .orderBy("token")
+  }
+
+  /** Seeded RandomForest classifier (M6 shape): predict the document's
+    * `lang` label from token-statistics features, 0.7/0.3 split, and
+    * report the confusion matrix. Deterministic via fixed seeds. */
+  def q56RfClassifier(s: SparkSession, dir: String): DataFrame = {
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    val langSets = Map(
+      "de" -> Seq("der", "die", "das", "und"),
+      "en" -> Seq("the", "a", "is", "of", "to"),
+      "es" -> Seq("el", "los", "las", "y"),
+      "fr" -> Seq("le", "la", "les", "et"))
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("text"),
+        TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val featured = langSets.foldLeft(base) { case (df, (l, words)) =>
+      df.withColumn(s"hits_$l",
+        (size(filter(col("toks"),
+          x => array_contains(array(words.map(lit): _*), x)))
+          / size(col("toks"))).cast("double"))
+    }
+      .withColumn("n_tokens", size(col("toks")).cast("double"))
+      .withColumn("alpha_ratio",
+        (length(regexp_replace(lower(col("text")), "[^a-z]", ""))
+          / length(col("text"))).cast("double"))
+      .withColumn("label",
+        array_position(array(langs.map(lit): _*), col("lang")).cast("double") - 1)
+    val features = new VectorAssembler()
+      .setInputCols(Array("hits_de", "hits_en", "hits_es", "hits_fr",
+        "n_tokens", "alpha_ratio"))
+      .setOutputCol("features")
+      .transform(featured)
+    val Array(train, test) = features.randomSplit(Array(0.7, 0.3), seed = 42L)
+    val model = new RandomForestClassifier()
+      .setSeed(42L).setNumTrees(20).setMaxDepth(5)
+      .setLabelCol("label").setFeaturesCol("features")
+      .fit(train)
+    model.transform(test)
+      .select(col("lang"),
+        element_at(array(langs.map(lit): _*),
+          (col("prediction") + 1).cast("int")).as("predicted_lang"))
+      .groupBy("lang", "predicted_lang").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted_lang")
+  }
+
+  /** `spark.ml` MinHashLSH approximate-similarity join (M4/J9) over
+    * 5-shingle sets hashed into a sparse binary vector space — the
+    * PictureMatcher shape with text shingles standing in for picture
+    * blockhashes. Seeded, so the signature permutations are stable. */
+  def q57MlMinhash(s: SparkSession, dir: String): DataFrame = {
+    val shingled = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextFns.shingles(TextFns.tokens(col("text")), 5).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val tf = new HashingTF().setInputCol("sh").setOutputCol("features")
+      .setNumFeatures(1 << 18).setBinary(true)
+      .transform(shingled)
+    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("sig")
+      .setNumHashTables(4).setSeed(42L)
+    val model = lsh.fit(tf)
+    model.approxSimilarityJoin(tf, tf, 0.8, "jaccard_dist")
+      .select(col("datasetA.doc_id").as("doc1"),
+        col("datasetB.doc_id").as("doc2"),
+        round(col("jaccard_dist"), 6).as("jaccard_dist"))
+      .filter(col("doc1") < col("doc2"))
+      .orderBy("doc1", "doc2")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q55_stem_tokens" -> (q55StemTokens _),
+    "q56_rf_classifier" -> (q56RfClassifier _),
+    "q57_ml_minhash" -> (q57MlMinhash _))
+
+  /** No DuckDB oracles — driver records rows-only checks; MlSpec
+    * carries the semantic assertions. */
+  val oracles: Map[String, String] = Map.empty
+}

@@ -3,7 +3,7 @@ package graft.streaming
 import java.util.concurrent.atomic.AtomicInteger
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import graft.functions.Exact
 
 /** Structured Streaming surface over the events table. The reference
@@ -67,5 +67,72 @@ object EventStream {
       .start()
     q.awaitTermination()
     s.table(name)
+  }
+
+  // ---- stateful sessionization ------------------------------------
+
+  final case class SessEv(user_id: Long, ts_us: Long, event_id: Long, cents: Long)
+  final case class SessRow(user_id: Long, sess_id: Long, start_us: Long,
+      end_us: Long, n_events: Long, sum_value_cents: Long)
+
+  /** Per-user sessionizer for flatMapGroupsWithState: splits the
+    * user's events (sorted by event time) at gaps > `gapUs` and emits
+    * one row per session. State carries the session counter so a
+    * multi-batch stream numbers sessions consistently; with
+    * Trigger.AvailableNow the whole table arrives in one batch and the
+    * result equals the batch window-function sessionization (q34). */
+  private def sessionizeGroup(gapUs: Long)(
+      user: Long, it: Iterator[SessEv],
+      state: GroupState[Long]): Iterator[SessRow] = {
+    val evs = it.toArray.sortBy(e => (e.ts_us, e.event_id))
+    if (evs.isEmpty) Iterator.empty
+    else {
+      var sessId = state.getOption.getOrElse(0L)
+      val out = Seq.newBuilder[SessRow]
+      var start = 0L; var end = 0L; var n = 0L; var cents = 0L
+      evs.foreach { e =>
+        if (n == 0L) { sessId += 1; start = e.ts_us }
+        else if (e.ts_us - end > gapUs) {
+          out += SessRow(user, sessId, start, end, n, cents)
+          sessId += 1
+          start = e.ts_us; n = 0L; cents = 0L
+        }
+        end = e.ts_us
+        n += 1
+        cents += e.cents
+      }
+      out += SessRow(user, sessId, start, end, n, cents)
+      state.update(sessId)
+      out.result().iterator
+    }
+  }
+
+  /** Gap sessionization via the stateful streaming API
+    * (`KeyValueGroupedDataset.flatMapGroupsWithState`), drained with
+    * AvailableNow into a memory sink. Column-compatible with the batch
+    * [[graft.operators.EventAnalytics.sessionize]] / its DuckDB oracle. */
+  def statefulSessionsOnce(s: SparkSession, dir: String,
+                           gapMinutes: Int = 30): DataFrame = {
+    import s.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    val ev = eventsStream(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), Exact.cents(col("value")).as("cents"))
+      .as[SessEv]
+    val name = s"graft_stream_sess_${runIdx.incrementAndGet()}"
+    val q = ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        sessionizeGroup(gapUs))
+      .toDF()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+      .select(col("user_id"), col("sess_id"),
+        timestamp_micros(col("start_us")).as("session_start"),
+        timestamp_micros(col("end_us")).as("session_end"),
+        col("n_events"), col("sum_value_cents"))
   }
 }
