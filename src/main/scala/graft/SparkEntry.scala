@@ -23,6 +23,8 @@ object SparkEntry {
       (ScalarQueries.queries, ScalarQueries.oracles),
       (ParityQueries.queries, ParityQueries.oracles),
       (MlQueries.queries, MlQueries.oracles),
+      (MiscQueries.queries, MiscQueries.oracles),
+      (SourceQueries.queries, SourceQueries.oracles),
     )
 
   /** Flagship: full entity-matching pipeline on sf0.001 (candidates →

@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFns
+import graft.operators.TextDedup
+
+/** Remaining §2 parity shapes: the technique-probability model (P7,
+  * `matching/filter/PersonTechniqueFilter.scala:25-93`), the Level-2
+  * re-join that scores an expensive signal only for already-matched
+  * pairs (J10, `matching/matcher/Level2PictureMatcher.scala:43-56` +
+  * hamming scoring `scorer/PictureScorer.scala:45,75-92`), the
+  * date-range document filter (P3, `matching/filter/
+  * DateDocumentTypeFilter.scala:24-35`), and the training-extraction
+  * OR-join rewritten as a union of two semi joins (J12,
+  * `matching/stage/TrainingDataExtractionStage.scala:52` — SURVEY §2.3
+  * prescribes the union rewrite so each leg stays an equi join).
+  */
+object MiscQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** P7: per-(customer, brand) purchase-probability model — two counts
+    * and a ratio per key, then a histogram over 10% probability bands.
+    * Ratio is micro-quantized so the distributed agg hashes exactly. */
+  def q58TechniqueModel(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("o_custkey").as("custkey"), col("p_brand").as("brand"))
+    val perKey = li.groupBy("custkey", "brand").agg(count(lit(1)).as("n"))
+    val perCust = perKey.groupBy("custkey").agg(sum("n").as("total"))
+    perKey.join(perCust, Seq("custkey"))
+      .withColumn("ratio_micro",
+        round(col("n") * 1000000.0 / col("total")).cast("long"))
+      .withColumn("bucket", floor(col("ratio_micro") / 100000L).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct("custkey").as("n_custs"),
+        sum("n").as("n_lines"))
+      .orderBy("bucket")
+  }
+
+  /** J10 + hamming scoring: compute the expensive pairwise signal
+    * (simhash hamming distance) ONLY for pairs already matched by the
+    * cheap level-1 matcher (MinHash-LSH near-dup pairs) — the
+    * incremental-compute shape that keeps level-2 signals affordable
+    * at scale. `bit_count(xor)` replaces the reference's per-char
+    * string hamming UDF (SURVEY §2.8). */
+  def q59Level2Hamming(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val matched = TextDedup.minhashDupPairs(docs, "doc_id", "text")
+      .select("doc1", "doc2")
+    val sh = docs
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        TextFns.simhash32(transform(col("toks"), t => TextFns.polyHash(t)))
+          .as("simhash"))
+    matched
+      .join(sh.select(col("doc_id").as("doc1"), col("simhash").as("s1")), Seq("doc1"))
+      .join(sh.select(col("doc_id").as("doc2"), col("simhash").as("s2")), Seq("doc2"))
+      .withColumn("hamming", bit_count(col("s1").bitwiseXOR(col("s2"))))
+      .withColumn("score",
+        when(col("hamming") <= 8, lit(100.0)).otherwise(lit(0.0)))
+      .select("doc1", "doc2", "hamming", "score")
+      .orderBy("doc1", "doc2")
+  }
+
+  /** P3: restrict documents to a year window with when/otherwise
+    * validity marking, then monthly roll-up of the kept rows. */
+  def q60DateRange(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .withColumn("yr", year(col("o_orderdate")))
+      .withColumn("valid",
+        when(col("yr").between(1995, 1996), lit(true)).otherwise(lit(false)))
+      .filter(col("valid"))
+      .groupBy(col("yr"), month(col("o_orderdate")).as("mo"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+      .orderBy("yr", "mo")
+
+  /** J12: training-pair extraction OR-join (`dv1 IN t OR dv2 IN t`)
+    * as a union of two semi joins + distinct — each leg shuffles on
+    * one equi key instead of forcing a nested-loop OR predicate. */
+  def q61OrJoin(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(s, dir).select(
+      col("l_orderkey").as("doc1"),
+      (col("l_partkey") + 10000000L).as("doc2"))
+    val train = pairs.select(explode(array(col("doc1"), col("doc2"))).as("tid"))
+      .filter(col("tid") % 1000 === 0).distinct()
+    pairs.join(train, col("doc1") === col("tid"), "left_semi")
+      .unionByName(pairs.join(train, col("doc2") === col("tid"), "left_semi"))
+      .distinct()
+      .orderBy("doc1", "doc2")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q58_technique_model" -> (q58TechniqueModel _),
+    "q59_level2_hamming" -> (q59Level2Hamming _),
+    "q60_date_range" -> (q60DateRange _),
+    "q61_or_join" -> (q61OrJoin _))
+
+  val oracles: Map[String, String] = Map(
+    "q58_technique_model" ->
+      """WITH li AS (SELECT o.o_custkey AS custkey, p.p_brand AS brand
+           FROM lineitem l
+           JOIN orders o ON l.l_orderkey = o.o_orderkey
+           JOIN part p ON l.l_partkey = p.p_partkey),
+         perkey AS (SELECT custkey, brand, count(*) AS n FROM li GROUP BY 1, 2),
+         percust AS (SELECT custkey, CAST(sum(n) AS BIGINT) AS total
+           FROM perkey GROUP BY custkey),
+         r AS (SELECT perkey.custkey, n,
+           CAST(round(n * 1000000.0 / total) AS BIGINT) AS ratio_micro
+           FROM perkey JOIN percust ON perkey.custkey = percust.custkey)
+         SELECT CAST(floor(ratio_micro / 100000) AS BIGINT) AS bucket,
+           count(*) AS n_pairs,
+           count(DISTINCT custkey) AS n_custs,
+           CAST(sum(n) AS BIGINT) AS n_lines
+         FROM r GROUP BY 1 ORDER BY bucket""",
+    "q59_level2_hamming" ->
+      s"""WITH ${TextQueries.lshDupPairsCtes},
+         th AS (SELECT doc_id,
+           list_transform(toks, t -> ${TextFns.sqlPolyHash("t")}) AS hs
+           FROM toks WHERE len(toks) > 0),
+         sh AS (SELECT doc_id, ${TextFns.sqlSimhash32("hs")} AS simhash FROM th)
+         SELECT doc1, doc2,
+           bit_count(xor(s1.simhash, s2.simhash)) AS hamming,
+           CASE WHEN bit_count(xor(s1.simhash, s2.simhash)) <= 8
+             THEN 100.0 ELSE 0.0 END AS score
+         FROM dup_pairs
+         JOIN sh s1 ON s1.doc_id = doc1
+         JOIN sh s2 ON s2.doc_id = doc2
+         ORDER BY doc1, doc2""",
+    "q60_date_range" ->
+      """SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+         count(*) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM orders
+         WHERE year(o_orderdate) BETWEEN 1995 AND 1996
+         GROUP BY 1, 2 ORDER BY yr, mo""",
+    "q61_or_join" ->
+      """WITH pairs AS (SELECT l_orderkey AS doc1, l_partkey + 10000000 AS doc2
+           FROM lineitem),
+         train AS (SELECT DISTINCT tid FROM (
+           SELECT doc1 AS tid FROM pairs UNION ALL SELECT doc2 FROM pairs)
+           WHERE tid % 1000 = 0)
+         SELECT DISTINCT doc1, doc2 FROM pairs
+         WHERE doc1 IN (SELECT tid FROM train)
+            OR doc2 IN (SELECT tid FROM train)
+         ORDER BY doc1, doc2""")
+}

@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Source/sink format coverage (SURVEY §2.1): the reference reads
+  * JDBC subqueries, flat files from a shared FS (S3,
+  * `matching/datasource/FileDataSource.scala:37-61`) and tab-separated
+  * text resources (S6, `analyser/DocumentWordSpecAnalyser2.scala:57-61`),
+  * and writes every artifact to a warehouse (S7). Re-expressed
+  * Spark-first: each query round-trips a testdata table through a
+  * non-parquet format (csv / json lines / tab-separated text /
+  * hive-partitioned parquet) with an explicit schema on the read side,
+  * then computes an aggregate the DuckDB oracle reproduces straight
+  * from the parquet table — proving the format hop is lossless.
+  *
+  * Writes land under /tmp keyed by the sf dir, overwritten per run
+  * (idempotent). At cluster scale the same code targets a shared
+  * object store; the format-hop semantics are identical.
+  */
+object SourceQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def ioDir(dir: String, leaf: String): String =
+    s"/tmp/graft_io/${dir.replaceAll("[^A-Za-z0-9.]+", "_")}/$leaf"
+
+  /** S6-shaped CSV hop: nation → csv with header → schema'd read →
+    * broadcast-join region → per-region name roll-up. */
+  def q62CsvSource(s: SparkSession, dir: String): DataFrame = {
+    val path = ioDir(dir, "nation_csv")
+    Tables.nation(s, dir).write.mode("overwrite")
+      .option("header", "true").csv(path)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", LongType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", LongType)))
+    val nation = s.read.schema(schema).option("header", "true").csv(path)
+    nation.join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"))
+      .agg(count(lit(1)).as("n_nations"),
+        array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"))
+      .orderBy("region")
+  }
+
+  /** JSON-lines hop: customer → json → schema'd read → per-segment
+    * totals in exact cents. */
+  def q63JsonSource(s: SparkSession, dir: String): DataFrame = {
+    val path = ioDir(dir, "customer_json")
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+      .write.mode("overwrite").json(path)
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_mktsegment", StringType),
+      StructField("bal_cents", LongType)))
+    s.read.schema(schema).json(path)
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum("bal_cents").as("sum_bal_cents"),
+        min("c_custkey").as("min_key"), max("c_custkey").as("max_key"))
+      .orderBy("segment")
+  }
+
+  /** S6 exactly: tab-separated text resource → `spark.read.text` →
+    * split("\t") parse → frequency roll-up (the reference's
+    * word-frequency file pattern). */
+  def q64TextSource(s: SparkSession, dir: String): DataFrame = {
+    val path = ioDir(dir, "doc_lang_txt")
+    Tables.documents(s, dir)
+      .select(concat_ws("\t", col("doc_id"), col("lang"), col("source"))
+        .as("value"))
+      .write.mode("overwrite").text(path)
+    val parts = split(col("value"), "\t")
+    s.read.text(path)
+      .select(parts.getItem(0).cast("long").as("doc_id"),
+        parts.getItem(1).as("lang"), parts.getItem(2).as("source"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_checksum"))
+      .orderBy("lang", "source")
+  }
+
+  /** S7 + partition pruning: orders → parquet partitioned by status →
+    * filtered read (the scan only touches the `O` directory —
+    * PartitionFilters in the plan) → yearly roll-up. */
+  def q65PartitionedSink(s: SparkSession, dir: String): DataFrame = {
+    val path = ioDir(dir, "orders_by_status")
+    Tables.orders(s, dir).write.mode("overwrite")
+      .partitionBy("o_orderstatus").parquet(path)
+    s.read.parquet(path)
+      .filter(col("o_orderstatus") === "O")
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+      .orderBy("yr")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q62_csv_source" -> (q62CsvSource _),
+    "q63_json_source" -> (q63JsonSource _),
+    "q64_text_source" -> (q64TextSource _),
+    "q65_partitioned_sink" -> (q65PartitionedSink _))
+
+  val oracles: Map[String, String] = Map(
+    "q62_csv_source" ->
+      """SELECT r.r_name AS region, count(*) AS n_nations,
+         string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+         FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+         GROUP BY r.r_name ORDER BY region""",
+    "q63_json_source" ->
+      """SELECT c_mktsegment AS segment, count(*) AS n_customers,
+         CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS sum_bal_cents,
+         min(c_custkey) AS min_key, max(c_custkey) AS max_key
+         FROM customer GROUP BY 1 ORDER BY segment""",
+    "q64_text_source" ->
+      """SELECT lang, source, count(*) AS n_docs,
+         CAST(sum(doc_id) AS BIGINT) AS id_checksum
+         FROM documents GROUP BY 1, 2 ORDER BY lang, source""",
+    "q65_partitioned_sink" ->
+      """SELECT year(o_orderdate) AS yr, count(*) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM orders WHERE o_orderstatus = 'O'
+         GROUP BY 1 ORDER BY yr"""
+  )
+}
