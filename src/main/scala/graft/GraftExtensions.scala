@@ -1,0 +1,20 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import graft.functions.StemExpression
+
+/** Session extension installing graft's native Catalyst functions
+  * (currently `graft_stem`, the codegen'd Porter stemmer). Wire up
+  * either way:
+  *
+  *   SparkSession.builder().withExtensions(new GraftExtensions)
+  *   // or: .config("spark.sql.extensions", "graft.GraftExtensions")
+  *
+  * after which `StemExpression.stem(col)` / SQL `graft_stem(col)`
+  * resolve in that session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(StemExpression.registration)
+  }
+}
