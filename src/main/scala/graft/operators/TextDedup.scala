@@ -46,8 +46,12 @@ object TextDedup {
                       minJaccard: Double = 0.2,
                       maxBucketSize: Long = 50): DataFrame = {
     val r = nHashes / bands
+    // the sets frame feeds three branches of this plan (signatures +
+    // both sides of the verify join); persist so the tokenize/shingle/
+    // hash scan runs once, not three times
     val sets = shingleSets(docs, idCol, textCol, k)
       .filter(size(col("hashes")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = sets.select(
       col("doc_id"),
       TextFns.bandKeys(TextFns.minhashSignature(col("hashes"), nHashes), bands, r)

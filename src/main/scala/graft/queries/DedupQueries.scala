@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Exact.cents
-import graft.operators.{Cleaning, GraphComponents, TextDedup}
+import graft.operators.{Cleaning, GraphComponents}
 
 /** Entity-deduplication family (reference `deduplication/` apps):
   * cleaning UDF bank, blocked self-join pair generation (J8), and
@@ -19,7 +19,7 @@ object DedupQueries {
     * reachable doc_id as its cluster id (isolated docs: themselves). */
   def q36ConnectedComponents(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val edges = TextDedup.minhashDupPairs(docs, "doc_id", "text")
+    val edges = Shared.dupPairs(s, dir)
       .select(col("doc1").as("src"), col("doc2").as("dst"))
     GraphComponents.connectedComponents(
         docs.select(col("doc_id").as("node")), edges)

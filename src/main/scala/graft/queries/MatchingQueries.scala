@@ -36,13 +36,7 @@ object MatchingQueries {
     * bench died exactly that way). Persisting the shared frame once per
     * (session, dir) is the idiomatic Spark answer — same thing a user
     * composing several queries over one match table would do. */
-  private val memo =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-
-  private def memoized(s: SparkSession, dir: String, key: String)
-                      (build: => DataFrame): DataFrame =
-    memo.getOrElseUpdate(s"${s.sparkContext.applicationId}|$dir|$key",
-      build.persist(StorageLevel.MEMORY_AND_DISK))
+  import Shared.memoized
 
   private def partCands(s: SparkSession, dir: String): DataFrame =
     memoized(s, dir, "partCands")(

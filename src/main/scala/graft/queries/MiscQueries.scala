@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFns
-import graft.operators.TextDedup
+
 
 /** Remaining §2 parity shapes: the technique-probability model (P7,
   * `matching/filter/PersonTechniqueFilter.scala:25-93`), the Level-2
@@ -51,15 +51,8 @@ object MiscQueries {
     * at scale. `bit_count(xor)` replaces the reference's per-char
     * string hamming UDF (SURVEY §2.8). */
   def q59Level2Hamming(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val matched = TextDedup.minhashDupPairs(docs, "doc_id", "text")
-      .select("doc1", "doc2")
-    val sh = docs
-      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) > 0)
-      .select(col("doc_id"),
-        TextFns.simhash32(transform(col("toks"), t => TextFns.polyHash(t)))
-          .as("simhash"))
+    val matched = Shared.dupPairs(s, dir).select("doc1", "doc2")
+    val sh = Shared.simhashes(s, dir)
     matched
       .join(sh.select(col("doc_id").as("doc1"), col("simhash").as("s1")), Seq("doc1"))
       .join(sh.select(col("doc_id").as("doc2"), col("simhash").as("s2")), Seq("doc2"))

@@ -1,0 +1,44 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.Tables
+import graft.functions.TextFns
+import graft.operators.TextDedup
+
+/** Cross-query memoization of expensive shared subplans.
+  *
+  * Several query families consume the same intermediate relation (the
+  * quadratic match-score table; the MinHash-LSH dup-pair table; the
+  * per-doc simhash table). A user composing these queries over one
+  * session would persist that frame once — Verify/Bench sweeps should
+  * behave the same instead of recomputing the pipeline per query
+  * (the round-1 bench died from exactly that accumulated shuffle
+  * volume). Keyed by (applicationId, dir, name) so scale factors and
+  * fresh sessions never collide.
+  */
+object Shared {
+
+  private val memo =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  def memoized(s: SparkSession, dir: String, key: String)
+              (build: => DataFrame): DataFrame =
+    memo.getOrElseUpdate(s"${s.sparkContext.applicationId}|$dir|$key",
+      build.persist(StorageLevel.MEMORY_AND_DISK))
+
+  /** MinHash-LSH near-dup pairs over documents (q26/q36/q59). */
+  def dupPairs(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "dupPairs")(
+      TextDedup.minhashDupPairs(Tables.documents(s, dir), "doc_id", "text"))
+
+  /** Per-doc 32-bit simhash over token hashes (q27/q45/q59). */
+  def simhashes(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "simhashes")(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .select(col("doc_id"),
+          TextFns.simhash32(TextFns.tokenHashes(col("toks"))).as("simhash")))
+}

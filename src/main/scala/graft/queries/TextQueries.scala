@@ -96,14 +96,12 @@ object TextQueries {
 
   /** MinHash-LSH near-duplicate pairs, exact-Jaccard verified. */
   def q26LshDupPairs(s: SparkSession, dir: String): DataFrame =
-    TextDedup.minhashDupPairs(Tables.documents(s, dir), "doc_id", "text")
+    Shared.dupPairs(s, dir)
       .orderBy("doc1", "doc2")
 
   /** SimHash signatures (tf-weighted token hashes). */
   def q27Simhash(s: SparkSession, dir: String): DataFrame =
-    toks(s, dir)
-      .select(col("doc_id"),
-        simhash32(transform(col("toks"), t => polyHash(t))).as("simhash"))
+    Shared.simhashes(s, dir)
       .withColumn("band16", floor(col("simhash") / 65536.0).cast("long"))
       .orderBy("doc_id")
 
@@ -128,8 +126,7 @@ object TextQueries {
     * `bit_count(xor)` filters to hamming distance <= threshold. */
   def q45HammingPairs(s: SparkSession, dir: String): DataFrame = {
     val maxHamming = 14
-    val sh = toks(s, dir).select(col("doc_id"),
-      simhash32(transform(col("toks"), t => polyHash(t))).as("simhash"))
+    val sh = Shared.simhashes(s, dir)
     val bands = (0 until 4).map { b =>
       val p = math.pow(256, b).toLong
       sh.select(col("doc_id"), lit(b).as("band"),
