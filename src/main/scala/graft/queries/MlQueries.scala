@@ -2,10 +2,11 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, VectorAssembler}
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, VectorAssembler, Word2Vec}
 import org.apache.spark.ml.classification.RandomForestClassifier
+import org.apache.spark.ml.linalg.{Vector => MlVector}
 import graft.Tables
-import graft.functions.{PorterStemmer, TextFns}
+import graft.functions.{StemExpression, TextFns}
 
 /** ML-adjacent operators from SURVEY.md §2.8-2.9 whose logic cannot be
   * expressed in DuckDB SQL (Porter stemming; seeded `spark.ml`
@@ -25,13 +26,14 @@ object MlQueries {
   type Q = (SparkSession, String) => DataFrame
 
   /** Stemmed vocabulary index: distinct token → Porter stem, with stem
-    * group sizes. The UDF runs on the distinct vocabulary (tiny
-    * relative to the corpus), never per-token-occurrence. */
+    * group sizes. Uses the native `graft_stem` expression (codegen'd;
+    * see StemExpression) on the distinct vocabulary — tiny relative to
+    * the corpus, never per-token-occurrence. */
   def q55StemTokens(s: SparkSession, dir: String): DataFrame = {
     val vocab = Tables.documents(s, dir)
       .select(explode(TextFns.tokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("freq"))
-    vocab.withColumn("stem", PorterStemmer.stemUdf(col("token")))
+    vocab.withColumn("stem", StemExpression.stem(col("token")))
       .withColumn("stem_group_size",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("stem")))
       .orderBy("token")
@@ -104,10 +106,33 @@ object MlQueries {
       .orderBy("doc1", "doc2")
   }
 
+  /** Seeded Word2Vec featurization (M5 shape: `AdvancedInstrument
+    * Analyser.scala:169-221` featurizes candidate sentences): 16-dim
+    * embeddings over token sequences, then per-lang centroid norms —
+    * deterministic under fixed seed + 1 partition for the tiny model. */
+  def q66Word2vec(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val model = new Word2Vec()
+      .setInputCol("toks").setOutputCol("vec")
+      .setVectorSize(16).setSeed(42L).setMinCount(2)
+      .setNumPartitions(1).setMaxIter(1)
+      .fit(docs)
+    val norm = udf((v: MlVector) => math.sqrt(v.toArray.map(x => x * x).sum))
+    model.transform(docs)
+      .withColumn("vnorm", norm(col("vec")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("vnorm"), 4).as("avg_norm"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, Q] = Map(
     "q55_stem_tokens" -> (q55StemTokens _),
     "q56_rf_classifier" -> (q56RfClassifier _),
-    "q57_ml_minhash" -> (q57MlMinhash _))
+    "q57_ml_minhash" -> (q57MlMinhash _),
+    "q66_word2vec" -> (q66Word2vec _))
 
   /** No DuckDB oracles — driver records rows-only checks; MlSpec
     * carries the semantic assertions. */

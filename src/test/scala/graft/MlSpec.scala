@@ -90,4 +90,13 @@ class MlSpec extends AnyFunSuite {
       else exact.count(got).toDouble / exact.size
     assert(recall >= 0.8, s"LSH recall $recall over ${exact.size} exact pairs")
   }
+
+  test("q66 Word2Vec featurization is seeded-deterministic") {
+    val a = MlQueries.q66Word2vec(spark, sf).collect()
+    val b = MlQueries.q66Word2vec(spark, sf).collect()
+    assert(a.nonEmpty)
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq,
+      "same seed + 1 model partition must give identical centroid norms")
+    a.foreach(r => assert(r.getAs[Double]("avg_norm") > 0.0))
+  }
 }
