@@ -24,7 +24,7 @@ object Normalisation {
     // would be computed twice (once for n, once for the output).
     val in =
       if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
       else df
     val n = in.count()
     val k = math.max(1L, math.ceil(n * topFraction).toLong).toInt

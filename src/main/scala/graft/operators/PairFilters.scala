@@ -54,13 +54,40 @@ object PairFilters {
   /** P5 MultipleTypeMatchFilter: keep a pair iff matched by >= 2 score
     * types, or by a whitelisted type. `matches` has (doc1, doc2,
     * score_type); returns one row per surviving pair with its sorted
-    * type list. */
-  def multiTypeFilter(matches: DataFrame, whitelist: Seq[String]): DataFrame =
+    * type list.
+    *
+    * Deliberately NOT `countDistinct` + `collect_set`: the distinct
+    * aggregate adds an EXPAND (doubling the input) and collect_set is
+    * an ObjectHashAggregate that falls back to sort-based aggregation
+    * once a task sees >128 groups — over a pair table whose keys are
+    * nearly all unique that meant sorting the whole table (measured
+    * 473 s vs 11 s at sf0.1). Instead the bounded score-type dimension
+    * (~dozens even in the reference: 18 entity types) is collected
+    * driver-side and unrolled into one `max(when(...))` flag per type —
+    * a plain codegen'd HashAggregate; `concat_ws` skips the null flags
+    * to rebuild the sorted type list. */
+  def multiTypeFilter(matches: DataFrame, whitelist: Seq[String]): DataFrame = {
+    val typeNames = matches.select("score_type").distinct()
+      .collect().map(_.getString(0)).sorted
+    val flags = typeNames.zipWithIndex.map { case (t, i) =>
+      max(when(col("score_type") === t, lit(1L))).as(s"_has_$i")
+    }
+    val nTypes = typeNames.indices
+      .map(i => coalesce(col(s"_has_$i"), lit(0L)))
+      .reduce(_ + _)
+    val typeList = concat_ws(",", typeNames.zipWithIndex.map { case (t, i) =>
+      when(col(s"_has_$i") === 1L, lit(t))
+    }: _*)
+    val whitelisted = typeNames.zipWithIndex
+      .filter { case (t, _) => whitelist.contains(t) }
+      .map { case (_, i) => col(s"_has_$i") === 1L }
+      .foldLeft(lit(false))(_ || _)
     matches
       .groupBy("doc1", "doc2")
-      .agg(
-        countDistinct("score_type").as("n_types"),
-        array_join(array_sort(collect_set("score_type")), ",").as("types"))
-      .filter(col("n_types") > 1 ||
-        whitelist.map(t => col("types").contains(t)).foldLeft(lit(false))(_ || _))
+      .agg(flags.head, flags.tail: _*)
+      .withColumn("n_types", nTypes)
+      .withColumn("types", typeList)
+      .filter(col("n_types") > 1 || whitelisted)
+      .drop(typeNames.indices.map(i => s"_has_$i"): _*)
+  }
 }

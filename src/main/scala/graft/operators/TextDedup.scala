@@ -51,7 +51,7 @@ object TextDedup {
     // hash scan runs once, not three times
     val sets = shingleSets(docs, idCol, textCol, k)
       .filter(size(col("hashes")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val sigs = sets.select(
       col("doc_id"),
       TextFns.bandKeys(TextFns.minhashSignature(col("hashes"), nHashes), bands, r)

@@ -39,15 +39,15 @@ object MatchingQueries {
   import Shared.memoized
 
   private def partCands(s: SparkSession, dir: String): DataFrame =
-    memoized(s, dir, "partCands")(
+    memoized(s, dir, "partCands", Seq("doc1", "doc2"))(
       EntityMatching.candidatePairs(partEntities(s, dir)))
 
   private def partScores(s: SparkSession, dir: String): DataFrame =
-    memoized(s, dir, "partScores")(
+    memoized(s, dir, "partScores", Seq("doc1", "doc2"))(
       EntityMatching.scorePairs(partCands(s, dir), "part_overlap"))
 
   private def partSuppScores(s: SparkSession, dir: String): DataFrame =
-    memoized(s, dir, "partSuppScores")(
+    memoized(s, dir, "partSuppScores", Seq("doc1", "doc2"))(
       EntityMatching.scorePairs(
         EntityMatching.candidatePairs(partSuppEntities(s, dir)), "partsupp_overlap"))
 

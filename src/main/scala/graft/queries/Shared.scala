@@ -23,10 +23,25 @@ object Shared {
   private val memo =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
-  def memoized(s: SparkSession, dir: String, key: String)
+  /** Persist `build` once per (session, dir). When `parts` is given,
+    * the frame is hash-repartitioned on those columns with an explicit
+    * partition count BEFORE caching: AQE otherwise coalesces the final
+    * exchange to a few 64 MB partitions, and every later aggregation
+    * over the cache then runs nearly serially with million-entry
+    * per-task hash maps (measured 43 s vs 9 s on the 9M-row candidate
+    * frame). An explicit count pins parallelism, and partitioning by
+    * the downstream group keys lets those groupBys skip their shuffle
+    * entirely (HashPartitioning on a subset of the grouping keys
+    * satisfies the ClusteredDistribution requirement). */
+  def memoized(s: SparkSession, dir: String, key: String,
+               parts: Seq[String] = Nil)
               (build: => DataFrame): DataFrame =
-    memo.getOrElseUpdate(s"${s.sparkContext.applicationId}|$dir|$key",
-      build.persist(StorageLevel.MEMORY_AND_DISK))
+    memo.getOrElseUpdate(s"${s.sparkContext.applicationId}|$dir|$key", {
+      val n = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      val df = if (parts.isEmpty) build
+        else build.repartition(n, parts.map(col): _*)
+      df.persist(StorageLevel.MEMORY_ONLY)
+    })
 
   /** MinHash-LSH near-dup pairs over documents (q26/q36/q59). */
   def dupPairs(s: SparkSession, dir: String): DataFrame =
