@@ -36,11 +36,30 @@ object EventQueries {
     EventStream.statefulSessionsOnce(s, dir)
       .orderBy("user_id", "sess_id")
 
+  /** Streaming exact dedup (dropDuplicates + watermark over a
+    * deliberately-doubled stream); oracle = batch per-type counts. */
+  def q67StreamDedup(s: SparkSession, dir: String): DataFrame =
+    EventStream.dedupedCountsOnce(s, dir)
+      .orderBy("event_type")
+
+  /** Stream-static broadcast join (J5 on the streaming path). */
+  def q68StreamStaticJoin(s: SparkSession, dir: String): DataFrame =
+    EventStream.streamStaticJoinOnce(s, dir)
+      .orderBy("user_bucket", "event_type")
+
+  /** Streaming agg → parquet file sink via foreachBatch (S7). */
+  def q69StreamParquetSink(s: SparkSession, dir: String): DataFrame =
+    EventStream.parquetSinkOnce(s, dir)
+      .orderBy("wstart", "event_type")
+
   val queries: Map[String, Q] = Map(
     "q33_event_windows" -> (q33EventWindows _),
     "q34_event_sessions" -> (q34Sessionize _),
     "q35_stream_windows" -> (q35StreamWindows _),
-    "q54_stream_sessions" -> (q54StreamSessions _))
+    "q54_stream_sessions" -> (q54StreamSessions _),
+    "q67_stream_dedup" -> (q67StreamDedup _),
+    "q68_stream_static_join" -> (q68StreamStaticJoin _),
+    "q69_stream_parquet_sink" -> (q69StreamParquetSink _))
 
   private val sumCents =
     "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)"
@@ -83,5 +102,23 @@ object EventQueries {
          count(*) AS n_events,
          $sumCents AS sum_value_cents
          FROM ev GROUP BY 1, 2 ORDER BY wstart, event_type""",
-    "q54_stream_sessions" -> sessionsSql)
+    "q54_stream_sessions" -> sessionsSql,
+    "q67_stream_dedup" ->
+      s"""WITH $evCte,
+         d AS (SELECT DISTINCT ON (event_id) event_id, event_type, value FROM ev)
+         SELECT event_type, count(*) AS n_events,
+           $sumCents AS sum_value_cents
+         FROM d GROUP BY 1 ORDER BY event_type""",
+    "q68_stream_static_join" ->
+      s"""WITH $evCte
+         SELECT user_id % 10 AS user_bucket, event_type,
+           count(*) AS n_events,
+           $sumCents AS sum_value_cents
+         FROM ev GROUP BY 1, 2 ORDER BY user_bucket, event_type""",
+    "q69_stream_parquet_sink" ->
+      s"""WITH $evCte
+         SELECT date_trunc('hour', ts) AS wstart, event_type,
+         count(*) AS n_events,
+         $sumCents AS sum_value_cents
+         FROM ev GROUP BY 1, 2 ORDER BY wstart, event_type""")
 }

@@ -135,4 +135,76 @@ object EventStream {
         timestamp_micros(col("end_us")).as("session_end"),
         col("n_events"), col("sum_value_cents"))
   }
+
+  // ---- streaming dedup / join / file sink --------------------------
+
+  /** Streaming exact dedup: the input stream is unioned with itself
+    * (every event arrives twice), then `dropDuplicates(event_id)` with
+    * a watermark bounds the dedup state — the streaming counterpart of
+    * q22's batch content dedup. Drained append-mode into memory; the
+    * per-type roll-up of the deduped rows must equal the batch
+    * distinct-events aggregate. */
+  def dedupedCountsOnce(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsStream(s, dir)
+    val doubled = ev.unionByName(ev)
+    val name = s"graft_stream_dedup_${runIdx.incrementAndGet()}"
+    val q = doubled
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .select(col("event_id"), col("event_type"),
+        Exact.cents(col("value")).as("cents"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum("cents").as("sum_value_cents"))
+  }
+
+  /** Stream-static join: the event stream joined to a static per-user
+    * dimension (computed batch-side from the same table), then
+    * per-(bucket, type) roll-up. The static side is planned as a
+    * broadcast per micro-batch — the streaming analogue of the
+    * reference's broadcast dim joins (J5). */
+  def streamStaticJoinOnce(s: SparkSession, dir: String): DataFrame = {
+    val userDim = graft.Tables.events(s, dir)
+      .select(col("user_id")).distinct()
+      .withColumn("user_bucket", col("user_id") % 10)
+    val name = s"graft_stream_join_${runIdx.incrementAndGet()}"
+    val q = eventsStream(s, dir)
+      .join(broadcast(userDim), Seq("user_id"))
+      .select(col("user_bucket"), col("event_type"),
+        Exact.cents(col("value")).as("cents"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+      .groupBy("user_bucket", "event_type")
+      .agg(count(lit(1)).as("n_events"), sum("cents").as("sum_value_cents"))
+  }
+
+  /** Streaming aggregation → file sink via foreachBatch: each
+    * micro-batch overwrites the parquet output with the complete
+    * windowed aggregate (the idempotent-overwrite pattern for
+    * aggregate sinks); the function then reads the files back. This is
+    * the S7 sink shape on the streaming path. */
+  def parquetSinkOnce(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-stream",
+      Integer.toHexString(dir.hashCode), "win_parquet").toString
+    val q = windowedAgg(eventsStream(s, dir))
+      .writeStream
+      .outputMode("complete")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(out)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out)
+  }
 }

@@ -1,0 +1,73 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStream
+
+/** Watermark / late-data semantics that the AvailableNow oracle runs
+  * cannot show: in append mode only watermark-closed windows emit,
+  * state for them is dropped, and data later than the watermark is
+  * discarded. Driven with a MemoryStream so batch boundaries are
+  * explicit. */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  test("append mode emits only watermark-closed windows and drops late data") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val agg = EventStream.windowedAgg(
+      in.toDF().toDF("ts", "event_type", "value"),
+      width = "10 minutes", watermark = "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("wm_test")
+      .outputMode("append").start()
+    try {
+      // batch 1: two events in the 10:00 window
+      in.addData((ts(1), "a", 1.0), (ts(4), "a", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("wm_test").count() == 0,
+        "window 10:00 must not emit while watermark < 10:10")
+      // batch 2: event at 10:21 -> watermark advances to 10:16,
+      // closing the 10:00 and 10:10 windows
+      in.addData((ts(21), "a", 4.0))
+      q.processAllAvailable()
+      val closed = spark.table("wm_test")
+        .select(col("wstart").cast("string"), col("n_events"),
+          col("sum_value_cents")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(closed == Set(("2026-01-01 10:00:00", 2L, 300L)),
+        s"got $closed")
+      // batch 3: late event at 10:02 (before watermark 10:16) is dropped
+      in.addData((ts(2), "a", 100.0))
+      q.processAllAvailable()
+      assert(spark.table("wm_test").count() == 1,
+        "late data behind the watermark must be discarded")
+    } finally q.stop()
+  }
+
+  test("streaming dedup emits each key once across micro-batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val q = in.toDF().toDF("ts", "event_id")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("event_id")
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      in.addData((ts(1), 1L), (ts(2), 1L), (ts(3), 2L))
+      q.processAllAvailable()
+      in.addData((ts(4), 1L), (ts(5), 3L)) // 1 is a cross-batch dup
+      q.processAllAvailable()
+      val ids = spark.table("dedup_test").select("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+}
