@@ -23,6 +23,7 @@ object VectorQueries {
   private val NPlanes = 12
   private val BandBits = 4
   private val Dim = 64
+  private val NProbe = 2
 
   /** Shared, fixed hyperplanes — the same literal values are embedded
     * in the oracle SQL, so Spark and DuckDB run the same projection. */
@@ -80,10 +81,46 @@ object VectorQueries {
         col("n_vecs"))
       .orderBy("label", "pos")
 
+  /** IVF-style ANN: the label cells are the inverted file, the exact
+    * micro-quantized per-cell centroids (q32) are the coarse
+    * quantizer, and each query probes its `NProbe` nearest centroids,
+    * scanning only those cells. At 100 TB the corpus is bucketed by
+    * cell id, the centroid table is a broadcast dim, and a probe reads
+    * `NProbe / nCells` of the data — the standard IVF trade. */
+  def q70IvfAnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val centroids = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(sum(micro(col("v").cast("double"))).as("sum_micro"),
+        count(lit(1)).as("n"))
+      .withColumn("c", r6(col("sum_micro") / 1e6 / col("n")))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("centroid"))
+    val probes = queriesOf(emb)
+      .crossJoin(broadcast(centroids))
+      .withColumn("ccos", r6(cosine(col("qemb"), col("centroid"))))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("ccos").desc, col("label"))))
+      .filter(col("crnk") <= NProbe)
+      .select("qid", "qemb", "label")
+    val scored = probes
+      .join(emb.select(col("vec_id"), col("embedding"), col("label")), Seq("label"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cosine", r6(cosine(col("qemb"), col("embedding"))))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select("qid", "vec_id", "cosine", "rnk")
+      .orderBy("qid", "rnk")
+  }
+
   val queries: Map[String, Q] = Map(
     "q30_knn_brute" -> (q30KnnBrute _),
     "q31_knn_lsh" -> (q31KnnLsh _),
-    "q32_label_centroids" -> (q32LabelCentroids _))
+    "q32_label_centroids" -> (q32LabelCentroids _),
+    "q70_ivf_ann" -> (q70IvfAnn _))
 
   // ---- oracle SQL --------------------------------------------------
 
@@ -135,5 +172,29 @@ object VectorQueries {
          ${r6Sql(s"CAST(sum(CAST(round(CAST(embedding[i+1] AS DOUBLE)*1e6) AS BIGINT)) AS BIGINT)/1e6 / count(*)")} AS centroid,
          count(*) AS n_vecs
          FROM embeddings, range(0, $Dim) t(i)
-         GROUP BY label, i ORDER BY label, pos""")
+         GROUP BY label, i ORDER BY label, pos""",
+    "q70_ivf_ann" ->
+      s"""WITH comp AS (SELECT label, i AS pos,
+           ${r6Sql(s"CAST(sum(CAST(round(CAST(embedding[i+1] AS DOUBLE)*1e6) AS BIGINT)) AS BIGINT)/1e6 / count(*)")} AS c
+           FROM embeddings, range(0, $Dim) t(i)
+           GROUP BY label, i),
+         cents AS (SELECT label, list(c ORDER BY pos) AS centroid
+           FROM comp GROUP BY label),
+         q AS (SELECT vec_id AS qid, embedding AS qemb
+           FROM embeddings WHERE vec_id % 50 = 0),
+         probes0 AS (SELECT qid, qemb, label,
+           ${r6Sql(sqlCosine("qemb", "centroid"))} AS ccos
+           FROM q CROSS JOIN cents),
+         probes AS (SELECT qid, qemb, label FROM (
+           SELECT *, row_number() OVER (PARTITION BY qid
+             ORDER BY ccos DESC, label) AS crnk FROM probes0)
+           WHERE crnk <= $NProbe),
+         scored AS (SELECT p.qid, e.vec_id,
+           ${r6Sql(sqlCosine("p.qemb", "e.embedding"))} AS cosine
+           FROM probes p JOIN embeddings e ON e.label = p.label
+           WHERE e.vec_id <> p.qid),
+         ranked AS (SELECT *, row_number() OVER (PARTITION BY qid
+           ORDER BY cosine DESC, vec_id) AS rnk FROM scored)
+         SELECT qid, vec_id, cosine, rnk FROM ranked
+         WHERE rnk <= $K ORDER BY qid, rnk""")
 }
