@@ -39,6 +39,49 @@ object WeightTraining {
     * n_top1/n_top3 = accepted pairs ranked first / in top 3 of their
     * doc1, n_accepted.
     */
+  /** Walker-style iterative refinement (reference
+    * `WeightTrainerStage.scala:93-147`: coarse Cartographer grid →
+    * per-area Walker halving the step until the error stops
+    * improving). The 2-type simplex is 1-D, so the walk probes
+    * `w1 ± step` around the incumbent, halving `step` each round.
+    * The loop is driver-side (data-dependent control flow, SURVEY
+    * §7.4-6) but each evaluation is ONE distributed pass over the
+    * cached match table via [[evaluateGrid]]; the probed weight set
+    * per round is a 3-row broadcast frame.
+    *
+    * Returns one row per evaluation round: (round, w1, error) of the
+    * incumbent after that round — deterministic given deterministic
+    * inputs. */
+  def refineWeights(spark: SparkSession, pairScores: DataFrame,
+                    labels: DataFrame, coarseSteps: Int = 5,
+                    rounds: Int = 4): DataFrame = {
+    import spark.implicits._
+    def errOf(ws: Seq[Double]): Seq[(Double, Long)] = {
+      val grid = ws.zipWithIndex
+        .map { case (w, i) => (i.toLong, w, 1.0 - w) }
+        .toDF("weight_id", "w1", "w2")
+      evaluateGrid(pairScores, labels, grid)
+        .select("weight_id", "error").collect()
+        .map(r => (ws(r.getLong(0).toInt), r.getLong(1))).toSeq
+    }
+    val coarse = errOf((0 to coarseSteps).map(_.toDouble / coarseSteps))
+    var (bestW, bestErr) = coarse.minBy { case (w, e) => (e, w) }
+    val history = Seq.newBuilder[(Int, Double, Long)]
+    history += ((0, bestW, bestErr))
+    var step = 1.0 / coarseSteps / 2
+    var round = 1
+    while (round <= rounds) {
+      val probes = Seq(bestW - step, bestW, bestW + step)
+        .filter(w => w >= 0.0 && w <= 1.0).distinct
+      val (w, e) = errOf(probes).minBy { case (w, e) => (e, w) }
+      bestW = w; bestErr = e
+      history += ((round, bestW, bestErr))
+      step /= 2
+      round += 1
+    }
+    history.result().toDF("round", "w1", "error")
+  }
+
   def evaluateGrid(pairScores: DataFrame, labels: DataFrame,
                    grid: DataFrame): DataFrame = {
     val scored = pairScores

@@ -244,6 +244,41 @@ object MatchingQueries {
        allscores AS (SELECT * FROM scores_p UNION ALL SELECT * FROM scores_ps)"""
   }
 
+  /** Rank evaluation (reference `RankEvaluatorApp.scala:43-57`): where
+    * do the labelled-true pairs rank among their document's candidates?
+    * Output: rank-bucket histogram (1..10, 11 = "below top-10"). */
+  def q71RankEval(s: SparkSession, dir: String): DataFrame = {
+    val sc = partScores(s, dir)
+    val w = Window.partitionBy("doc1")
+      .orderBy(round(col("score") * 1e6).cast("long").desc, col("doc2"))
+    sc.withColumn("rnk", row_number().over(w))
+      .filter((col("doc1") + col("doc2")) % 5 === 0)
+      .withColumn("rank_bucket",
+        when(col("rnk") <= 10, col("rnk")).otherwise(lit(11L)))
+      .groupBy("rank_bucket")
+      .agg(count(lit(1)).as("n_true_pairs"))
+      .orderBy("rank_bucket")
+  }
+
+  /** Walker-style weight refinement (rows-only; WeightSpec asserts the
+    * error trajectory). Consumes the same pivoted pair scores and
+    * synthetic labels as q20. */
+  def q72WeightRefine(s: SparkSession, dir: String): DataFrame = {
+    val pairScores = partScores(s, dir).unionByName(partSuppScores(s, dir))
+      .groupBy("doc1", "doc2")
+      .pivot("score_type", Seq("part_overlap", "partsupp_overlap"))
+      .agg(max("score"))
+      .na.fill(0.0, Seq("part_overlap", "partsupp_overlap"))
+      .filter(col("part_overlap") > 0.0 && col("partsupp_overlap") > 0.0)
+      .select(col("doc1"), col("doc2"),
+        col("part_overlap").as("s1"), col("partsupp_overlap").as("s2"))
+      .persist()
+    val labels = pairScores.select(col("doc1"), col("doc2"),
+      ((col("doc1") + col("doc2")) % 5 === 0).as("accepted"))
+    WeightTraining.refineWeights(s, pairScores, labels)
+      .orderBy("round")
+  }
+
   val queries: Map[String, Q] = Map(
     "q13_entity_candidates" -> (q13Candidates _),
     "q14_entity_scores" -> (q14EntityScores _),
@@ -254,7 +289,9 @@ object MatchingQueries {
     "q19_score_pivot" -> (q19ScorePivot _),
     "q20_weight_grid" -> (q20WeightGrid _),
     "q43_total_score" -> (q43TotalScore _),
-    "q44_pair_dedup" -> (q44PairDedup _))
+    "q44_pair_dedup" -> (q44PairDedup _),
+    "q71_rank_eval" -> (q71RankEval _),
+    "q72_weight_refine" -> (q72WeightRefine _))
 
   val oracles: Map[String, String] = Map(
     "q13_entity_candidates" ->
@@ -365,6 +402,16 @@ object MatchingQueries {
            CAST(sum(w_micro) AS BIGINT)/1e6 AS total_score,
            CAST(sum(ctx_micro) AS BIGINT)/1e6 AS ctx_score
          FROM q GROUP BY doc1, doc2 ORDER BY doc1, doc2""",
+    "q71_rank_eval" ->
+      s"""WITH ${scoresSql(partEnts, "part_overlap")},
+         ranked AS (SELECT doc1, doc2,
+           row_number() OVER (PARTITION BY doc1
+             ORDER BY CAST(round(score*1e6) AS BIGINT) DESC, doc2) AS rnk
+           FROM scores)
+         SELECT CASE WHEN rnk <= 10 THEN rnk ELSE 11 END AS rank_bucket,
+           count(*) AS n_true_pairs
+         FROM ranked WHERE (doc1 + doc2) % 5 = 0
+         GROUP BY 1 ORDER BY rank_bucket""",
     "q44_pair_dedup" ->
       s"""WITH ${scoresSql(partEnts, "part_overlap")},
          dups AS (SELECT doc1, doc2, score_type, item_count, score FROM scores
