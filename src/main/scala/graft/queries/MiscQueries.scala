@@ -91,11 +91,25 @@ object MiscQueries {
       .orderBy("doc1", "doc2")
   }
 
+  /** Multi-level aggregation via rollup (SURVEY §2.4 notes the
+    * reference lacks grouping sets entirely — a complete engine needs
+    * them): per (status, year), per status, and grand total in one
+    * pass, with grouping_id distinguishing the levels. */
+  def q73Rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .withColumn("yr", year(col("o_orderdate")))
+      .rollup("o_orderstatus", "yr")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("o_orderstatus"), col("yr"))
+
   val queries: Map[String, Q] = Map(
     "q58_technique_model" -> (q58TechniqueModel _),
     "q59_level2_hamming" -> (q59Level2Hamming _),
     "q60_date_range" -> (q60DateRange _),
-    "q61_or_join" -> (q61OrJoin _))
+    "q61_or_join" -> (q61OrJoin _),
+    "q73_rollup" -> (q73Rollup _))
 
   val oracles: Map[String, String] = Map(
     "q58_technique_model" ->
@@ -135,6 +149,14 @@ object MiscQueries {
          FROM orders
          WHERE year(o_orderdate) BETWEEN 1995 AND 1996
          GROUP BY 1, 2 ORDER BY yr, mo""",
+    "q73_rollup" ->
+      """SELECT o_orderstatus, year(o_orderdate) AS yr,
+         count(*) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+         CAST(grouping(o_orderstatus) * 2 + grouping(year(o_orderdate)) AS BIGINT) AS gid
+         FROM orders
+         GROUP BY ROLLUP (o_orderstatus, year(o_orderdate))
+         ORDER BY gid, o_orderstatus, yr""",
     "q61_or_join" ->
       """WITH pairs AS (SELECT l_orderkey AS doc1, l_partkey + 10000000 AS doc2
            FROM lineitem),
