@@ -24,6 +24,7 @@ object VectorQueries {
   private val BandBits = 4
   private val Dim = 64
   private val NProbe = 2
+  private val MinDupCosine = 0.3
 
   /** Shared, fixed hyperplanes — the same literal values are embedded
     * in the oracle SQL, so Spark and DuckDB run the same projection. */
@@ -116,11 +117,35 @@ object VectorQueries {
       .orderBy("qid", "rnk")
   }
 
+  /** Embedding-cosine near-duplicate pairs over the whole corpus:
+    * hyperplane-LSH bucket self-join as the prefilter, exact cosine
+    * threshold as the verifier — the embedding-space analogue of the
+    * MinHash near-dup pipeline (q26). Output pairs are exactly
+    * "shared a band key AND cosine >= MinDupCosine". */
+  def q74EmbeddingDups(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val buckets = VectorSearch.lshBuckets(
+      emb, "vec_id", "embedding", VectorSearch.planesDF(s, planes), BandBits)
+    val cands = buckets.select(col("band"), col("key"), col("vec_id").as("v1"))
+      .join(buckets.select(col("band"), col("key"), col("vec_id").as("v2")),
+        Seq("band", "key"))
+      .filter(col("v1") < col("v2"))
+      .select("v1", "v2").distinct()
+    cands
+      .join(emb.select(col("vec_id").as("v1"), col("embedding").as("e1")), Seq("v1"))
+      .join(emb.select(col("vec_id").as("v2"), col("embedding").as("e2")), Seq("v2"))
+      .withColumn("cosine", r6(cosine(col("e1"), col("e2"))))
+      .filter(col("cosine") >= MinDupCosine)
+      .select("v1", "v2", "cosine")
+      .orderBy("v1", "v2")
+  }
+
   val queries: Map[String, Q] = Map(
     "q30_knn_brute" -> (q30KnnBrute _),
     "q31_knn_lsh" -> (q31KnnLsh _),
     "q32_label_centroids" -> (q32LabelCentroids _),
-    "q70_ivf_ann" -> (q70IvfAnn _))
+    "q70_ivf_ann" -> (q70IvfAnn _),
+    "q74_embedding_dups" -> (q74EmbeddingDups _))
 
   // ---- oracle SQL --------------------------------------------------
 
@@ -173,6 +198,25 @@ object VectorQueries {
          count(*) AS n_vecs
          FROM embeddings, range(0, $Dim) t(i)
          GROUP BY label, i ORDER BY label, pos""",
+    "q74_embedding_dups" ->
+      s"""WITH ${sqlPlanesCte(planes)},
+         bits AS (SELECT vec_id, h,
+           CASE WHEN ${sqlDotD("embedding", "plane")} >= 0 THEN CAST(1 AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS bit
+           FROM embeddings, planes),
+         buckets AS (SELECT vec_id, h // $BandBits AS band,
+           CAST(sum(bit * CAST(power(2, h % $BandBits) AS BIGINT)) AS BIGINT) AS key
+           FROM bits GROUP BY vec_id, h // $BandBits),
+         cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+           FROM buckets a JOIN buckets b
+             ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+         scored AS (SELECT v1, v2,
+           ${r6Sql(sqlCosine("e1.embedding", "e2.embedding"))} AS cosine
+           FROM cand
+           JOIN embeddings e1 ON e1.vec_id = v1
+           JOIN embeddings e2 ON e2.vec_id = v2)
+         SELECT v1, v2, cosine FROM scored
+         WHERE cosine >= $MinDupCosine ORDER BY v1, v2""",
     "q70_ivf_ann" ->
       s"""WITH comp AS (SELECT label, i AS pos,
            ${r6Sql(s"CAST(sum(CAST(round(CAST(embedding[i+1] AS DOUBLE)*1e6) AS BIGINT)) AS BIGINT)/1e6 / count(*)")} AS c
