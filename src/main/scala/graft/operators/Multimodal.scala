@@ -67,4 +67,76 @@ object Multimodal {
         }
       }(enc)
   }
+
+  // ---- blockhash -----------------------------------------------------
+
+  /** 256-bit blockhash (the published block-mean perceptual hash the
+    * reference shells out to python for,
+    * `matching/analyser/PictureHashAnalyser2.scala:48,71-125`): the
+    * grayscale image is cut into 16×16 blocks; the hash has one bit
+    * per block, set iff the block's mean exceeds the median of its
+    * horizontal band (4 bands of 64 blocks — the banded median makes
+    * the hash robust to global brightness shifts). JVM-pure, no
+    * per-row subprocess. `pixels` is a row-major w×h grayscale byte
+    * array; returns 4 longs (64 bits each, block order, MSB first). */
+  def blockhash256(pixels: Array[Byte], w: Int, h: Int): Array[Long] = {
+    val grid = 16
+    val sums = new Array[Long](grid * grid)
+    val counts = new Array[Long](grid * grid)
+    var y = 0
+    while (y < h) {
+      val by = math.min(y * grid / h, grid - 1)
+      var x = 0
+      while (x < w) {
+        val bx = math.min(x * grid / w, grid - 1)
+        val i = by * grid + bx
+        sums(i) += pixels(y * w + x) & 0xffL
+        counts(i) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val means = Array.tabulate(grid * grid)(i =>
+      if (counts(i) == 0) 0.0 else sums(i).toDouble / counts(i))
+    val bits = new Array[Int](grid * grid)
+    var band = 0
+    while (band < 4) {
+      val slice = means.slice(band * 64, band * 64 + 64).sorted
+      val median = (slice(31) + slice(32)) / 2.0
+      var i = band * 64
+      while (i < band * 64 + 64) {
+        bits(i) = if (means(i) > median) 1 else 0
+        i += 1
+      }
+      band += 1
+    }
+    Array.tabulate(4) { word =>
+      var acc = 0L
+      var i = word * 64
+      while (i < word * 64 + 64) { acc = (acc << 1) | bits(i); i += 1 }
+      acc
+    }
+  }
+
+  /** "Decode" the opaque payload as a square grayscale image (the
+    * stubbed codec step: bytes tiled into the smallest square that
+    * fits) and blockhash it. Output: doc_id, w, h, hash words h0..h3. */
+  def blockhashes(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("w", IntegerType),
+      StructField("h", IntegerType), StructField("h0", LongType),
+      StructField("h1", LongType), StructField("h2", LongType),
+      StructField("h3", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select("doc_id", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val side = math.max(16, math.ceil(math.sqrt(bytes.length.toDouble)).toInt)
+          val pixels = java.util.Arrays.copyOf(bytes, side * side)
+          val hash = blockhash256(pixels, side, side)
+          Row(r.getLong(0), side, side, hash(0), hash(1), hash(2), hash(3))
+        }
+      }(enc)
+  }
 }

@@ -103,12 +103,44 @@ object ScalarQueries {
       .orderBy("doc_id")
   }
 
+  /** Full picture-matcher pipeline over the multimodal payloads:
+    * JVM blockhash-256 (no python subprocess), banded prefilter (docs
+    * sharing any 64-bit hash word are candidates — the MinHashLSH
+    * role), exact hamming over the 4 words, score 100 at distance
+    * <= 30 (the PictureScorer rule). Rows-only: blockhash has no SQL
+    * spelling; MultimodalSpec pins golden hashes. */
+  def q75BlockhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val hashes = Multimodal.blockhashes(
+      Multimodal.packBinary(Tables.documents(s, dir), "doc_id", "text"))
+    val words = hashes.select(col("doc_id"),
+        posexplode(array(col("h0"), col("h1"), col("h2"), col("h3")))
+          .as(Seq("word_idx", "word")))
+    val cands = words.select(col("word_idx"), col("word"), col("doc_id").as("doc1"))
+      .join(words.select(col("word_idx"), col("word"), col("doc_id").as("doc2")),
+        Seq("word_idx", "word"))
+      .filter(col("doc1") < col("doc2"))
+      .select("doc1", "doc2").distinct()
+    val h1 = hashes.select(col("doc_id").as("doc1"), col("h0").as("a0"),
+      col("h1").as("a1"), col("h2").as("a2"), col("h3").as("a3"))
+    val h2 = hashes.select(col("doc_id").as("doc2"), col("h0").as("b0"),
+      col("h1").as("b1"), col("h2").as("b2"), col("h3").as("b3"))
+    cands.join(h1, Seq("doc1")).join(h2, Seq("doc2"))
+      .withColumn("hamming",
+        (0 to 3).map(i => bit_count(col(s"a$i").bitwiseXOR(col(s"b$i"))))
+          .reduce(_ + _))
+      .withColumn("score",
+        when(col("hamming") <= 30, lit(100.0)).otherwise(lit(0.0)))
+      .select("doc1", "doc2", "hamming", "score")
+      .orderBy("doc1", "doc2")
+  }
+
   val queries: Map[String, Q] = Map(
     "q39_json_extract" -> (q39JsonExtract _),
     "q40_code_extract" -> (q40CodeExtract _),
     "q41_band_join" -> (q41BandJoin _),
     "q42_token_runs" -> (q42TokenRuns _),
-    "q46_multimodal_features" -> (q46MultimodalFeatures _))
+    "q46_multimodal_features" -> (q46MultimodalFeatures _),
+    "q75_blockhash_pairs" -> (q75BlockhashPairs _))
 
   private val tokCte =
     s"""toks AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents),
