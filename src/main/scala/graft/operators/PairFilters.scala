@@ -66,9 +66,13 @@ object PairFilters {
     * driver-side and unrolled into one `max(when(...))` flag per type —
     * a plain codegen'd HashAggregate; `concat_ws` skips the null flags
     * to rebuild the sorted type list. */
-  def multiTypeFilter(matches: DataFrame, whitelist: Seq[String]): DataFrame = {
-    val typeNames = matches.select("score_type").distinct()
-      .collect().map(_.getString(0)).sorted
+  def multiTypeFilter(matches: DataFrame, whitelist: Seq[String],
+                      knownTypes: Option[Seq[String]] = None): DataFrame = {
+    // callers that know their score-type dimension pass it and skip a
+    // full discovery pass over the pair table
+    val typeNames = knownTypes.map(_.sorted.toArray).getOrElse(
+      matches.select("score_type").distinct()
+        .collect().map(_.getString(0)).sorted)
     val flags = typeNames.zipWithIndex.map { case (t, i) =>
       max(when(col("score_type") === t, lit(1L))).as(s"_has_$i")
     }

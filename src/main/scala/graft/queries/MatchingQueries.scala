@@ -93,7 +93,8 @@ object MatchingQueries {
   def q17MultiTypeFilter(s: SparkSession, dir: String): DataFrame =
     PairFilters.multiTypeFilter(
         partScores(s, dir).unionByName(partSuppScores(s, dir)),
-        whitelist = Seq("partsupp_overlap"))
+        whitelist = Seq("partsupp_overlap"),
+        knownTypes = Some(Seq("part_overlap", "partsupp_overlap")))
       .orderBy("doc1", "doc2")
 
   /** A7: per-document match statistics from exact integer moments. */
