@@ -104,12 +104,33 @@ object MiscQueries {
         grouping_id().as("gid"))
       .orderBy(col("gid"), col("o_orderstatus"), col("yr"))
 
+  /** P6 InstrumentTechniqueFilter shape (`matching/filter/
+    * InstrumentTechniqueFilter.scala:30-41`): semi join on a COMPOSITE
+    * key — keep lineitems whose (partkey, suppkey) combination also
+    * appears on a high-quantity open-order lineitem, then roll up per
+    * supplier. */
+  def q76CompositeSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val validCombos = li
+      .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "O")
+        .select("o_orderkey"), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_quantity") > 45)
+      .select("l_partkey", "l_suppkey").distinct()
+    li.join(validCombos, Seq("l_partkey", "l_suppkey"), "left_semi")
+      .groupBy(col("l_suppkey").as("suppkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        countDistinct("l_partkey").as("n_parts"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_cents"))
+      .orderBy("suppkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "q58_technique_model" -> (q58TechniqueModel _),
     "q59_level2_hamming" -> (q59Level2Hamming _),
     "q60_date_range" -> (q60DateRange _),
     "q61_or_join" -> (q61OrJoin _),
-    "q73_rollup" -> (q73Rollup _))
+    "q73_rollup" -> (q73Rollup _),
+    "q76_composite_semi_join" -> (q76CompositeSemiJoin _))
 
   val oracles: Map[String, String] = Map(
     "q58_technique_model" ->
@@ -149,6 +170,17 @@ object MiscQueries {
          FROM orders
          WHERE year(o_orderdate) BETWEEN 1995 AND 1996
          GROUP BY 1, 2 ORDER BY yr, mo""",
+    "q76_composite_semi_join" ->
+      """WITH valid AS (SELECT DISTINCT l_partkey, l_suppkey
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+           WHERE o.o_orderstatus = 'O' AND l.l_quantity > 45)
+         SELECT l_suppkey AS suppkey, count(*) AS n_lines,
+           count(DISTINCT l_partkey) AS n_parts,
+           CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM lineitem l
+         WHERE EXISTS (SELECT 1 FROM valid v
+           WHERE v.l_partkey = l.l_partkey AND v.l_suppkey = l.l_suppkey)
+         GROUP BY 1 ORDER BY suppkey""",
     "q73_rollup" ->
       """SELECT o_orderstatus, year(o_orderdate) AS yr,
          count(*) AS n_orders,
