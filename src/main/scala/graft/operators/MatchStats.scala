@@ -30,9 +30,22 @@ object MatchStats {
     val otherSide = matches.select(col("doc2").as("doc_id"), milli.as("score_milli"))
     val sides = oneSide.unionByName(otherSide)
 
-    val wDoc = Window.partitionBy("doc_id")
+    // ONE shuffle + ONE sort: ranking each match within its document by
+    // score yields, from the same sorted pass, the per-doc count and max
+    // (band predicate) and the two middle ranks (interpolated median) —
+    // so the final aggregation is a plain codegen HashAggregate. The
+    // naive alternative (window max + `percentile` agg) pays a second
+    // full sort: `percentile` is a TypedImperativeAggregate that falls
+    // back to sort-based aggregation over nearly-unique groups.
+    val wSorted = Window.partitionBy("doc_id").orderBy("score_milli")
+    val wAll = Window.partitionBy("doc_id")
+    // Column `/` is double division — floor() for the integer ranks
+    val isMid = col("rn") === floor((col("n") + 1L) / 2L) ||
+      col("rn") === floor(col("n") / 2L) + 1L
     sides
-      .withColumn("max_milli", max(col("score_milli")).over(wDoc))
+      .withColumn("rn", row_number().over(wSorted))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("max_milli", max(col("score_milli")).over(wAll))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_matches"),
@@ -40,9 +53,13 @@ object MatchStats {
         max("score_milli").as("max_milli2"),
         sum("score_milli").as("sum_milli"),
         sum(col("score_milli") * col("score_milli")).as("sxx"),
-        percentile(col("score_milli"), lit(0.5)).as("median_milli"),
+        sum(when(isMid, col("score_milli"))).as("mid_sum"),
+        sum(when(isMid, 1L).otherwise(0L)).as("mid_cnt"),
         sum(when(col("score_milli") * 5 >= col("max_milli") * 4, 1L).otherwise(0L))
           .as("n_band_top"))
+      // same interpolation as `percentile(score, 0.5)`: mean of the two
+      // middle values (they coincide for odd n)
+      .withColumn("median_milli", col("mid_sum") / col("mid_cnt"))
       .withColumn("mean_score",
         graft.functions.Exact.r6((col("sum_milli") / 1000.0) / col("n_matches")))
       .withColumn("median_score", graft.functions.Exact.r6(col("median_milli") / 1000.0))

@@ -51,6 +51,25 @@ object MatchingQueries {
       EntityMatching.scorePairs(
         EntityMatching.candidatePairs(partSuppEntities(s, dir)), "partsupp_overlap"))
 
+  /** Pivoted per-pair scores for the weight-training family (q20/q72):
+    * one row per pair matched by BOTH score types. The frame is tiny
+    * (the intersection of the two matchers) but its input is the full
+    * 2×quadratic score union, and every grid evaluation consumes it
+    * twice (scores + labels) — unmemoized, q20 recomputed the 18M-row
+    * pivot both times and shuffled the two copies into a 9M×9M join
+    * (measured 227 s vs ~2 s for the whole of q72's eleven cached
+    * evaluations at sf0.1). */
+  private def weightPairScores(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "weightPairScores")(
+      partScores(s, dir).unionByName(partSuppScores(s, dir))
+        .groupBy("doc1", "doc2")
+        .pivot("score_type", Seq("part_overlap", "partsupp_overlap"))
+        .agg(max("score"))
+        .na.fill(0.0, Seq("part_overlap", "partsupp_overlap"))
+        .filter(col("part_overlap") > 0.0 && col("partsupp_overlap") > 0.0)
+        .select(col("doc1"), col("doc2"),
+          col("part_overlap").as("s1"), col("partsupp_overlap").as("s2")))
+
   /** Document-type dim: open orders play the PROPOSAL role. */
   private def docTypes(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir).select(
@@ -116,14 +135,7 @@ object MatchingQueries {
   /** A9/W3/J7: weight-grid evaluation — one pass over the match table
     * for the whole grid. Labels are a deterministic synthetic rule. */
   def q20WeightGrid(s: SparkSession, dir: String): DataFrame = {
-    val pairScores = partScores(s, dir).unionByName(partSuppScores(s, dir))
-      .groupBy("doc1", "doc2")
-      .pivot("score_type", Seq("part_overlap", "partsupp_overlap"))
-      .agg(max("score"))
-      .na.fill(0.0, Seq("part_overlap", "partsupp_overlap"))
-      .filter(col("part_overlap") > 0.0 && col("partsupp_overlap") > 0.0)
-      .select(col("doc1"), col("doc2"),
-        col("part_overlap").as("s1"), col("partsupp_overlap").as("s2"))
+    val pairScores = weightPairScores(s, dir)
     val labels = pairScores.select(col("doc1"), col("doc2"),
       ((col("doc1") + col("doc2")) % 5 === 0).as("accepted"))
     WeightTraining.evaluateGrid(pairScores, labels,
@@ -265,15 +277,7 @@ object MatchingQueries {
     * error trajectory). Consumes the same pivoted pair scores and
     * synthetic labels as q20. */
   def q72WeightRefine(s: SparkSession, dir: String): DataFrame = {
-    val pairScores = partScores(s, dir).unionByName(partSuppScores(s, dir))
-      .groupBy("doc1", "doc2")
-      .pivot("score_type", Seq("part_overlap", "partsupp_overlap"))
-      .agg(max("score"))
-      .na.fill(0.0, Seq("part_overlap", "partsupp_overlap"))
-      .filter(col("part_overlap") > 0.0 && col("partsupp_overlap") > 0.0)
-      .select(col("doc1"), col("doc2"),
-        col("part_overlap").as("s1"), col("partsupp_overlap").as("s2"))
-      .persist()
+    val pairScores = weightPairScores(s, dir)
     val labels = pairScores.select(col("doc1"), col("doc2"),
       ((col("doc1") + col("doc2")) % 5 === 0).as("accepted"))
     WeightTraining.refineWeights(s, pairScores, labels)

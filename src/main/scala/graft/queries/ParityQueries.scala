@@ -132,11 +132,15 @@ object ParityQueries {
     val keep = pos.groupBy("w").agg(countDistinct("doc_id").as("df"))
       .filter(col("df").between(2, 20)).select("w")
     val g = pos.join(keep, Seq("w"), "left_semi")
+    // (doc1, pos1) determines w, so a (doc1, doc2, pos1) duplicate can
+    // only come from w occurring at several positions of doc2 —
+    // pre-distincting the small doc2 postings (|w|×docs rows) makes the
+    // join output already-distinct, instead of distinct()ing the
+    // quadratic post-join frame (up to df-cap × hits rows).
     val hits = g.select(col("w"), col("doc_id").as("doc1"), col("pos").as("pos1"))
-      .join(g.select(col("w"), col("doc_id").as("doc2")), Seq("w"))
+      .join(g.select(col("w"), col("doc_id").as("doc2")).distinct(), Seq("w"))
       .filter(col("doc1") < col("doc2"))
       .select("doc1", "doc2", "pos1")
-      .distinct()
     val byPair = Window.partitionBy("doc1", "doc2").orderBy("pos1")
     hits
       .withColumn("grp", col("pos1") - row_number().over(byPair))

@@ -124,8 +124,15 @@ object TextQueries {
     * banded prefilter replacing MinHashLSH): docs sharing any 8-bit
     * band of their 32-bit simhash are candidates; exact
     * `bit_count(xor)` filters to hamming distance <= threshold. */
+  /* maxHamming=2: with tf-weighted simhash over stopword-heavy text,
+   * random pairs already center at hamming ~5 of 32 (shared vocabulary
+   * dominates each bit vote), so a loose threshold degenerates to
+   * all-pairs — 11.4M of 12.5M possible pairs at sf0.1. <=2 keeps the
+   * exact/planted near-dups plus a thin coincidence tail, and the 4×8-bit
+   * banding is then an exact prefilter (pigeonhole: 3 mismatching bits
+   * cannot avoid all four bands). */
   def q45HammingPairs(s: SparkSession, dir: String): DataFrame = {
-    val maxHamming = 14
+    val maxHamming = 2
     val sh = Shared.simhashes(s, dir)
     val bands = (0 until 4).map { b =>
       val p = math.pow(256, b).toLong
@@ -305,6 +312,6 @@ object TextQueries {
          FROM cands
          JOIN sh s1 ON s1.doc_id = doc1
          JOIN sh s2 ON s2.doc_id = doc2
-         WHERE bit_count(xor(s1.simhash, s2.simhash)) <= 14
+         WHERE bit_count(xor(s1.simhash, s2.simhash)) <= 2
          ORDER BY doc1, doc2""")
 }

@@ -7,6 +7,7 @@ object Profile {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val spark = SparkSession.builder()
+      .withExtensions(new graft.GraftExtensions)
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
