@@ -52,6 +52,11 @@ object EventQueries {
     EventStream.parquetSinkOnce(s, dir)
       .orderBy("wstart", "event_type")
 
+  /** Stream-stream interval join with watermarks on both sides. */
+  def q77StreamStreamJoin(s: SparkSession, dir: String): DataFrame =
+    EventStream.streamStreamJoinOnce(s, dir)
+      .orderBy("user_id", "view_id", "purchase_id")
+
   val queries: Map[String, Q] = Map(
     "q33_event_windows" -> (q33EventWindows _),
     "q34_event_sessions" -> (q34Sessionize _),
@@ -59,7 +64,8 @@ object EventQueries {
     "q54_stream_sessions" -> (q54StreamSessions _),
     "q67_stream_dedup" -> (q67StreamDedup _),
     "q68_stream_static_join" -> (q68StreamStaticJoin _),
-    "q69_stream_parquet_sink" -> (q69StreamParquetSink _))
+    "q69_stream_parquet_sink" -> (q69StreamParquetSink _),
+    "q77_stream_stream_join" -> (q77StreamStreamJoin _))
 
   private val sumCents =
     "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)"
@@ -120,5 +126,14 @@ object EventQueries {
          SELECT date_trunc('hour', ts) AS wstart, event_type,
          count(*) AS n_events,
          $sumCents AS sum_value_cents
-         FROM ev GROUP BY 1, 2 ORDER BY wstart, event_type""")
+         FROM ev GROUP BY 1, 2 ORDER BY wstart, event_type""",
+    "q77_stream_stream_join" ->
+      s"""WITH $evCte
+         SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+           epoch_us(p.ts) - epoch_us(v.ts) AS lag_us,
+           CAST(round(p.value*100) AS BIGINT) AS purchase_cents
+         FROM ev v JOIN ev p ON v.user_id = p.user_id
+           AND v.event_type = 'view' AND p.event_type = 'purchase'
+           AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+         ORDER BY v.user_id, view_id, purchase_id""")
 }

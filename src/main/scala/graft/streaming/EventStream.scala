@@ -187,6 +187,42 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"), sum("cents").as("sum_value_cents"))
   }
 
+  /** Stream-stream interval join: view events joined to purchase
+    * events of the same user within [view_ts, view_ts + 30 min]. Both
+    * sides carry watermarks and the join condition bounds event time,
+    * so the state store can expire rows — the canonical stateful
+    * stream-stream join shape (Spark buffers both sides keyed by
+    * user_id; at 100 TB/day the watermark bound is what keeps state
+    * finite). Drained AvailableNow into memory; the batch SQL oracle
+    * proves stream/batch parity. */
+  def streamStreamJoinOnce(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsStream(s, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("purchase_user"), col("ts").as("purchase_ts"),
+        Exact.cents(col("value")).as("purchase_cents"))
+      .withWatermark("purchase_ts", "1 hour")
+    val name = s"graft_stream_ssjoin_${runIdx.incrementAndGet()}"
+    val q = views.join(purchases,
+        col("user_id") === col("purchase_user") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("view_ts")))
+          .as("lag_us"),
+        col("purchase_cents"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
   /** Streaming aggregation → file sink via foreachBatch: each
     * micro-batch overwrites the parquet output with the complete
     * windowed aggregate (the idempotent-overwrite pattern for
