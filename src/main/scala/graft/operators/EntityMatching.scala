@@ -101,9 +101,17 @@ object EntityMatching {
     * item_count, score_micro (exact), score (double, 6-dp rounded). */
   def scorePairs(cands: DataFrame, scoreType: String,
                  cfg: Config = Config()): DataFrame = {
+    // cnt1/cnt2 are functionally dependent on doc1/doc2 — aggregating
+    // them (instead of grouping by all four) leaves the output
+    // hash-partitioned on exactly (doc1, doc2), so every downstream
+    // pair-keyed groupBy/join runs shuffle-free off the cached frame
+    // (HashPartitioning on a grouping-key subset would NOT satisfy the
+    // four-column grouping the other way around).
     val rolled = cands
-      .groupBy("doc1", "doc2", "cnt1", "cnt2")
+      .groupBy("doc1", "doc2")
       .agg(
+        max("cnt1").as("cnt1"),
+        max("cnt2").as("cnt2"),
         sum((col("tf1") + col("tf2")) * col("idf_micro")).as("sum_micro"),
         count(lit(1)).as("item_count"))
       .filter(col("item_count") >= cfg.minSharedEntities)

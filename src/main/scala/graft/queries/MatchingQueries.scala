@@ -42,12 +42,16 @@ object MatchingQueries {
     memoized(s, dir, "partCands", Seq("doc1", "doc2"))(
       EntityMatching.candidatePairs(partEntities(s, dir)))
 
+  // No repartition before caching: scorePairs groups by (doc1, doc2),
+  // so its output is already hash-partitioned on the pair key with the
+  // session's explicit partition count — an extra repartition would
+  // re-shuffle 9M rows into the same layout they are in.
   private def partScores(s: SparkSession, dir: String): DataFrame =
-    memoized(s, dir, "partScores", Seq("doc1", "doc2"))(
+    memoized(s, dir, "partScores")(
       EntityMatching.scorePairs(partCands(s, dir), "part_overlap"))
 
   private def partSuppScores(s: SparkSession, dir: String): DataFrame =
-    memoized(s, dir, "partSuppScores", Seq("doc1", "doc2"))(
+    memoized(s, dir, "partSuppScores")(
       EntityMatching.scorePairs(
         EntityMatching.candidatePairs(partSuppEntities(s, dir)), "partsupp_overlap"))
 
