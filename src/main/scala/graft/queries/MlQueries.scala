@@ -134,7 +134,43 @@ object MlQueries {
     "q57_ml_minhash" -> (q57MlMinhash _),
     "q66_word2vec" -> (q66Word2vec _))
 
-  /** No DuckDB oracles — driver records rows-only checks; MlSpec
-    * carries the semantic assertions. */
-  val oracles: Map[String, String] = Map.empty
+  /** q55's oracle joins the corpus vocabulary against a hand-derived
+    * Porter-stem table: each stem below follows from the published
+    * algorithm (Porter 1980) applied by hand — e.g. `key→kei` /
+    * `query→queri` are rule 1c (y→i after a vowel-containing stem),
+    * `merge→merg`/`table→tabl`/`value→valu` are 5a (drop final e when
+    * the remainder is not *o with m=1), `customer→custom` is step 4
+    * (-er with m>1) while `filter`/`order` keep -er because m=1, and
+    * `line`/`the` keep their e (5a *o / m=0 guards). This is an
+    * INDEPENDENT check of the StemExpression implementation, not a
+    * dump of its output; an out-of-vocabulary token fails loudly via
+    * the inner join (row-count mismatch). */
+  private val stemValues: String = Seq(
+    "a" -> "a", "agg" -> "agg", "batch" -> "batch", "big" -> "big",
+    "column" -> "column", "customer" -> "custom", "data" -> "data",
+    "dup" -> "dup", "fast" -> "fast", "filter" -> "filter",
+    "group" -> "group", "hash" -> "hash", "join" -> "join",
+    "key" -> "kei", "line" -> "line", "merge" -> "merg",
+    "order" -> "order", "part" -> "part", "query" -> "queri",
+    "row" -> "row", "scan" -> "scan", "slow" -> "slow",
+    "small" -> "small", "sort" -> "sort", "spark" -> "spark",
+    "stream" -> "stream", "table" -> "tabl", "the" -> "the",
+    "value" -> "valu", "vector" -> "vector", "window" -> "window")
+    .map { case (t, st) => s"('$t', '$st')" }.mkString(", ")
+
+  /** Other ML queries (seeded spark.ml pipelines) have no DuckDB
+    * oracles — driver records rows-only checks; MlSpec carries the
+    * semantic assertions. */
+  val oracles: Map[String, String] = Map(
+    "q55_stem_tokens" ->
+      s"""WITH toks AS (SELECT doc_id, ${TextFns.sqlTokens("text")} AS toks
+           FROM documents),
+         vocab AS (SELECT t AS token, count(*) AS freq
+           FROM (SELECT unnest(toks) AS t FROM toks) GROUP BY 1),
+         stems(token, stem) AS (VALUES $stemValues),
+         j AS (SELECT v.token, v.freq, s.stem
+           FROM vocab v JOIN stems s USING (token))
+         SELECT token, freq, stem,
+           count(*) OVER (PARTITION BY stem) AS stem_group_size
+         FROM j ORDER BY token""")
 }
