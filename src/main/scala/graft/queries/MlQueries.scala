@@ -92,9 +92,13 @@ object MlQueries {
       .select(col("doc_id"),
         TextFns.shingles(TextFns.tokens(col("text")), 5).as("sh"))
       .filter(size(col("sh")) > 0)
-    val tf = new HashingTF().setInputCol("sh").setOutputCol("features")
-      .setNumFeatures(1 << 18).setBinary(true)
-      .transform(shingled)
+    // memoized: approxSimilarityJoin consumes the frame on BOTH sides
+    // of its self-join, which would otherwise recompute the whole
+    // tokenize→shingle→HashingTF pipeline twice
+    val tf = Shared.memoized(s, dir, "mlMinhashTf")(
+      new HashingTF().setInputCol("sh").setOutputCol("features")
+        .setNumFeatures(1 << 18).setBinary(true)
+        .transform(shingled))
     val lsh = new MinHashLSH().setInputCol("features").setOutputCol("sig")
       .setNumHashTables(4).setSeed(42L)
     val model = lsh.fit(tf)
