@@ -57,6 +57,13 @@ object EventQueries {
     EventStream.streamStreamJoinOnce(s, dir)
       .orderBy("user_id", "view_id", "purchase_id")
 
+  /** Built-in merging session windows (`session_window`) on the
+    * streaming path; same relation as the stateful sessionizer minus
+    * the session numbering. */
+  def q78SessionWindows(s: SparkSession, dir: String): DataFrame =
+    EventStream.sessionWindowsOnce(s, dir)
+      .orderBy("user_id", "session_start")
+
   val queries: Map[String, Q] = Map(
     "q33_event_windows" -> (q33EventWindows _),
     "q34_event_sessions" -> (q34Sessionize _),
@@ -65,7 +72,8 @@ object EventQueries {
     "q67_stream_dedup" -> (q67StreamDedup _),
     "q68_stream_static_join" -> (q68StreamStaticJoin _),
     "q69_stream_parquet_sink" -> (q69StreamParquetSink _),
-    "q77_stream_stream_join" -> (q77StreamStreamJoin _))
+    "q77_stream_stream_join" -> (q77StreamStreamJoin _),
+    "q78_session_windows" -> (q78SessionWindows _))
 
   private val sumCents =
     "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)"
@@ -135,5 +143,24 @@ object EventQueries {
          FROM ev v JOIN ev p ON v.user_id = p.user_id
            AND v.event_type = 'view' AND p.event_type = 'purchase'
            AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
-         ORDER BY v.user_id, view_id, purchase_id""")
+         ORDER BY v.user_id, view_id, purchase_id""",
+    // session_window splits at gap >= 30 min (merge requires starting
+    // strictly inside the previous window) — hence >= in the oracle,
+    // vs > in the lag-based sessionsSql; no event pair in the testdata
+    // sits exactly on the boundary, checked per scale factor.
+    "q78_session_windows" ->
+      s"""WITH $evCte,
+         e AS (SELECT *, lag(epoch_us(ts)) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us FROM ev),
+         f AS (SELECT *, CASE WHEN prev_us IS NULL
+             OR epoch_us(ts) - prev_us >= 1800000000
+           THEN 1 ELSE 0 END AS new_sess FROM e),
+         g AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+           FROM f)
+         SELECT user_id,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events,
+           $sumCents AS sum_value_cents
+         FROM g GROUP BY user_id, sess_id ORDER BY user_id, session_start""")
 }

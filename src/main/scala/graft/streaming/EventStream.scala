@@ -187,6 +187,38 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"), sum("cents").as("sum_value_cents"))
   }
 
+  /** Built-in merging session windows on the stream:
+    * `session_window(ts, gap)` grouped per user — the declarative
+    * counterpart of the flatMapGroupsWithState sessionizer
+    * ([[statefulSessionsOnce]]): session state creation, merge and
+    * expiry are handled by the engine's window-merging state store
+    * instead of user code. Complete-mode drain over the finite input
+    * so every session is emitted (append mode would withhold sessions
+    * newer than the final watermark). Splits at gap >= 30 min (the
+    * window-merge rule: a new event merges only if it starts strictly
+    * inside the previous window). */
+  def sessionWindowsOnce(s: SparkSession, dir: String,
+                         gapMinutes: Int = 30): DataFrame = {
+    val name = s"graft_stream_sesswin_${runIdx.incrementAndGet()}"
+    val q = eventsStream(s, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), s"$gapMinutes minutes").as("sw"),
+        col("user_id"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(Exact.cents(col("value"))).as("sum_value_cents"))
+      .select("user_id", "session_start", "session_end", "n_events",
+        "sum_value_cents")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
   /** Stream-stream interval join: view events joined to purchase
     * events of the same user within [view_ts, view_ts + 30 min]. Both
     * sides carry watermarks and the join condition bounds event time,

@@ -51,6 +51,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches within the bound across batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val views = MemoryStream[(Timestamp, Long, Long)]
+    val buys = MemoryStream[(Timestamp, Long, Long)]
+    val v = views.toDF().toDF("view_ts", "user_id", "view_id")
+      .withWatermark("view_ts", "1 hour")
+    val b = buys.toDF().toDF("purchase_ts", "purchase_user", "purchase_id")
+      .withWatermark("purchase_ts", "1 hour")
+    val q = v.join(b,
+        col("user_id") === col("purchase_user") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr("INTERVAL 10 MINUTES"))
+      .select("user_id", "view_id", "purchase_id")
+      .writeStream.format("memory").queryName("ssj_test")
+      .outputMode("append").start()
+    try {
+      // view arrives in batch 1; its purchase only in batch 2 — the
+      // buffered view state must still join it
+      views.addData((ts(1), 7L, 100L))
+      q.processAllAvailable()
+      buys.addData((ts(5), 7L, 200L))  // +4 min: inside the bound
+      buys.addData((ts(31), 7L, 201L)) // +30 min: outside the bound
+      buys.addData((ts(5), 8L, 202L))  // other user: no matching view
+      q.processAllAvailable()
+      val got = spark.table("ssj_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set((7L, 100L, 200L)), s"got $got")
+    } finally q.stop()
+  }
+
   test("streaming dedup emits each key once across micro-batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
