@@ -6,6 +6,8 @@ object Plans {
   def main(a: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .withExtensions(new graft.GraftExtensions)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("GRAFT_CACHE_PART", "true"))
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
