@@ -19,6 +19,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.cleaner.periodicGC.interval", "45s")
+      // this box is disk-bound (run-to-run spread tracks disk
+      // throughput, BASELINE.md): zstd halves shuffle bytes vs lz4 for
+      // a CPU cost the 32 idle-on-IO cores absorb
+      .config("spark.io.compression.codec", "zstd")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
