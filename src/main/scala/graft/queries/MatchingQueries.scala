@@ -55,24 +55,27 @@ object MatchingQueries {
       EntityMatching.scorePairs(
         EntityMatching.candidatePairs(partSuppEntities(s, dir)), "partsupp_overlap"))
 
-  /** Pivoted per-pair scores for the weight-training family (q20/q72):
-    * one row per pair matched by BOTH score types. The frame is tiny
-    * (the intersection of the two matchers) but its input is the full
-    * 2×quadratic score union, and every grid evaluation consumes it
-    * twice (scores + labels) — unmemoized, q20 recomputed the 18M-row
-    * pivot both times and shuffled the two copies into a 9M×9M join
-    * (measured 227 s vs ~2 s for the whole of q72's eleven cached
-    * evaluations at sf0.1). */
-  private def weightPairScores(s: SparkSession, dir: String): DataFrame =
-    memoized(s, dir, "weightPairScores")(
+  /** Pivoted per-pair scores (A13 shape), shared by q19/q20/q72: the
+    * pivot's input is the full 2×quadratic score union, so the 18M-row
+    * shuffle behind it is paid once per session, not once per consumer.
+    * Unmemoized, q20 recomputed the pivot twice (scores + labels) and
+    * shuffled the two copies into a 9M×9M join — measured 227 s vs
+    * ~2 s for the whole of q72's eleven cached evaluations at sf0.1. */
+  private def pivotedScores(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "pivotedScores")(
       partScores(s, dir).unionByName(partSuppScores(s, dir))
         .groupBy("doc1", "doc2")
         .pivot("score_type", Seq("part_overlap", "partsupp_overlap"))
         .agg(max("score"))
-        .na.fill(0.0, Seq("part_overlap", "partsupp_overlap"))
-        .filter(col("part_overlap") > 0.0 && col("partsupp_overlap") > 0.0)
-        .select(col("doc1"), col("doc2"),
-          col("part_overlap").as("s1"), col("partsupp_overlap").as("s2")))
+        .na.fill(0.0, Seq("part_overlap", "partsupp_overlap")))
+
+  /** Weight-training input (q20/q72): pairs matched by BOTH types —
+    * tiny (the intersection of the two matchers). */
+  private def weightPairScores(s: SparkSession, dir: String): DataFrame =
+    pivotedScores(s, dir)
+      .filter(col("part_overlap") > 0.0 && col("partsupp_overlap") > 0.0)
+      .select(col("doc1"), col("doc2"),
+        col("part_overlap").as("s1"), col("partsupp_overlap").as("s2"))
 
   /** Document-type dim: open orders play the PROPOSAL role. */
   private def docTypes(s: SparkSession, dir: String): DataFrame =
@@ -127,11 +130,7 @@ object MatchingQueries {
 
   /** A13: score-type pivot to one wide row per pair. */
   def q19ScorePivot(s: SparkSession, dir: String): DataFrame =
-    partScores(s, dir).unionByName(partSuppScores(s, dir))
-      .groupBy("doc1", "doc2")
-      .pivot("score_type", Seq("part_overlap", "partsupp_overlap"))
-      .agg(max("score"))
-      .na.fill(0.0, Seq("part_overlap", "partsupp_overlap"))
+    pivotedScores(s, dir)
       .withColumnRenamed("part_overlap", "score_part")
       .withColumnRenamed("partsupp_overlap", "score_partsupp")
       .orderBy("doc1", "doc2")

@@ -139,8 +139,17 @@ object TextQueries {
       sh.select(col("doc_id"), lit(b).as("band"),
         (expr(s"simhash div $p") % 256).as("key"))
     }.reduce(_ unionByName _)
-    val cands = bands.select(col("band"), col("key"), col("doc_id").as("doc1"))
-      .join(bands.select(col("band"), col("key"), col("doc_id").as("doc2")),
+    // bucket-size cap (same guard as the MinHash-LSH path): clustered
+    // simhashes concentrate band values, and an uncapped hot bucket of
+    // n docs emits n² candidates — 624k pairs at sf0.1 vs 3.3k capped.
+    // An overloaded bucket carries no near-dup signal anyway (half the
+    // corpus agreeing on one band is the vocabulary, not duplication).
+    val sized = bands
+      .withColumn("bucket_n",
+        count(lit(1)).over(Window.partitionBy("band", "key")))
+      .filter(col("bucket_n") <= 50)
+    val cands = sized.select(col("band"), col("key"), col("doc_id").as("doc1"))
+      .join(sized.select(col("band"), col("key"), col("doc_id").as("doc2")),
         Seq("band", "key"))
       .filter(col("doc1") < col("doc2"))
       .select("doc1", "doc2").distinct()
@@ -304,8 +313,10 @@ object TextQueries {
          bands AS (SELECT doc_id, b AS band,
            (simhash // CAST(power(256, b) AS BIGINT)) % 256 AS key
            FROM sh, range(0, 4) t(b)),
+         sized AS (SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY band, key) AS bucket_n
+           FROM bands) WHERE bucket_n <= 50),
          cands AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
-           FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+           FROM sized a JOIN sized b ON a.band = b.band AND a.key = b.key
              AND a.doc_id < b.doc_id)
          SELECT doc1, doc2,
            bit_count(xor(s1.simhash, s2.simhash)) AS hamming
