@@ -1,4 +1,12 @@
 ThisBuild / scalaVersion := "2.13.17"
+// Keep program stdout (e.g. Bench's one-line JSON) the LAST line sbt
+// prints: the bench harness parses a bounded tail of stdout, and
+// "[success] Total time..." after the JSON line breaks that parse.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess // used by sbt itself, lint false-positive
+// And pass forked-run stdout through RAW — the default LoggedOutput
+// prefixes every line with "[info] ", which corrupts the JSON line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 ThisBuild / version := "0.1.0"
 name := "pumamatcherspark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):

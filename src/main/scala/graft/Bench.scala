@@ -34,10 +34,14 @@ object Bench {
       System.err.println(f"[bench] $name rows=$n ${dt}%.1f s")
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The harness that records this run keeps only a bounded tail of
+    // stdout, so the JSON line must stay short (3-decimal times) and be
+    // the LAST stdout line (build.sbt sets showSuccess := false so sbt
+    // prints nothing after it).
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
   }
 }

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: attach to each left row the single most recent right
+  * row with `right.ts` STRICTLY before `left.ts` on the same key
+  * (event attribution, slowly-changing-dimension lookup, last-quote
+  * pricing). The reference has no time-series joins (SURVEY §1.1
+  * "Streams: none"), but a complete analytics engine needs one.
+  *
+  * Spark has no native as-of join, and the naive encodings do not
+  * survive scale: a range join (`l.key = r.key AND r.ts < l.ts`)
+  * materialises every prior-event candidate pair (O(n·m) per key, then
+  * a max-per-left reduction), and a broadcast of the right side caps
+  * at driver memory. This implementation is the single-shuffle union
+  * encoding instead: tag both sides, union them (columns each side
+  * lacks are null-padded), hash-partition by key, sort each partition
+  * once by (ts, side), and carry the latest right payload forward with
+  * a running `last(_, ignoreNulls)` window. Cost is one shuffle of
+  * n+m rows and one sort — the same lower bound as a sort-merge equi
+  * join — with zero intermediate pair blow-up, so the plan holds at
+  * any per-key event density.
+  *
+  * Strictness: left rows sort BEFORE right rows at equal `ts` (side 0
+  * vs 1), so a right row at exactly `left.ts` is outside the running
+  * frame — `<`, not `<=`. Right rows must be unique per (key, ts) for
+  * a deterministic result (true of the events table; callers with
+  * duplicate instants should pre-reduce the right side).
+  */
+object AsofJoin {
+
+  /** `payload`: right-side columns to attach (null when no prior right
+    * row exists — left-join semantics). `right` must contain
+    * `key :: ts :: payload`; all other right columns are dropped. */
+  def asofPrior(left: DataFrame, right: DataFrame,
+                key: String, ts: String,
+                payload: Seq[String]): DataFrame = {
+    val leftOnly = left.columns.toSeq.filterNot(c => c == key || c == ts)
+    val l = left.select(
+      Seq(col(key), col(ts), lit(0).as("__side")) ++
+        leftOnly.map(col) ++
+        payload.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val r = right.select(
+      Seq(col(key), col(ts), lit(1).as("__side")) ++
+        leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payload.map(col): _*)
+    val w = Window.partitionBy(key).orderBy(col(ts), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // identical window spec on every column → Catalyst plans ONE
+    // Window exec (one shuffle + one sort), not one per payload column
+    val filled = payload.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 0)
+      .select((Seq(key, ts) ++ leftOnly ++ payload).map(col): _*)
+  }
+}

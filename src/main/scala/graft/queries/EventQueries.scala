@@ -1,8 +1,9 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.EventAnalytics
+import graft.operators.{AsofJoin, EventAnalytics}
 import graft.streaming.EventStream
 
 /** Event-time analytics over the `events` table: tumbling windows,
@@ -64,6 +65,27 @@ object EventQueries {
     EventStream.sessionWindowsOnce(s, dir)
       .orderBy("user_id", "session_start")
 
+  /** As-of join (see [[graft.operators.AsofJoin]]): each purchase
+    * attributed to the user's most recent strictly-prior view. The
+    * oracle is DuckDB's NATIVE `ASOF LEFT JOIN` — an independent
+    * engine's implementation of the same semantics. */
+  def q79AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("purchase_id"),
+        round(col("value") * 100).cast("long").as("purchase_cents"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("view_id"), col("ts").as("view_ts"))
+    AsofJoin.asofPrior(purchases, views, "user_id", "ts",
+        Seq("view_id", "view_ts"))
+      .select(col("user_id"), col("purchase_id"), col("view_id"),
+        (unix_micros(col("ts")) - unix_micros(col("view_ts"))).as("wait_us"),
+        col("purchase_cents"))
+      .orderBy("user_id", "purchase_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q33_event_windows" -> (q33EventWindows _),
     "q34_event_sessions" -> (q34Sessionize _),
@@ -73,7 +95,8 @@ object EventQueries {
     "q68_stream_static_join" -> (q68StreamStaticJoin _),
     "q69_stream_parquet_sink" -> (q69StreamParquetSink _),
     "q77_stream_stream_join" -> (q77StreamStreamJoin _),
-    "q78_session_windows" -> (q78SessionWindows _))
+    "q78_session_windows" -> (q78SessionWindows _),
+    "q79_asof_join" -> (q79AsofJoin _))
 
   private val sumCents =
     "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)"
@@ -144,6 +167,19 @@ object EventQueries {
            AND v.event_type = 'view' AND p.event_type = 'purchase'
            AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
          ORDER BY v.user_id, view_id, purchase_id""",
+    "q79_asof_join" ->
+      s"""WITH $evCte,
+         p AS (SELECT user_id, ts, event_id AS purchase_id,
+             CAST(round(value*100) AS BIGINT) AS purchase_cents
+           FROM ev WHERE event_type = 'purchase'),
+         v AS (SELECT user_id, ts, event_id AS view_id
+           FROM ev WHERE event_type = 'view')
+         SELECT p.user_id, p.purchase_id, v.view_id,
+           epoch_us(p.ts) - epoch_us(v.ts) AS wait_us,
+           p.purchase_cents
+         FROM p ASOF LEFT JOIN v
+           ON p.user_id = v.user_id AND v.ts < p.ts
+         ORDER BY p.user_id, purchase_id""",
     // session_window splits at gap >= 30 min (merge requires starting
     // strictly inside the previous window) — hence >= in the oracle,
     // vs > in the lag-based sessionsSql; no event pair in the testdata

@@ -124,13 +124,30 @@ object MiscQueries {
       .orderBy("suppkey")
   }
 
+  /** Deterministic stratified sampling (see
+    * [[graft.operators.Sampling]]): hash-bucket documents on doc_id
+    * and keep 'en' at 50% ('80'/256 buckets) and every other language
+    * at 25% ('40') — the reproducible train/eval-split primitive a
+    * training-data pipeline needs instead of `df.sample`. */
+  def q80HashSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    graft.operators.Sampling.stratifiedSample(
+        docs, col("doc_id"),
+        when(col("lang") === "en", "80").otherwise("40"), "graft-sample:")
+      .withColumn("bucket",
+        graft.operators.Sampling.bucket(col("doc_id"), "graft-sample:"))
+      .select("doc_id", "lang", "source", "n_chars", "bucket")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q58_technique_model" -> (q58TechniqueModel _),
     "q59_level2_hamming" -> (q59Level2Hamming _),
     "q60_date_range" -> (q60DateRange _),
     "q61_or_join" -> (q61OrJoin _),
     "q73_rollup" -> (q73Rollup _),
-    "q76_composite_semi_join" -> (q76CompositeSemiJoin _))
+    "q76_composite_semi_join" -> (q76CompositeSemiJoin _),
+    "q80_hash_sample" -> (q80HashSample _))
 
   val oracles: Map[String, String] = Map(
     "q58_technique_model" ->
@@ -189,6 +206,13 @@ object MiscQueries {
          FROM orders
          GROUP BY ROLLUP (o_orderstatus, year(o_orderdate))
          ORDER BY gid, o_orderstatus, yr""",
+    "q80_hash_sample" ->
+      """SELECT doc_id, lang, source, n_chars,
+         substring(md5('graft-sample:' || CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+         FROM documents
+         WHERE substring(md5('graft-sample:' || CAST(doc_id AS VARCHAR)), 1, 2)
+           < CASE WHEN lang = 'en' THEN '80' ELSE '40' END
+         ORDER BY doc_id""",
     "q61_or_join" ->
       """WITH pairs AS (SELECT l_orderkey AS doc1, l_partkey + 10000000 AS doc2
            FROM lineitem),

@@ -203,6 +203,36 @@ object ParityQueries {
       .orderBy("ngram_id")
   }
 
+  /** Boilerplate-coverage scoring (training-data cleaning signal, the
+    * RefinedWeb/C4 duplicate-fraction idea): the share of each
+    * document's 3-gram positions covered by corpus-common 3-grams,
+    * where "common" is relative — document frequency ≥ n_docs/20, the
+    * reference's safe-mode frequency heuristic
+    * (`matching/matcher/EntitiesMatcherV2.scala:45-53`) — so the
+    * threshold scales with the corpus instead of being retuned per SF.
+    * Coverage is exact integer arithmetic (floor of milli-ratio): no
+    * float round-half parity risk against the oracle. */
+  def q81BoilerplateCoverage(s: SparkSession, dir: String): DataFrame = {
+    val pos = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(TextFns.shingles(TextFns.tokens(col("text")), 3)).as("w"))
+    val nDocs = pos.agg(countDistinct("doc_id").as("n_docs"))
+    val common = pos.groupBy("w").agg(countDistinct("doc_id").as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") >= col("n_docs") / 20.0)
+      .select("w")
+    val perDoc = pos.groupBy("doc_id").agg(count(lit(1)).as("n_pos"))
+    val commonPerDoc = pos.join(common, Seq("w"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_common"))
+    perDoc.join(commonPerDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_common"))
+      .withColumn("coverage_milli",
+        floor(col("n_common") * 1000.0 / col("n_pos")))
+      .withColumn("keep", col("coverage_milli") <= 800)
+      .select("doc_id", "n_pos", "n_common", "coverage_milli", "keep")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q47_code_entities" -> (q47CodeEntities _),
     "q48_code_match" -> (q48CodeMatch _),
@@ -210,7 +240,8 @@ object ParityQueries {
     "q50_sentence_runs" -> (q50SentenceRuns _),
     "q51_topk_per_group" -> (q51TopkPerGroup _),
     "q52_string_indexer" -> (q52StringIndexer _),
-    "q53_ngram_index" -> (q53NgramIndex _))
+    "q53_ngram_index" -> (q53NgramIndex _),
+    "q81_boilerplate_coverage" -> (q81BoilerplateCoverage _))
 
   // ---- oracle SQL --------------------------------------------------
 
@@ -258,6 +289,22 @@ object ParityQueries {
            100.0 AS score
          FROM pairs GROUP BY doc1, doc2, kind
          ORDER BY doc1, doc2, kind""",
+    "q81_boilerplate_coverage" ->
+      s"""WITH $shingleCte,
+         nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM shingle),
+         dfs AS (SELECT w, count(DISTINCT doc_id) AS df FROM shingle GROUP BY w),
+         common AS (SELECT w FROM dfs, nd WHERE df >= n_docs / 20.0),
+         per AS (SELECT doc_id, count(*) AS n_pos FROM shingle GROUP BY doc_id),
+         com AS (SELECT doc_id, count(*) AS n_common
+           FROM shingle JOIN common USING (w) GROUP BY doc_id)
+         SELECT per.doc_id, per.n_pos,
+           COALESCE(com.n_common, 0) AS n_common,
+           CAST(floor(COALESCE(com.n_common, 0) * 1000.0 / per.n_pos) AS BIGINT)
+             AS coverage_milli,
+           CAST(floor(COALESCE(com.n_common, 0) * 1000.0 / per.n_pos) AS BIGINT)
+             <= 800 AS keep
+         FROM per LEFT JOIN com ON per.doc_id = com.doc_id
+         ORDER BY per.doc_id""",
     "q49_rare_words" ->
       s"""WITH $shingleCte,
          tfr AS (SELECT doc_id, w, count(*) AS tf FROM shingle GROUP BY doc_id, w),
