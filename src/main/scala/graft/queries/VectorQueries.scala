@@ -140,12 +140,58 @@ object VectorQueries {
       .orderBy("v1", "v2")
   }
 
+  /** Deterministic k-means over the embeddings (M8 — the reference's
+    * experimental clustering, `analyser/` K-means prototypes): K=8
+    * centroids seeded from the 8 smallest vec_ids, 2 Lloyd iterations
+    * unrolled. Everything is EXACT integer arithmetic so an
+    * independent engine reproduces the clustering bit-for-bit:
+    * components are micro-quantized and offset to non-negative longs
+    * (so truncating and flooring integer division agree), distances
+    * are integer sums of squares, centroid updates are integer-mean
+    * (`div`), ties broken by smallest cluster id. Each iteration is
+    * one broadcast of the 8-row centroid table + one shuffle of the
+    * per-dim sums — no per-iteration corpus re-shuffle, the shape that
+    * scales to a billion vectors. */
+  def q82Kmeans(s: SparkSession, dir: String): DataFrame = {
+    val KClusters = 8
+    val q = Tables.embeddings(s, dir).select(col("vec_id"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * 1e6).cast("long") + 1000000L).as("qe"))
+    val c0 = q.filter(col("vec_id") < KClusters)
+      .select(col("vec_id").as("cl"), col("qe").as("c"))
+    def assign(cents: DataFrame): DataFrame = {
+      val d = q.crossJoin(broadcast(cents))
+        .withColumn("d", aggregate(
+          zip_with(col("qe"), col("c"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x))
+      d.withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("d"), col("cl"))))
+        .filter(col("rn") === 1).select("vec_id", "qe", "cl")
+    }
+    def recompute(a: DataFrame): DataFrame =
+      a.select(col("cl"), posexplode(col("qe")).as(Seq("i", "v")))
+        .groupBy("cl", "i").agg(expr("sum(v) div count(1)").as("v"))
+        .groupBy("cl")
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("v")))),
+          x => x.getField("v")).as("c"))
+    val a2 = assign(recompute(assign(c0)))
+    val c2 = recompute(a2)
+      .select(col("cl"), aggregate(col("c"), lit(0L),
+        (acc, x) => acc + x * x).as("centroid_ssq"))
+    a2.groupBy("cl")
+      .agg(count(lit(1)).as("n_vecs"),
+        min("vec_id").as("min_vec_id"), max("vec_id").as("max_vec_id"))
+      .join(c2, Seq("cl"))
+      .orderBy("cl")
+  }
+
   val queries: Map[String, Q] = Map(
     "q30_knn_brute" -> (q30KnnBrute _),
     "q31_knn_lsh" -> (q31KnnLsh _),
     "q32_label_centroids" -> (q32LabelCentroids _),
     "q70_ivf_ann" -> (q70IvfAnn _),
-    "q74_embedding_dups" -> (q74EmbeddingDups _))
+    "q74_embedding_dups" -> (q74EmbeddingDups _),
+    "q82_kmeans" -> (q82Kmeans _))
 
   // ---- oracle SQL --------------------------------------------------
 
@@ -183,7 +229,36 @@ object VectorQueries {
        ranked AS (SELECT *, row_number() OVER (PARTITION BY qid
          ORDER BY cosine DESC, vec_id) AS rnk FROM scored)"""
 
+  /** One unrolled Lloyd iteration: assign to nearest centroid `cents`
+    * (integer distance, ties to smallest cl), then integer-mean
+    * centroids. Mirrors q82Kmeans's assign+recompute exactly. */
+  private def kmeansIterSql(n: Int, cents: String): String =
+    s"""d$n AS (SELECT vec_id, qe, cl,
+         list_sum(list_transform(range(1, ${Dim + 1}),
+           i -> (qe[i]-c[i])*(qe[i]-c[i]))) AS d
+       FROM q CROSS JOIN $cents),
+     a$n AS (SELECT vec_id, qe, cl FROM
+       (SELECT *, row_number() OVER (PARTITION BY vec_id
+          ORDER BY d, cl) AS rn FROM d$n)
+       WHERE rn = 1),
+     m$n AS (SELECT cl, i, CAST(sum(qe[i]) AS BIGINT) // count(*) AS v
+       FROM a$n, range(1, ${Dim + 1}) t(i) GROUP BY cl, i),
+     c$n AS (SELECT cl, list(v ORDER BY i) AS c FROM m$n GROUP BY cl)"""
+
   val oracles: Map[String, String] = Map(
+    "q82_kmeans" ->
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE)*1e6) AS BIGINT) + 1000000) AS qe
+         FROM embeddings),
+       c0 AS (SELECT vec_id AS cl, qe AS c FROM q WHERE vec_id < 8),
+       ${kmeansIterSql(1, "c0")},
+       ${kmeansIterSql(2, "c1")},
+       ssq AS (SELECT cl, CAST(list_sum(list_transform(c, x -> x*x))
+           AS BIGINT) AS centroid_ssq FROM c2)
+       SELECT g.cl, g.n_vecs, g.min_vec_id, g.max_vec_id, ssq.centroid_ssq
+       FROM (SELECT cl, count(*) AS n_vecs, min(vec_id) AS min_vec_id,
+           max(vec_id) AS max_vec_id FROM a2 GROUP BY cl) g
+       JOIN ssq USING (cl) ORDER BY cl""",
     "q30_knn_brute" ->
       s"""WITH $bruteCtes
          SELECT qid, vec_id, cosine, rnk FROM ranked
