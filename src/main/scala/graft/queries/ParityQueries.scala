@@ -97,7 +97,10 @@ object ParityQueries {
     * = Σ (tf1+tf2)·idf in exact milli-units
     * (`RareWordAnalyser.scala:44-59`; `SingleWordScorer.scala:53-57`). */
   def q49RareWords(s: SparkSession, dir: String): DataFrame = {
-    val tf = shingleTf(s, dir)
+    // memoized: tf feeds the corpus count, the rare-term filter AND
+    // both sides of the pair self-join — uncached, the tokenize →
+    // explode → groupBy pipeline re-runs five times
+    val tf = Shared.memoized(s, dir, "shingleTf3")(shingleTf(s, dir))
     val nDocs = tf.agg(countDistinct("doc_id").as("n_docs"))
     val rare = tf.groupBy("w").agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, 30) &&
@@ -129,18 +132,23 @@ object ParityQueries {
       .select(col("doc_id"),
         posexplode(TextFns.shingles(TextFns.tokens(col("text")), 3))
           .as(Seq("pos", "w")))
-    val keep = pos.groupBy("w").agg(countDistinct("doc_id").as("df"))
-      .filter(col("df").between(2, 20)).select("w")
-    val g = pos.join(keep, Seq("w"), "left_semi")
-    // (doc1, pos1) determines w, so a (doc1, doc2, pos1) duplicate can
-    // only come from w occurring at several positions of doc2 —
-    // pre-distincting the small doc2 postings (|w|×docs rows) makes the
-    // join output already-distinct, instead of distinct()ing the
-    // quadratic post-join frame (up to df-cap × hits rows).
-    val hits = g.select(col("w"), col("doc_id").as("doc1"), col("pos").as("pos1"))
-      .join(g.select(col("w"), col("doc_id").as("doc2")).distinct(), Seq("w"))
-      .filter(col("doc1") < col("doc2"))
-      .select("doc1", "doc2", "pos1")
+    // ONE aggregation builds the inverted index and yields both the
+    // df-cap filter (size of the distinct-doc list) and the pair
+    // expansion — the previous keep-semi-join + self-join shape
+    // tokenized and exploded the corpus three times and shuffled it
+    // twice more. Pair emission is map-side HOF work bounded by the
+    // df cap (≤ 20 docs per w), and (doc1, pos1) determines w, so the
+    // expansion is already (doc1, doc2, pos1)-distinct.
+    val postings = pos.groupBy("w")
+      .agg(collect_list(struct(col("doc_id"), col("pos"))).as("occ"))
+      .withColumn("docs",
+        array_distinct(transform(col("occ"), o => o.getField("doc_id"))))
+      .filter(size(col("docs")).between(2, 20))
+    val hits = postings
+      .select(col("occ"), explode(col("docs")).as("doc2"))
+      .select(explode(filter(col("occ"),
+        o => o.getField("doc_id") < col("doc2"))).as("o"), col("doc2"))
+      .select(col("o.doc_id").as("doc1"), col("doc2"), col("o.pos").as("pos1"))
     val byPair = Window.partitionBy("doc1", "doc2").orderBy("pos1")
     hits
       .withColumn("grp", col("pos1") - row_number().over(byPair))
@@ -190,7 +198,12 @@ object ParityQueries {
       .select(col("doc_id"),
         explode(TextFns.shingles(TextFns.tokens(col("text")), 2)).as("ngram"))
       .groupBy("doc_id", "ngram").agg(count(lit(1)).as("tf"))
-    val nDocs = tf.agg(countDistinct("doc_id").as("n_docs"))
+    // n_docs = docs contributing ≥1 2-gram (≥2 tokens): a plain scan
+    // computes it without re-running tf's explode + shuffle
+    val nDocs = Tables.documents(s, dir)
+      .select(when(size(TextFns.tokens(col("text"))) >= 2, col("doc_id"))
+        .as("d"))
+      .agg(countDistinct("d").as("n_docs"))
     tf.groupBy("ngram")
       .agg(count(lit(1)).as("df"), sum("tf").as("total_tf"),
         min("doc_id").as("min_doc"))
@@ -213,17 +226,18 @@ object ParityQueries {
     * Coverage is exact integer arithmetic (floor of milli-ratio): no
     * float round-half parity risk against the oracle. */
   def q81BoilerplateCoverage(s: SparkSession, dir: String): DataFrame = {
-    val pos = Tables.documents(s, dir)
-      .select(col("doc_id"),
-        explode(TextFns.shingles(TextFns.tokens(col("text")), 3)).as("w"))
-    val nDocs = pos.agg(countDistinct("doc_id").as("n_docs"))
-    val common = pos.groupBy("w").agg(countDistinct("doc_id").as("df"))
+    // same memoized frame as q49 (each tf row is a distinct (doc, w),
+    // so per-w df = row count and per-doc positions = sum(tf)) — the
+    // raw-occurrence shape re-ran the tokenize+explode four times
+    val tf = Shared.memoized(s, dir, "shingleTf3")(shingleTf(s, dir))
+    val nDocs = tf.agg(countDistinct("doc_id").as("n_docs"))
+    val common = tf.groupBy("w").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
       .filter(col("df") >= col("n_docs") / 20.0)
       .select("w")
-    val perDoc = pos.groupBy("doc_id").agg(count(lit(1)).as("n_pos"))
-    val commonPerDoc = pos.join(common, Seq("w"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_common"))
+    val perDoc = tf.groupBy("doc_id").agg(sum("tf").as("n_pos"))
+    val commonPerDoc = tf.join(common, Seq("w"), "left_semi")
+      .groupBy("doc_id").agg(sum("tf").as("n_common"))
     perDoc.join(commonPerDoc, Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_common"))
       .withColumn("coverage_milli",
