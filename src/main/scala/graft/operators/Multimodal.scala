@@ -68,6 +68,68 @@ object Multimodal {
       }(enc)
   }
 
+  /** Block-mean downscale of a row-major grayscale image (the resize
+    * step of the media path; same block partitioning rule as
+    * [[blockhash256]], so a thumb's blocks match the hash's blocks).
+    * Deterministic integer arithmetic — mean rounded half-up. */
+  def resizeGray(pixels: Array[Byte], w: Int, h: Int,
+                 tw: Int, th: Int): Array[Byte] = {
+    val sums = new Array[Long](tw * th)
+    val counts = new Array[Long](tw * th)
+    var y = 0
+    while (y < h) {
+      val by = math.min(y * th / h, th - 1)
+      var x = 0
+      while (x < w) {
+        val bx = math.min(x * tw / w, tw - 1)
+        val i = by * tw + bx
+        sums(i) += pixels(y * w + x) & 0xffL
+        counts(i) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(tw * th) { i =>
+      if (counts(i) == 0) 0.toByte
+      else ((sums(i) + counts(i) / 2) / counts(i)).toByte
+    }
+  }
+
+  /** Square-tile the payload as a grayscale image (the stub codec, as
+    * in [[blockhashes]]) and emit a tw×th thumbnail — the batched
+    * partition-level resize shape. */
+  def resizeThumbs(media: DataFrame, tw: Int, th: Int): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("w", IntegerType),
+      StructField("h", IntegerType), StructField("thumb", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select("doc_id", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val side = math.max(16, math.ceil(math.sqrt(bytes.length.toDouble)).toInt)
+          val pixels = java.util.Arrays.copyOf(bytes, side * side)
+          Row(r.getLong(0), side, side, resizeGray(pixels, side, side, tw, th))
+        }
+      }(enc)
+  }
+
+  /** Frame sampling over an opaque media payload (the video-path
+    * plumbing shape): the payload is a sequence of fixed-size frames;
+    * every `everyNth` frame becomes its own row. Pure Column
+    * expressions (sequence → explode → substring), so the op stays in
+    * whole-stage codegen and the payload bytes are never pulled into
+    * JVM row objects. */
+  def frameSample(media: DataFrame, frameBytes: Int, everyNth: Int): DataFrame =
+    media
+      .select(col("doc_id"), col("payload"),
+        explode(sequence(lit(0L),
+          expr(s"(meta.n_bytes + ${frameBytes - 1}) div $frameBytes") - 1,
+          lit(everyNth.toLong))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)")
+          .as("frame"))
+
   // ---- blockhash -----------------------------------------------------
 
   /** 256-bit blockhash (the published block-mean perceptual hash the

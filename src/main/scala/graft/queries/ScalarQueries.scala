@@ -134,13 +134,28 @@ object ScalarQueries {
       .orderBy("doc1", "doc2")
   }
 
+  /** Frame sampling over the packed payloads (the video plumbing
+    * shape, q46's sibling): every 2nd 64-byte frame as a row, decoded
+    * back to text so DuckDB can check the exact slicing. The text is
+    * ASCII (lowercase tokens), so byte and character offsets agree
+    * between Spark's binary substring and the oracle's substr. */
+  def q83FrameSample(s: SparkSession, dir: String): DataFrame = {
+    val packed = Multimodal.packBinary(Tables.documents(s, dir), "doc_id", "text")
+    Multimodal.frameSample(packed, 64, 2)
+      .select(col("doc_id"), col("frame_idx"),
+        decode(col("frame"), "UTF-8").as("frame_str"))
+      .withColumn("frame_len", length(col("frame_str")))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   val queries: Map[String, Q] = Map(
     "q39_json_extract" -> (q39JsonExtract _),
     "q40_code_extract" -> (q40CodeExtract _),
     "q41_band_join" -> (q41BandJoin _),
     "q42_token_runs" -> (q42TokenRuns _),
     "q46_multimodal_features" -> (q46MultimodalFeatures _),
-    "q75_blockhash_pairs" -> (q75BlockhashPairs _))
+    "q75_blockhash_pairs" -> (q75BlockhashPairs _),
+    "q83_frame_sample" -> (q83FrameSample _))
 
   private val tokCte =
     s"""toks AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents),
@@ -181,6 +196,16 @@ object ScalarQueries {
          SELECT doc_id, count(*) AS n_runs, max(run_len) AS max_run,
            CAST(sum(run_len) AS BIGINT) AS n_hits
          FROM runs GROUP BY doc_id ORDER BY doc_id""",
+    "q83_frame_sample" ->
+      """WITH f AS (SELECT doc_id, text,
+           unnest(range(0,
+             (octet_length(encode(text)) + 63) // 64, 2)) AS frame_idx
+         FROM documents)
+         SELECT doc_id, frame_idx,
+           substr(text, CAST(frame_idx * 64 + 1 AS INTEGER), 64) AS frame_str,
+           CAST(length(substr(text, CAST(frame_idx * 64 + 1 AS INTEGER), 64))
+             AS INTEGER) AS frame_len
+         FROM f ORDER BY doc_id, frame_idx""",
     "q46_multimodal_features" ->
       ("""SELECT doc_id,
          CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes, ("""

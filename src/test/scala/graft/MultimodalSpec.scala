@@ -58,6 +58,41 @@ class MultimodalSpec extends AnyFunSuite {
       Tables.documents(spark, sf).count())
   }
 
+  test("resizeGray mean-pools blocks with exact integer rounding") {
+    // 32×32 quadrant image: TL=0, TR=100, BL=200, BR=40 → 2×2 thumb
+    val w = 32
+    val img = Array.tabulate(w * w) { i =>
+      val (y, x) = (i / w, i % w)
+      (if (y < 16) { if (x < 16) 0 else 100 }
+       else { if (x < 16) 200 else 40 }).toByte
+    }
+    val t = Multimodal.resizeGray(img, w, w, 2, 2).map(_ & 0xff)
+    assert(t.toSeq == Seq(0, 100, 200, 40))
+    // non-divisible target: 3×3 pooling still covers every pixel once
+    val t3 = Multimodal.resizeGray(img, w, w, 3, 3)
+    assert(t3.length == 9)
+    // thumbnails flow through the frame with ids intact
+    val packed = Multimodal.packBinary(
+      Tables.documents(spark, sf), "doc_id", "text")
+    val thumbs = Multimodal.resizeThumbs(packed, 4, 4).collect()
+    assert(thumbs.forall(_.getAs[Array[Byte]]("thumb").length == 16))
+  }
+
+  test("frameSample slices exact frames and reconstructs the payload") {
+    import spark.implicits._
+    val text = ('a' to 'z').mkString * 10 // 260 bytes → 5 frames of 64
+    val docs = Seq((7L, text)).toDF("doc_id", "text")
+    val packed = Multimodal.packBinary(docs, "doc_id", "text")
+    val all = Multimodal.frameSample(packed, 64, 1)
+      .orderBy("frame_idx").collect()
+    assert(all.length == 5)
+    val glued = all.map(r => new String(r.getAs[Array[Byte]]("frame"), "UTF-8"))
+      .mkString
+    assert(glued == text, "concatenating every frame restores the payload")
+    val sampled = Multimodal.frameSample(packed, 64, 2).collect()
+    assert(sampled.map(_.getLong(1)).sorted.toSeq == Seq(0L, 2L, 4L))
+  }
+
   test("identical payloads produce identical blockhashes through the frame") {
     import spark.implicits._
     val text = "the quick brown fox jumps over the lazy dog " * 8
