@@ -200,13 +200,19 @@ object MatchingQueries {
     * → percentile normalisation → ranked output (reference
     * `FullMatcherApp.runMatcher`, `matching/app/FullMatcherApp.scala:70-298`). */
   def flagship(s: SparkSession, dir: String): DataFrame = {
+    // stage boundaries are schema-validated (name + dataType, metadata
+    // only — graft.Schemas), the reference's per-stage validation rule
+    val scores = graft.Schemas.validate(
+      partScores(s, dir), graft.Schemas.matchScores, "scorer")
     val filtered = PairFilters.dateFilter(
-      PairFilters.typeFilter(partScores(s, dir), docTypes(s, dir),
+      PairFilters.typeFilter(scores, docTypes(s, dir),
         t => t.startsWith("PROPOSAL")),
       docDates(s, dir))
-    Normalisation.percentileNormalise(
-        filtered.select("doc1", "doc2", "score_type", "item_count", "score"),
-        "score")
+    graft.Schemas.validate(
+        Normalisation.percentileNormalise(
+          filtered.select("doc1", "doc2", "score_type", "item_count", "score"),
+          "score"),
+        graft.Schemas.rankedMatches, "normaliser")
       .orderBy(col("norm_score").desc, col("doc1"), col("doc2"))
   }
 
