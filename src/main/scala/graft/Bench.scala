@@ -38,10 +38,14 @@ object Bench {
     // stdout, so the JSON line must stay short (3-decimal times) and be
     // the LAST stdout line (build.sbt sets showSuccess := false so sbt
     // prints nothing after it).
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // Locale.ROOT: the f-interpolator honours the JVM default locale,
+    // and a comma-decimal locale would make the line invalid JSON
+    def s3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f",
+      Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + s3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     spark.stop()
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
   }
 }

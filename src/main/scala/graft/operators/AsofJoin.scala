@@ -33,27 +33,31 @@ object AsofJoin {
 
   /** `payload`: right-side columns to attach (null when no prior right
     * row exists — left-join semantics). `right` must contain
-    * `key :: ts :: payload`; all other right columns are dropped. */
+    * `key :: ts :: payload`; all other right columns are dropped.
+    *
+    * The payload travels as ONE struct (null on left-side rows), so
+    * the attached columns always come from the SAME right row — a
+    * per-column `last(_, ignoreNulls)` would stitch a legitimately-
+    * null payload field together with an older right row's value. */
   def asofPrior(left: DataFrame, right: DataFrame,
                 key: String, ts: String,
                 payload: Seq[String]): DataFrame = {
     val leftOnly = left.columns.toSeq.filterNot(c => c == key || c == ts)
+    val pStruct = struct(payload.map(col): _*)
     val l = left.select(
       Seq(col(key), col(ts), lit(0).as("__side")) ++
-        leftOnly.map(col) ++
-        payload.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+        leftOnly.map(col) :+
+        lit(null).cast(right.select(pStruct).schema.head.dataType).as("__p"): _*)
     val r = right.select(
       Seq(col(key), col(ts), lit(1).as("__side")) ++
-        leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payload.map(col): _*)
+        leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        pStruct.as("__p"): _*)
     val w = Window.partitionBy(key).orderBy(col(ts), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // identical window spec on every column → Catalyst plans ONE
-    // Window exec (one shuffle + one sort), not one per payload column
-    val filled = payload.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__side") === 0)
-      .select((Seq(key, ts) ++ leftOnly ++ payload).map(col): _*)
+    l.unionByName(r)
+      .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+      .select((Seq(key, ts) ++ leftOnly).map(col) ++
+        payload.map(c => col("__p").getField(c).as(c)): _*)
   }
 }

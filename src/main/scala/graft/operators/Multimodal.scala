@@ -122,6 +122,9 @@ object Multimodal {
     * JVM row objects. */
   def frameSample(media: DataFrame, frameBytes: Int, everyNth: Int): DataFrame =
     media
+      // empty payloads yield zero frames; without the guard the
+      // sequence upper bound is -1, which sequence() rejects at runtime
+      .filter(col("meta.n_bytes") > 0)
       .select(col("doc_id"), col("payload"),
         explode(sequence(lit(0L),
           expr(s"(meta.n_bytes + ${frameBytes - 1}) div $frameBytes") - 1,

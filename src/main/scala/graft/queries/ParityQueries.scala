@@ -128,22 +128,28 @@ object ParityQueries {
     * sentence-group roll-up, expressed with windows instead of
     * collect_list + per-row Scala). */
   def q50SentenceRuns(s: SparkSession, dir: String): DataFrame = {
-    val pos = Tables.documents(s, dir)
-      .select(col("doc_id"),
-        posexplode(TextFns.shingles(TextFns.tokens(col("text")), 3))
-          .as(Seq("pos", "w")))
-    // ONE aggregation builds the inverted index and yields both the
-    // df-cap filter (size of the distinct-doc list) and the pair
-    // expansion — the previous keep-semi-join + self-join shape
-    // tokenized and exploded the corpus three times and shuffled it
-    // twice more. Pair emission is map-side HOF work bounded by the
-    // df cap (≤ 20 docs per w), and (doc1, pos1) determines w, so the
-    // expansion is already (doc1, doc2, pos1)-distinct.
-    val postings = pos.groupBy("w")
+    val pos = Shared.memoized(s, dir, "shinglePos3")(
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(TextFns.shingles(TextFns.tokens(col("text")), 3))
+            .as(Seq("pos", "w"))))
+    // The df cap MUST be applied before postings are collected: a
+    // stopword-grade shingle would otherwise accumulate its entire
+    // (doc, pos) occurrence list in one aggregation buffer before
+    // being discarded (the reference guards the same way — sentence
+    // maxoccurency, TextMatcher.scala:55). countDistinct is
+    // partial-aggregation-safe, so this pass carries bounded state;
+    // the postings collect then only ever sees ≤ df-cap docs per w.
+    // The memoized pos frame keeps the corpus tokenize at one pass.
+    // Pair emission is map-side HOF work, and (doc1, pos1) determines
+    // w, so the expansion is already (doc1, doc2, pos1)-distinct.
+    val keep = pos.groupBy("w").agg(countDistinct("doc_id").as("df"))
+      .filter(col("df").between(2, 20)).select("w")
+    val postings = pos.join(keep, Seq("w"), "left_semi")
+      .groupBy("w")
       .agg(collect_list(struct(col("doc_id"), col("pos"))).as("occ"))
       .withColumn("docs",
         array_distinct(transform(col("occ"), o => o.getField("doc_id"))))
-      .filter(size(col("docs")).between(2, 20))
     val hits = postings
       .select(col("occ"), explode(col("docs")).as("doc2"))
       .select(explode(filter(col("occ"),
@@ -223,8 +229,9 @@ object ParityQueries {
     * reference's safe-mode frequency heuristic
     * (`matching/matcher/EntitiesMatcherV2.scala:45-53`) — so the
     * threshold scales with the corpus instead of being retuned per SF.
-    * Coverage is exact integer arithmetic (floor of milli-ratio): no
-    * float round-half parity risk against the oracle. */
+    * Coverage is exact integer arithmetic — `(n_common*1000) div
+    * n_pos` on longs (non-negative, so truncation == floor in both
+    * engines): no float parity risk against the oracle. */
   def q81BoilerplateCoverage(s: SparkSession, dir: String): DataFrame = {
     // same memoized frame as q49 (each tf row is a distinct (doc, w),
     // so per-w df = row count and per-doc positions = sum(tf)) — the
@@ -240,8 +247,7 @@ object ParityQueries {
       .groupBy("doc_id").agg(sum("tf").as("n_common"))
     perDoc.join(commonPerDoc, Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_common"))
-      .withColumn("coverage_milli",
-        floor(col("n_common") * 1000.0 / col("n_pos")))
+      .withColumn("coverage_milli", expr("n_common * 1000 div n_pos"))
       .withColumn("keep", col("coverage_milli") <= 800)
       .select("doc_id", "n_pos", "n_common", "coverage_milli", "keep")
       .orderBy("doc_id")
@@ -313,9 +319,9 @@ object ParityQueries {
            FROM shingle JOIN common USING (w) GROUP BY doc_id)
          SELECT per.doc_id, per.n_pos,
            COALESCE(com.n_common, 0) AS n_common,
-           CAST(floor(COALESCE(com.n_common, 0) * 1000.0 / per.n_pos) AS BIGINT)
+           CAST(COALESCE(com.n_common, 0) * 1000 // per.n_pos AS BIGINT)
              AS coverage_milli,
-           CAST(floor(COALESCE(com.n_common, 0) * 1000.0 / per.n_pos) AS BIGINT)
+           CAST(COALESCE(com.n_common, 0) * 1000 // per.n_pos AS BIGINT)
              <= 800 AS keep
          FROM per LEFT JOIN com ON per.doc_id = com.doc_id
          ORDER BY per.doc_id""",

@@ -36,6 +36,20 @@ class AsofSamplingSpec extends AnyFunSuite {
       100L -> Some(930L), 101L -> Some(900L), 102L -> None, 103L -> None))
   }
 
+  test("asofPrior keeps null payload fields from the matched row intact") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L)).toDF("k", "t", "lid")
+    // latest prior right row has a legitimately-null `a`; per-column
+    // filling would stitch a=5 from the older row onto b=7
+    val right = Seq((1L, 1L, Some(5L), 9L), (1L, 2L, None, 7L))
+      .toDF("k", "t", "a", "b")
+    val got = AsofJoin.asofPrior(left, right, "k", "t", Seq("a", "b"))
+      .select("a", "b").as[(Option[Long], Option[Long])].collect().head
+    assert(got === (None, Some(7L)),
+      "payload must come from ONE right row, not be stitched per-column")
+  }
+
   test("asofPrior plans a single shuffle + window (no pair blow-up)") {
     val spark = TestSpark.spark
     val left = spark.range(100).select(col("id").as("k"),
