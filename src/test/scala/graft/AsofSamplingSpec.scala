@@ -62,6 +62,30 @@ class AsofSamplingSpec extends AnyFunSuite {
     assert(plan.split("Window").length == 2, "exactly one Window exec")
   }
 
+  test("asofPrior matches a brute-force reference on random data") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val left = Seq.tabulate(200)(i =>
+        (rnd.nextInt(10).toLong, rnd.nextInt(50).toLong, i.toLong))
+      // right unique per (k, ts) — the operator's documented contract
+      val right = Seq.fill(300)(
+        (rnd.nextInt(10).toLong, rnd.nextInt(50).toLong, rnd.nextInt(1000).toLong))
+        .groupBy(r => (r._1, r._2))
+        .map { case ((k, t), rs) => (k, t, rs.map(_._3).max) }.toSeq
+      val expected = left.map { case (k, t, lid) =>
+        val prior = right.filter(r => r._1 == k && r._2 < t)
+        lid -> (if (prior.isEmpty) None else Some(prior.maxBy(_._2)._3))
+      }.toMap
+      val got = AsofJoin.asofPrior(
+          left.toDF("k", "t", "lid"), right.toDF("k", "t", "rid"),
+          "k", "t", Seq("rid"))
+        .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+      assert(got === expected)
+    }
+  }
+
   test("hash sampling is deterministic, monotone, and stratified") {
     val spark = TestSpark.spark
     val df = spark.range(0, 10000).select(col("id"),
