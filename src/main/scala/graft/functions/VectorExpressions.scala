@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+
+/** Native dot product over embedding arrays — the hot scalar loop of
+  * every similarity-search operator (brute/LSH/IVF top-k, embedding
+  * near-dup, k-means distances run it per candidate pair).
+  *
+  * The HOF spelling `aggregate(zip_with(a, b, _*_), 0d, _+_)` is
+  * interpreted per element (HOFs are CodegenFallback), so a 64-dim
+  * pair costs ~200 boxed expression-tree walks; this expression is one
+  * compiled loop. The fold order and per-element arithmetic
+  * (float→double exact widening, sequential sum from index 0) are
+  * bit-identical to the HOF spelling AND to the DuckDB oracle
+  * (`list_sum(list_transform(...))` folds the same way), so scores
+  * hash-match either way — asserted by HashSpec.
+  *
+  * Elements must be non-null (true of embeddings and hyperplanes);
+  * float×float, float×double and double×double arrays are accepted.
+  */
+object VectorExpressions {
+
+  /** Sequential dot; aD/bD select the element accessor (codegen passes
+    * them as constants, so the branches are loop-invariant). */
+  def dot(a: ArrayData, aD: Boolean, b: ArrayData, bD: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aD) a.getDouble(i) else a.getFloat(i).toDouble
+      val y = if (bD) b.getDouble(i) else b.getFloat(i).toDouble
+      s += x * y
+      i += 1
+    }
+    s
+  }
+
+  case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+    private def isD(e: Expression): Boolean =
+      e.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      val ok = Seq(left, right).forall(_.dataType match {
+        case ArrayType(FloatType | DoubleType, _) => true
+        case _ => false
+      })
+      if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_dot expects array<float|double>, got " +
+          s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+    }
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      dot(a.asInstanceOf[ArrayData], isD(left),
+        b.asInstanceOf[ArrayData], isD(right))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.VectorExpressions.dot($a, ${isD(left)}, $b, ${isD(right)})")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): DotProduct =
+      copy(left = newLeft, right = newRight)
+  }
+
+  val name = "graft_dot"
+
+  /** Column wrapper resolving through the registered function. */
+  def dot(a: Column, b: Column): Column = call_function(name, a, b)
+
+  val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier(name),
+      new ExpressionInfo(classOf[DotProduct].getName, name),
+      (args: Seq[Expression]) => DotProduct(args.head, args(1))))
+}

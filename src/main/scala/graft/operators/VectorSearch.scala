@@ -30,9 +30,17 @@ import graft.functions.Exact.r6
   */
 object VectorSearch {
 
-  /** Dot product of two float-array columns, accumulated in double in
-    * array order (deterministic across partitionings: per-row op). */
+  /** Dot product of two float/double-array columns, accumulated in
+    * double in array order (deterministic across partitionings:
+    * per-row op). Native codegen'd expression; bit-identical to
+    * [[dotHof]] (HashSpec) and to the oracle's list fold. */
   def dotD(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.dot(a, b)
+
+  /** The interpreted HOF spelling of [[dotD]], kept as the spec
+    * cross-check (HOFs are CodegenFallback — ~200 boxed node walks
+    * per 64-dim pair — which is why the hot path is native). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)

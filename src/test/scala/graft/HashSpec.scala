@@ -54,6 +54,27 @@ class HashSpec extends AnyFunSuite {
     assert(diff.count() == 0)
   }
 
+  test("graft_dot native == HOF bit-for-bit over the embeddings") {
+    import graft.operators.VectorSearch
+    val emb = Tables.embeddings(spark, sf)
+    // self pairs + shifted pairs; exact equality required (same fold
+    // order), not approximate
+    val pairs = emb.select(col("vec_id"), col("embedding").as("a"))
+      .join(emb.select((col("vec_id") + 1).as("vec_id"),
+        col("embedding").as("b")), Seq("vec_id"))
+    val diff = pairs.select(
+        VectorSearch.dotD(col("a"), col("b")).as("native"),
+        VectorSearch.dotHof(col("a"), col("b")).as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(diff.count() == 0)
+    // float × double (hyperplane) inputs resolve too
+    val plane = array((0 until 64).map(i => lit((i % 7 - 3) / 3.0)): _*)
+    val d = emb.select(VectorSearch.dotD(col("embedding"), plane).as("n"),
+        VectorSearch.dotHof(col("embedding"), plane).as("h"))
+      .filter(col("n") =!= col("h"))
+    assert(d.count() == 0)
+  }
+
   test("empty-array edge cases match") {
     val empty = spark.range(1)
       .select(array().cast("array<string>").as("toks"),
