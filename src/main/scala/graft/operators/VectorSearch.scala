@@ -25,7 +25,7 @@ import graft.functions.Exact.r6
   *    (`matching/matcher/PictureMatcher.scala:54-68`).
   *
   * All arithmetic is float→double casts + a left-to-right double fold,
-  * which both Spark (`aggregate`/`zip_with` HOFs, codegen'd) and the
+  * which the native `graft_dot` expression, the HOF spelling and the
   * DuckDB oracle (`list_reduce`/`list_zip`) evaluate bit-identically.
   */
 object VectorSearch {
