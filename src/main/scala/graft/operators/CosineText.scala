@@ -23,13 +23,22 @@ import graft.functions.{Exact, TextFns}
   */
 object CosineText {
 
+  /** `memo` persists the doc×term weight frame, which feeds the norms
+    * AND both sides of the inverted-index self-join — without it the
+    * tokenize→shingle→tf→idf chain re-runs per consumer (callers pass
+    * a session-level cache, e.g. `Shared.memoized`). */
   def cosinePairs(docs: DataFrame, idCol: String, textCol: String,
                   k: Int = 3, maxDf: Long = 100,
-                  minCosine: Double = 0.1): DataFrame = {
+                  minCosine: Double = 0.1,
+                  memo: DataFrame => DataFrame = identity): DataFrame = {
     val terms = docs
       .select(col(idCol).as("doc_id"),
         explode(TextFns.shingleHashes(TextFns.tokens(col(textCol)), k)).as("term"))
-    val nDocs = terms.agg(countDistinct("doc_id").as("n_docs"))
+    // corpus count from a plain scan (docs with ≥ 1 k-shingle), not a
+    // second pass over the exploded term frame
+    val nDocs = docs.select(
+        when(size(TextFns.tokens(col(textCol))) >= k, col(idCol)).as("d"))
+      .agg(countDistinct("d").as("n_docs"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
@@ -37,8 +46,8 @@ object CosineText {
       .select(col("term"),
         round(log10(col("n_docs").cast("double") / col("df")) * 1000).cast("long")
           .as("idf_milli"))
-    val weights = tf.join(idf, "term")
-      .select(col("doc_id"), col("term"), (col("tf") * col("idf_milli")).as("w"))
+    val weights = memo(tf.join(idf, "term")
+      .select(col("doc_id"), col("term"), (col("tf") * col("idf_milli")).as("w")))
     val norms = weights.groupBy("doc_id")
       .agg(sum(col("w") * col("w")).as("sxx"))
     val dots = weights.select(col("term"), col("doc_id").as("doc1"), col("w").as("w1"))

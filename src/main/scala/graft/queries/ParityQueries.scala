@@ -128,22 +128,23 @@ object ParityQueries {
     * sentence-group roll-up, expressed with windows instead of
     * collect_list + per-row Scala). */
   def q50SentenceRuns(s: SparkSession, dir: String): DataFrame = {
-    val pos = Shared.memoized(s, dir, "shinglePos3")(
-      Tables.documents(s, dir)
-        .select(col("doc_id"),
-          posexplode(TextFns.shingles(TextFns.tokens(col("text")), 3))
-            .as(Seq("pos", "w"))))
+    val pos = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(TextFns.shingles(TextFns.tokens(col("text")), 3))
+          .as(Seq("pos", "w")))
     // The df cap MUST be applied before postings are collected: a
     // stopword-grade shingle would otherwise accumulate its entire
     // (doc, pos) occurrence list in one aggregation buffer before
     // being discarded (the reference guards the same way — sentence
-    // maxoccurency, TextMatcher.scala:55). countDistinct is
-    // partial-aggregation-safe, so this pass carries bounded state;
-    // the postings collect then only ever sees ≤ df-cap docs per w.
-    // The memoized pos frame keeps the corpus tokenize at one pass.
-    // Pair emission is map-side HOF work, and (doc1, pos1) determines
-    // w, so the expansion is already (doc1, doc2, pos1)-distinct.
-    val keep = pos.groupBy("w").agg(countDistinct("doc_id").as("df"))
+    // maxoccurency, TextMatcher.scala:55). The df counts come from
+    // the memoized per-(doc, w) tf frame shared with q49/q81 (one row
+    // per distinct (doc, w), so df = rows per w — a bounded-state
+    // aggregation over the cache, no second corpus pass). The
+    // postings collect then only ever sees ≤ df-cap docs per w, and
+    // (doc1, pos1) determines w, so the expansion is already
+    // (doc1, doc2, pos1)-distinct.
+    val keep = Shared.memoized(s, dir, "shingleTf3")(shingleTf(s, dir))
+      .groupBy("w").agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, 20)).select("w")
     val postings = pos.join(keep, Seq("w"), "left_semi")
       .groupBy("w")

@@ -116,7 +116,8 @@ object TextQueries {
 
   /** Shingle TF-IDF cosine pairs (the CosineMatcher analogue). */
   def q29CosineShingles(s: SparkSession, dir: String): DataFrame =
-    CosineText.cosinePairs(Tables.documents(s, dir), "doc_id", "text")
+    CosineText.cosinePairs(Tables.documents(s, dir), "doc_id", "text",
+        memo = Shared.memoized(s, dir, "cosineWeights")(_))
       .orderBy("doc1", "doc2")
 
   /** SimHash hamming near-dup pairs (the PictureScorer-hamming
