@@ -27,9 +27,15 @@ import org.apache.spark.sql.types._
 object VectorExpressions {
 
   /** Sequential dot; aD/bD select the element accessor (codegen passes
-    * them as constants, so the branches are loop-invariant). */
+    * them as constants, so the branches are loop-invariant). Arrays of
+    * different lengths raise — the zip_with HOF spelling returns NULL
+    * there, and silently truncating would hide a real schema bug in a
+    * registered SQL function (ADVICE r3). */
   def dot(a: ArrayData, aD: Boolean, b: ArrayData, bD: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"graft_dot: array length mismatch (${n} vs ${b.numElements()})")
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -76,5 +82,12 @@ object VectorExpressions {
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier(name),
       new ExpressionInfo(classOf[DotProduct].getName, name),
-      (args: Seq[Expression]) => DotProduct(args.head, args(1))))
+      (args: Seq[Expression]) => {
+        // raised during analysis (the builder runs at resolution), so a
+        // bad SQL call fails with a real message, not an
+        // IndexOutOfBounds from args(1) (ADVICE r3)
+        require(args.length == 2,
+          s"$name expects exactly 2 arguments, got ${args.length}")
+        DotProduct(args.head, args(1))
+      }))
 }

@@ -43,6 +43,16 @@ object AsofJoin {
                 key: String, ts: String,
                 payload: Seq[String]): DataFrame = {
     val leftOnly = left.columns.toSeq.filterNot(c => c == key || c == ts)
+    // guard the reserved working columns and output-name collisions —
+    // without these a left frame already containing __side/__p, or a
+    // payload column shadowing a left column, silently yields
+    // duplicate/ambiguous output columns (ADVICE r3)
+    val reserved = Seq("__side", "__p")
+    require(!(left.columns ++ right.columns).exists(reserved.contains),
+      s"asofPrior reserves columns ${reserved.mkString(", ")}")
+    require(payload.intersect(leftOnly).isEmpty,
+      s"payload columns ${payload.intersect(leftOnly).mkString(", ")} " +
+        "collide with left-side columns")
     val pStruct = struct(payload.map(col): _*)
     val l = left.select(
       Seq(col(key), col(ts), lit(0).as("__side")) ++

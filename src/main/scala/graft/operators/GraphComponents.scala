@@ -35,17 +35,27 @@ object GraphComponents {
 
     var labels = nodes.select(col("node"), col("node").as("comp"))
       .localCheckpoint()
-    var changed = 1L
+    // Convergence detection is a byproduct of the label aggregation
+    // itself, not a second job: min-propagation only ever DECREASES
+    // labels, so the label multiset changed iff sum(comp) strictly
+    // decreased. The sum rides the checkpoint action via observe()
+    // (decimal accumulator — immune to long overflow at any node
+    // count), halving the job count per iteration (VERDICT r3).
+    var prevSum: java.math.BigDecimal = null
     var i = 0
-    while (changed > 0 && i < maxIter) {
+    var converged = false
+    while (!converged && i < maxIter) {
       val neighbourComp = undirected
         .join(labels, undirected("src") === labels("node"))
         .select(undirected("dst").as("node"), col("comp"))
+      val obs = org.apache.spark.sql.Observation(s"cc_round_$i")
       val next = labels.union(neighbourComp)
         .groupBy("node").agg(min("comp").as("comp"))
+        .observe(obs, sum(col("comp").cast("decimal(38,0)")).as("label_sum"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("comp", "prev"), "node")
-        .filter(col("comp") =!= col("prev")).count()
+      val curSum = obs.get("label_sum").asInstanceOf[java.math.BigDecimal]
+      converged = prevSum != null && prevSum.compareTo(curSum) == 0
+      prevSum = curSum
       labels = next
       i += 1
     }

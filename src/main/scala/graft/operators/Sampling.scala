@@ -25,10 +25,16 @@ object Sampling {
   def bucket(key: Column, salt: String): Column =
     substring(md5(concat(lit(salt), key.cast("string"))), 1, 2)
 
-  /** Uniform sample: keep rows whose bucket < thresholdHex. */
+  /** Uniform sample: keep rows whose bucket < thresholdHex. The
+    * threshold must be two lowercase hex chars — anything else (one
+    * char, uppercase) would silently select a wrong fraction under the
+    * lexicographic comparison (ADVICE r3). */
   def deterministicSample(df: DataFrame, key: Column,
-                          thresholdHex: String, salt: String): DataFrame =
+                          thresholdHex: String, salt: String): DataFrame = {
+    require(thresholdHex.matches("[0-9a-f]{2}"),
+      s"thresholdHex must match [0-9a-f]{2}, got '$thresholdHex'")
     df.filter(bucket(key, salt) < lit(thresholdHex))
+  }
 
   /** Stratified sample: per-row threshold (e.g. a `when` over a
     * stratum column) so each stratum keeps its own fraction. */

@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, VectorAssembler, Word2Vec}
 import org.apache.spark.ml.classification.RandomForestClassifier
-import org.apache.spark.ml.linalg.{Vector => MlVector}
 import graft.Tables
 import graft.functions.{StemExpression, TextFns}
 
@@ -123,9 +122,11 @@ object MlQueries {
       .setVectorSize(16).setSeed(42L).setMinCount(2)
       .setNumPartitions(1).setMaxIter(1)
       .fit(docs)
-    val norm = udf((v: MlVector) => math.sqrt(v.toArray.map(x => x * x).sum))
+    // vector_to_array + the native codegen dot replaces the scalar UDF
+    // (the project standard — ADVICE r3): ||v|| = sqrt(v·v)
     model.transform(docs)
-      .withColumn("vnorm", norm(col("vec")))
+      .withColumn("varr", org.apache.spark.ml.functions.vector_to_array(col("vec")))
+      .withColumn("vnorm", sqrt(graft.functions.VectorExpressions.dot(col("varr"), col("varr"))))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         round(avg("vnorm"), 4).as("avg_norm"))

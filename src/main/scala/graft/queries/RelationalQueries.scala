@@ -152,18 +152,14 @@ object RelationalQueries {
 
   /** Percentile normalisation (W1: reference `NormalisationStage.scala:54-58`
     * — score of the ceil(1%·n)-th highest row becomes 100, everything
-    * capped at 100). Global rank is computed as TakeOrdered(k) + min —
-    * no single-partition global sort, which is the 100 TB-safe shape. */
+    * capped at 100). The reference threshold comes from
+    * [[graft.operators.Normalisation.kthLargest]]: a bounded-bucket
+    * histogram refinement — no global sort AND no TakeOrdered whose k
+    * grows with the table (NormalisationSpec asserts the plan). */
   def q12PercentileNorm(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
       .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_cents"))
-    val n = o.count()
-    val k = math.max(1L, math.ceil(n * 0.01).toLong).toInt
-    val ref = o.orderBy(col("price_cents").desc).limit(k)
-      .agg(min("price_cents").as("ref_cents"))
-    o.crossJoin(broadcast(ref))
-      .withColumn("norm_score",
-        r6(least(lit(100.0), lit(100.0) * col("price_cents") / col("ref_cents"))))
+    graft.operators.Normalisation.percentileNormalise(o, "price_cents")
       .select("o_orderkey", "price_cents", "norm_score")
       .orderBy("o_orderkey")
   }
