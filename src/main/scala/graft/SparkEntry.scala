@@ -25,6 +25,7 @@ object SparkEntry {
       (MlQueries.queries, MlQueries.oracles),
       (MiscQueries.queries, MiscQueries.oracles),
       (SourceQueries.queries, SourceQueries.oracles),
+      (NlpQueries.queries, NlpQueries.oracles),
     )
 
   /** Flagship: full entity-matching pipeline on sf0.001 (candidates →

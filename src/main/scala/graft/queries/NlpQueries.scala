@@ -1,0 +1,304 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.TextFns
+import graft.operators.{DoiStitch, SuffixLemmatizer, WordClassifier}
+
+/** NLP-analyser parity family, round 4: the dictionary word/formula
+  * classifier (`utils/nlp/FormulaAnalyser/service/WordService.java:34-420`,
+  * consumed as `matching/analyser/FormulaAnalyser.scala:53-85`), the
+  * ILL-DOI suffix stitcher (`utils/nlp/CodeAnalyser/CodeAnalyserService
+  * .java:55-186`), and the corpus-vs-general-English word-spec distance
+  * (`matching/analyser/DocumentWordSpecAnalyser2.scala:57-116`) over the
+  * pluggable lemmatizer.
+  *
+  * The corpus vocabulary is a closed 31-word set, so classifier- and
+  * DOI-shaped inputs are derived deterministically from it: selected
+  * tokens are rewritten into formula/DOI-bearing strings with the SAME
+  * CASE mapping on the Spark and DuckDB sides; the classifier itself
+  * runs the full battery on the Spark side, while the oracle carries
+  * the hand-derived classification of the (closed) candidate set —
+  * each entry justified from the battery rules, the same scheme the
+  * q55 stem oracle uses. FormulaSpec holds the per-branch goldens.
+  */
+object NlpQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** The corpus vocabulary doubles as the english dictionary; the other
+    * dictionaries are small fixtures (reference: resource files). */
+  val dicts: WordClassifier.Dictionaries = WordClassifier.Dictionaries(
+    english = Set("a", "agg", "batch", "big", "column", "customer", "data",
+      "dup", "fast", "filter", "group", "hash", "join", "key", "line",
+      "merge", "order", "part", "query", "row", "scan", "slow", "small",
+      "sort", "spark", "stream", "table", "the", "value", "vector",
+      "window"),
+    names = Set("smith", "garcia", "muller", "chen"),
+    cities = Set("grenoble", "paris", "london"),
+    countries = Set("france", "germany", "china"),
+    instrumentCodes = Set("d22", "in5", "thales"))
+
+  /** The per-document "address" blacklist string (reference passes the
+    * document address; here a constant covering the negative control). */
+  val blackList = "CdTe123"
+
+  /** token → injected classifier probe. Chosen to cover the battery:
+    * full formula, composed formula via the special-fragment rule,
+    * isotope, parenthesised special-char formula, and the three veto
+    * families (uppercase non-element word, digit-heavy code,
+    * blacklisted skeleton). */
+  val inject: Seq[(String, String)] = Seq(
+    "hash" -> "YBa2Cu3O7",          // full formula
+    "key" -> "H2SO4",               // full formula with 1-char elements
+    "merge" -> "La0.63Ca0.37MnO3",  // special-fragment composed formula
+    "row" -> "647Pb",               // isotope
+    "scan" -> "(TaSe4)2I",          // parenthesised, special-fragment
+    "table" -> "BUNSEKI",           // veto: all-uppercase non-element
+    "line" -> "F-76432",            // veto: digit-heavy (postcode rule)
+    "filter" -> "CdTe123")          // veto: blacklisted skeleton
+
+  /** Words the battery accepts from the injected set — hand-derived
+    * from the rules (see scaladoc + FormulaSpec, which pins each). */
+  val expectedFormulas: Seq[String] = Seq(
+    "(TaSe4)2I", "647Pb", "H2SO4", "La0.63Ca0.37MnO3", "YBa2Cu3O7")
+
+  private def injectCol(c: Column): Column =
+    inject.foldLeft(when(lit(false), c)) { case (acc, (tok, repl)) =>
+      acc.when(c === tok, lit(repl))
+    }.otherwise(c)
+
+  /** q84: dictionary/formula classifier → per-document formula entities
+    * with TF and deterministic ids (the FormulaAnalyser output shape:
+    * entity_id, formula_code, document_version_id, tf — with dense_rank
+    * replacing StringIndexer per SURVEY §7.4-2).
+    *
+    * Plan shape for scale: the classifier (a scalar Scala function over
+    * broadcast dictionaries) runs once per DISTINCT word — the
+    * vocabulary, orders of magnitude smaller than the corpus — and the
+    * accepted formulas broadcast-semi-join back onto the token stream;
+    * the corpus itself only ever flows through split/explode/hash-agg. */
+  def q84FormulaEntities(s: SparkSession, dir: String): DataFrame = {
+    // the reference's exact text split: [\s+|\n]|– (FormulaAnalyserService)
+    val words = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(split(col("text"), "[\\s+|\\n]|–")).as("raw"))
+      .withColumn("w", injectCol(col("raw")))
+    val classifyFormula = udf { w: String =>
+      val (clean, types) = WordClassifier.classify(w, dicts, blackList)
+      if (types.contains("formula")) clean else null
+    }
+    val formulas = words.select("w").distinct()
+      .select(col("w"), classifyFormula(col("w")).as("entity"))
+      .filter(col("entity").isNotNull)
+    words.join(broadcast(formulas), Seq("w"))
+      .groupBy("entity", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("entity_id",
+        dense_rank().over(Window.orderBy("entity")).cast("long"))
+      .select("entity_id", "entity", "doc_id", "tf")
+      .orderBy("entity", "doc_id")
+  }
+
+  /** q85: ILL-DOI suffix stitching over deterministic DOI-bearing
+    * sentences derived from doc_id (four variants: space-split
+    * "-DATA.<code>" suffix, dot-split suffix, non-ILL DOI control,
+    * invalid-code control). The Spark side runs the real general
+    * stitcher (DoiStitch.analyseIllDoi); the oracle mirrors the
+    * controlled construction arithmetically. */
+  def q85DoiStitch(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"),
+      (col("doc_id") % 9 + 1).cast("string").as("a"),
+      (col("doc_id") % 20 + 10).cast("string").as("b"),
+      (col("doc_id") % 999 + 1).cast("string").as("c"),
+      (lit(1000) + col("doc_id") % 9000).cast("string").as("reg"))
+    val text = when(col("doc_id") % 4 === 0,
+        concat(lit("ref 10.5291/ILL -DATA."), col("a"), lit("-"), col("b"),
+          lit("-"), col("c"), lit(" end")))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("ref 10.5291/ILL-DATA. "), col("a"), lit("-"), col("b"),
+          lit("-"), col("c"), lit(" end")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("see 10."), col("reg"), lit("/x"), col("c"), lit(" tail")))
+      .otherwise(
+        concat(lit("ref 10.5291/ILL -DATA.0-"), col("b"), lit("-"), col("c"),
+          lit(" end")))
+    val stitch = udf((t: String) => DoiStitch.analyseIllDoi(t))
+    d.withColumn("doi", explode(stitch(text)))
+      .select("doc_id", "doi")
+      .orderBy("doc_id", "doi")
+  }
+
+  /** General-English word frequencies — the fixture standing in for the
+    * reference's wordFrequency.txt resource (S6). Includes plural
+    * inflections so the english side exercises lemma-group aggregation
+    * exactly like the reference's `lemma(word)` + groupBy(lemma). */
+  val wordFreq: Seq[(String, Long)] = Seq(
+    "the" -> 50000L, "a" -> 30000L, "and" -> 28000L,
+    "data" -> 9000L, "table" -> 4000L, "tables" -> 1500L,
+    "value" -> 5200L, "values" -> 2100L, "row" -> 2600L, "rows" -> 1100L,
+    "line" -> 3400L, "lines" -> 1300L, "key" -> 2800L, "keys" -> 900L,
+    "query" -> 1400L, "queries" -> 800L, "order" -> 3600L, "orders" -> 1200L,
+    "part" -> 3100L, "parts" -> 1250L, "group" -> 2900L, "groups" -> 950L,
+    "filter" -> 700L, "filters" -> 260L, "window" -> 1050L, "windows" -> 640L,
+    "column" -> 520L, "columns" -> 480L, "sort" -> 610L, "join" -> 430L,
+    "merge" -> 390L, "batch" -> 370L, "stream" -> 340L, "streams" -> 160L,
+    "hash" -> 210L, "scan" -> 190L, "customer" -> 880L, "customers" -> 410L,
+    "fast" -> 1600L, "slow" -> 980L, "big" -> 2200L, "small" -> 2400L,
+    "agg" -> 25L, "dup" -> 18L, "spark" -> 30L, "vector" -> 240L)
+
+  /** The reference anchors english document count on the frequency of
+    * "the" (`DocumentWordSpecAnalyser2.scala:64`). */
+  val englishDocCount: Long = wordFreq.toMap.apply("the")
+
+  private val minDistanceMilli = 2500L
+  private val minPccFrequency = 2L
+
+  /** q87: corpus-vs-general-English IDF distance per lemma + document
+    * resume (DocumentWordSpecAnalyser2 phases: english IDF over the
+    * lemma-grouped frequency table normalized by `engDocs div
+    * corpusDocs`; corpus IDF from per-lemma document frequency;
+    * distance = idf difference, early-position occurrences only;
+    * per-document roll-up of distinct qualifying lemmas).
+    *
+    * All ratios ride exact integers (milli-IDFs, cross-multiplied
+    * position test); the CoreNLP lemma/POS stage maps to the pluggable
+    * SuffixLemmatizer + a token-length floor (the honest stand-in:
+    * SURVEY §7.4-5). */
+  def q87WordSpec(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val nd = docs.agg(countDistinct("doc_id").as("n_docs"))
+
+    // english side: lemma-group the frequency fixture (len>1 words,
+    // as the reference's englishLemma does), normalize by the integer
+    // factor, milli-quantized ln IDF
+    val eng = wordFreq.toDF("word", "frequency")
+      .filter(length(col("word")) > 1)
+      .withColumn("lemma", SuffixLemmatizer.lemma(col("word")))
+      .groupBy("lemma")
+      .agg(sum("frequency").as("eng_raw"))
+      .crossJoin(broadcast(nd))
+      .withColumn("factor", expr(s"$englishDocCount div n_docs"))
+      .withColumn("eng_idf_milli",
+        round(log(col("n_docs").cast("double") / (col("eng_raw") / col("factor"))) * 1000)
+          .cast("long"))
+      .select("lemma", "eng_raw", "eng_idf_milli")
+
+    // corpus side: early-position (first third) lemma occurrences;
+    // document_length reproduces the reference's +1 quirk (the word
+    // counter is post-incremented before being emitted)
+    val tok = docs.select(col("doc_id"),
+        posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "word")),
+        (size(TextFns.tokens(col("text"))) + 1).as("doc_len"))
+      .withColumn("lemma", SuffixLemmatizer.lemma(col("word")))
+      .filter(length(col("lemma")) >= 4)
+    val pcc = tok.groupBy("lemma")
+      .agg(countDistinct("doc_id").as("pcc_df"))
+      .filter(col("pcc_df") > minPccFrequency)
+      .crossJoin(broadcast(nd))
+      .withColumn("pcc_idf_milli",
+        round(log(col("n_docs").cast("double") / col("pcc_df")) * 1000).cast("long"))
+      .select("lemma", "pcc_df", "pcc_idf_milli")
+
+    val spec = tok
+      .filter((col("pos") + 1) * 100 <= col("doc_len") * 33)
+      .join(pcc, Seq("lemma"))
+      .join(broadcast(eng), Seq("lemma"))
+      .withColumn("distance_milli",
+        col("eng_idf_milli") - col("pcc_idf_milli"))
+      .filter(col("distance_milli") >= minDistanceMilli)
+
+    spec.select("doc_id", "lemma", "distance_milli").distinct()
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lemmas"),
+        sum("distance_milli").as("total_distance_milli"),
+        array_join(array_sort(collect_list(col("lemma"))), ",").as("lemmas"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q84_formula_entities" -> (q84FormulaEntities _),
+    "q85_doi_stitch" -> (q85DoiStitch _),
+    "q87_word_spec" -> (q87WordSpec _))
+
+  // ---- oracle SQL --------------------------------------------------
+
+  private val injectSql =
+    "CASE raw " + inject.map { case (t, r) => s"WHEN '$t' THEN '$r'" }
+      .mkString(" ") + " ELSE raw END"
+
+  private val formulasSql =
+    expectedFormulas.map(f => s"('$f')").mkString(", ")
+
+  private val wordFreqSql =
+    wordFreq.map { case (w, f) => s"('$w', $f)" }.mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "q84_formula_entities" ->
+      s"""WITH words AS (SELECT doc_id,
+           unnest(string_split_regex(text, '[\\s+|\\n]|–')) AS raw
+           FROM documents),
+         mapped AS (SELECT doc_id, $injectSql AS w FROM words),
+         -- hand-derived acceptances of the closed candidate set (each
+         -- justified from the battery rules; see WordClassifier +
+         -- FormulaSpec): the three veto probes are absent
+         formulas(w) AS (VALUES $formulasSql),
+         tf AS (SELECT w AS entity, doc_id, count(*) AS tf
+           FROM mapped JOIN formulas USING (w) GROUP BY 1, 2)
+         SELECT dense_rank() OVER (ORDER BY entity) AS entity_id,
+           entity, doc_id, tf
+         FROM tf ORDER BY entity, doc_id""",
+    "q85_doi_stitch" ->
+      """SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN '10.5291/ILL-DATA.' || (doc_id % 9 + 1) || '-' ||
+             (doc_id % 20 + 10) || '-' || (doc_id % 999 + 1)
+           WHEN 1 THEN '10.5291/ILL-DATA' || (doc_id % 9 + 1) || '-' ||
+             (doc_id % 20 + 10) || '-' || (doc_id % 999 + 1)
+           WHEN 2 THEN '10.' || (1000 + doc_id % 9000) || '/x' ||
+             (doc_id % 999 + 1)
+           ELSE '10.5291/ILL'
+         END AS doi
+         FROM documents ORDER BY doc_id, doi""",
+    "q87_word_spec" -> {
+      val lem = SuffixLemmatizer.sqlLemma("word")
+      s"""WITH nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+         freq(word, frequency) AS (VALUES $wordFreqSql),
+         eng AS (SELECT lemma,
+             CAST(round(ln(CAST(n_docs AS DOUBLE) /
+               (eng_raw / (CAST($englishDocCount AS BIGINT) // n_docs))) * 1000)
+               AS BIGINT) AS eng_idf_milli
+           FROM (SELECT $lem AS lemma, CAST(sum(frequency) AS BIGINT) AS eng_raw
+                 FROM freq WHERE length(word) > 1 GROUP BY 1), nd),
+         toks AS (SELECT doc_id, ${TextFns.sqlTokens("text")} AS t FROM documents),
+         tok0 AS (SELECT doc_id, len(t) + 1 AS doc_len,
+             unnest(list_transform(t, (x, i) ->
+               struct_pack(pos := i - 1, word := x))) AS u
+           FROM toks),
+         tok AS (SELECT doc_id, doc_len, pos, $lem AS lemma
+           FROM (SELECT doc_id, doc_len, u.pos AS pos, u.word AS word
+                 FROM tok0)
+           WHERE length($lem) >= 4),
+         pcc AS (SELECT lemma, count(DISTINCT doc_id) AS pcc_df
+           FROM tok GROUP BY lemma HAVING count(DISTINCT doc_id) > $minPccFrequency),
+         pcc2 AS (SELECT lemma,
+             CAST(round(ln(CAST(n_docs AS DOUBLE) / pcc_df) * 1000) AS BIGINT)
+               AS pcc_idf_milli
+           FROM pcc, nd),
+         spec AS (SELECT DISTINCT t.doc_id, t.lemma,
+             e.eng_idf_milli - p.pcc_idf_milli AS distance_milli
+           FROM tok t
+           JOIN pcc2 p USING (lemma)
+           JOIN eng e USING (lemma)
+           WHERE (t.pos + 1) * 100 <= t.doc_len * 33
+             AND e.eng_idf_milli - p.pcc_idf_milli >= $minDistanceMilli)
+         SELECT doc_id, count(*) AS n_lemmas,
+           CAST(sum(distance_milli) AS BIGINT) AS total_distance_milli,
+           array_to_string(list_sort(list(lemma)), ',') AS lemmas
+         FROM spec GROUP BY doc_id ORDER BY doc_id"""
+    })
+}
