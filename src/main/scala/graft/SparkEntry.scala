@@ -26,6 +26,7 @@ object SparkEntry {
       (MiscQueries.queries, MiscQueries.oracles),
       (SourceQueries.queries, SourceQueries.oracles),
       (NlpQueries.queries, NlpQueries.oracles),
+      (PipelineQueries.queries, PipelineQueries.oracles),
     )
 
   /** Flagship: full entity-matching pipeline on sf0.001 (candidates →

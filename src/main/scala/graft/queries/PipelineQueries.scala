@@ -1,0 +1,269 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.TextFns
+import graft.operators.PersonDedup
+
+/** Chained-pipeline parity family, round 4: the end-to-end instrument
+  * analyser composite (`matching/analyser/AdvancedInstrumentAnalyser
+  * .scala:84-616` — candidate hits → ±15-word sentence windows →
+  * frequency cap → per-instrument close-word model → candidate
+  * scoring; the reference's largest single operator) and the
+  * person-deduplication pair predicate with the umlaut rewrite chain
+  * (`deduplication/PersonDeduplicationStage.scala:29-144` +
+  * `PersonCleanerStage.scala:35-199`).
+  *
+  * Both are fully DuckDB-oracled: every stage is deterministic column
+  * logic (the reference's CoreNLP pos/ner filter maps to the declared
+  * word-length floor, and its seeded-ML confidence tail is covered
+  * separately by q56/q66 — SURVEY §7.4-5).
+  */
+object PipelineQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Instrument dim fixture: name, code, and the pre-split name words
+    * (the reference splits instrument_code into w1..w5; two words
+    * suffice for this corpus). "the" is the hot-instrument control the
+    * frequency cap must eliminate at every scale factor. */
+  val instruments: Seq[(String, String, String, Option[String])] = Seq(
+    ("the", "I00", "the", None),
+    ("spark stream", "I01", "spark", Some("stream")),
+    ("vector window", "I02", "vector", Some("window")),
+    ("hash join", "I03", "hash", Some("join")))
+
+  private val windowSize = 15      // wordDistanceFromInstrument
+  private val minWordLen = 3       // minimumTextWordSize/minimumModelWordSize
+  private val maxDocSharePct = 15  // maximumInstrumentOccurencies (as %)
+  private val modelMinCount = 2    // perInstrumentWordModelMinCount
+  private val modelMaxRank = 20    // perInstrumentWordModelMaxRank
+
+  /** q86: the instrument composite. Stage shapes (all reference-cited):
+    *  1. positional word stream, short words dropped AFTER position
+    *     assignment (prepareDocumentText);
+    *  2. hits: first-name-word equi-join + positional check of the
+    *     second word (findInstrumentFromText + the customArrayContains
+    *     multi-word validation, made positional);
+    *  3. frequency cap: instruments present in ≥ maxDocShare of
+    *     documents are dropped (filterInstrumentWithTooManyOccurencies,
+    *     cross-multiplied to exact integers);
+    *  4. ±15-word windows around each hit (the J4 band join);
+    *  5. close-word model: per instrument, words co-occurring in ≥ 2
+    *     distinct documents, rank < 20 by document count — rank ties
+    *     all survive, deterministically (buildWordModelPerInstrument);
+    *  6. candidate scoring: close-word hits over window size in exact
+    *     milli units.
+    * One shuffle per stage boundary, dims broadcast, no driver loops. */
+  def q86InstrumentPipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dim = instruments.map { case (n, c, w1, w2) => (n, c, w1, w2.orNull) }
+      .toDF("name", "code", "w1", "w2")
+    val docs = Tables.documents(s, dir)
+    val tok = docs.select(col("doc_id"),
+        posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "tok")))
+      .filter(length(col("tok")) >= minWordLen)
+
+    // hits: w1 at pos, and for two-word names w2 at pos+1
+    val h1 = tok.join(broadcast(dim), col("tok") === col("w1"))
+    val hits = h1.filter(col("w2").isNull)
+      .select(col("doc_id"), col("code"), col("pos").as("hit_pos"))
+      .unionByName(
+        h1.filter(col("w2").isNotNull)
+          .join(tok.select(col("doc_id"), col("pos").as("pos2"),
+            col("tok").as("tok2")),
+            Seq("doc_id"))
+          .filter(col("pos2") === col("pos") + 1 && col("tok2") === col("w2"))
+          .select(col("doc_id"), col("code"), col("pos").as("hit_pos")))
+
+    // frequency cap (exact integers: df·100 < nDocs·sharePct)
+    val nDocs = docs.agg(countDistinct("doc_id").as("n_docs"))
+    val valid = hits.groupBy("code").agg(countDistinct("doc_id").as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") * 100 < col("n_docs") * maxDocSharePct)
+      .select("code")
+    val capped = hits.join(broadcast(valid), Seq("code"))
+
+    // sentence windows (equi on doc_id + in-partition range residual)
+    val ctx = capped.join(tok, Seq("doc_id"))
+      .filter(col("pos").between(col("hit_pos") - windowSize,
+        col("hit_pos") + windowSize))
+
+    // close-word model: distinct-doc counts, min count, top-rank band
+    val model = ctx.select("code", "tok", "doc_id").distinct()
+      .groupBy("code", "tok").agg(count(lit(1)).as("n_docs_w"))
+      .filter(col("n_docs_w") >= modelMinCount)
+      .withColumn("rnk", rank().over(
+        Window.partitionBy("code").orderBy(col("n_docs_w").desc)))
+      .filter(col("rnk") < modelMaxRank)
+      // reference quirk kept: only words equal to a FULL instrument
+      // name are anti-joined out, so single name-words stay in the model
+      .join(dim.select(col("name")), col("tok") === col("name"), "left_anti")
+      .select("code", "tok")
+
+    // candidate scoring
+    val counts = ctx.join(model.withColumn("close", lit(1L)),
+        Seq("code", "tok"), "left")
+      .groupBy("doc_id", "code", "hit_pos")
+      .agg(count(lit(1)).as("n_context"),
+        sum(coalesce(col("close"), lit(0L))).as("n_close"))
+    counts
+      .withColumn("score_milli", expr("n_close * 1000 div n_context"))
+      .orderBy("doc_id", "code", "hit_pos")
+  }
+
+  /** q88: person-dedup pair predicate parity. Persons are derived
+    * deterministically from customer×nation (firstname = segment,
+    * lastname = nation name with umlaut injections per key residue,
+    * publication name per the three predicate branch shapes), cleaned
+    * with the PersonCleanerStage chain, blocked on first_lastname and
+    * matched with the name/initials rules. The ö→oe→o chain unifies
+    * ö-spelled lastnames with their plain forms (one block), while
+    * ä→ae deliberately stays distinct — both demonstrated by the
+    * injections. */
+  def q88PersonDedup(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .join(Tables.nation(s, dir),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey").as("id"),
+        lower(col("c_mktsegment")).as("fr"),
+        lower(col("n_name")).as("l0"))
+    val raw = c
+      .withColumn("lr",
+        when(col("id") % 5 === 0, regexp_replace(col("l0"), "a", "ä"))
+          .when(col("id") % 5 === 1, regexp_replace(col("l0"), "o", "ö"))
+          .when(col("id") % 5 === 2, regexp_replace(col("l0"), "u", "ü"))
+          .otherwise(col("l0")))
+      .withColumn("pr",
+        when(col("id") % 7 === 0,
+          concat(col("lr"), lit(" "), substring(col("fr"), 1, 1)))
+          .when(col("id") % 7 === 1,
+            concat(col("lr"), lit(" x "), col("fr")))
+          .when(col("id") % 7 === 2,
+            concat(col("fr"), lit(" van "), col("lr")))
+          .otherwise(lit("journal of computing")))
+    val cleaned = raw.select(
+      col("id"),
+      PersonDedup.cleanFirstName(col("fr")).as("firstname"),
+      PersonDedup.cleanLastName(col("lr"), col("pr")).as("lastname"),
+      PersonDedup.cleanPublicationName(col("pr")).as("pub"))
+      .withColumn("first_lastname",
+        PersonDedup.firstLastName(col("lastname"), col("pub")))
+
+    val a = cleaned.select(col("first_lastname"), col("id").as("id1"),
+      col("firstname").as("f1"), col("lastname").as("l1"), col("pub").as("p1"))
+    val b = cleaned.select(col("first_lastname"), col("id").as("id2"),
+      col("firstname").as("f2"), col("lastname").as("l2"), col("pub").as("p2"))
+    val rule =
+      when(PersonDedup.pubMatches(col("f1"), col("l1"), col("p2")), "pub_ab")
+        .when(PersonDedup.pubMatches(col("f2"), col("l2"), col("p1")), "pub_ba")
+        .when(PersonDedup.lastFirstAgreement(col("f1"), col("l1"),
+          col("f2"), col("l2")), "name")
+    a.join(b, Seq("first_lastname"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("rule", rule)
+      .filter(col("rule").isNotNull)
+      .select("id1", "id2", "first_lastname", "rule")
+      .orderBy("id1", "id2")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q86_instrument_pipeline" -> (q86InstrumentPipeline _),
+    "q88_person_dedup" -> (q88PersonDedup _))
+
+  // ---- oracle SQL --------------------------------------------------
+
+  private val instrumentsSql = instruments
+    .map { case (n, c, w1, w2) =>
+      s"('$n', '$c', '$w1', ${w2.map(w => s"'$w'").getOrElse("NULL")})" }
+    .mkString(", ")
+
+  private val personsCte = {
+    import PersonDedup._
+    s"""persons0 AS (SELECT c_custkey AS id,
+         lower(c_mktsegment) AS fr, lower(n_name) AS l0
+         FROM customer JOIN nation ON c_nationkey = n_nationkey),
+       persons1 AS (SELECT id, fr,
+         CASE WHEN id % 5 = 0 THEN replace(l0, 'a', 'ä')
+              WHEN id % 5 = 1 THEN replace(l0, 'o', 'ö')
+              WHEN id % 5 = 2 THEN replace(l0, 'u', 'ü')
+              ELSE l0 END AS lr
+         FROM persons0),
+       persons2 AS (SELECT id, fr, lr,
+         CASE WHEN id % 7 = 0 THEN lr || ' ' || substr(fr, 1, 1)
+              WHEN id % 7 = 1 THEN lr || ' x ' || fr
+              WHEN id % 7 = 2 THEN fr || ' van ' || lr
+              ELSE 'journal of computing' END AS pr
+         FROM persons1),
+       cleaned0 AS (SELECT id,
+         ${sqlCleanFirstName("fr")} AS firstname,
+         ${sqlCleanLastName("lr", "pr")} AS lastname,
+         ${sqlCleanPublicationName("pr")} AS pub
+         FROM persons2),
+       cleaned AS (SELECT id, firstname, lastname, pub,
+         ${sqlFirstLastName("lastname", "pub")} AS first_lastname
+         FROM cleaned0)"""
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q86_instrument_pipeline" ->
+      s"""WITH dim(name, code, w1, w2) AS (VALUES $instrumentsSql),
+         toks AS (SELECT doc_id, ${TextFns.sqlTokens("text")} AS t FROM documents),
+         tok0 AS (SELECT doc_id, unnest(list_transform(t,
+             (x, i) -> struct_pack(pos := i - 1, tok := x))) AS u FROM toks),
+         tok AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM tok0
+           WHERE length(u.tok) >= $minWordLen),
+         h1 AS (SELECT tok.doc_id, tok.pos, dim.code, dim.w2
+           FROM tok JOIN dim ON tok.tok = dim.w1),
+         hits AS (
+           SELECT doc_id, code, pos AS hit_pos FROM h1 WHERE w2 IS NULL
+           UNION ALL
+           SELECT h1.doc_id, h1.code, h1.pos AS hit_pos
+           FROM h1 JOIN tok t2 ON t2.doc_id = h1.doc_id
+             AND t2.pos = h1.pos + 1 AND t2.tok = h1.w2
+           WHERE h1.w2 IS NOT NULL),
+         nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+         valid AS (SELECT code FROM
+           (SELECT code, count(DISTINCT doc_id) AS df FROM hits GROUP BY code), nd
+           WHERE df * 100 < n_docs * $maxDocSharePct),
+         capped AS (SELECT hits.* FROM hits JOIN valid USING (code)),
+         ctx AS (SELECT c.doc_id, c.code, c.hit_pos, t.pos, t.tok
+           FROM capped c JOIN tok t ON t.doc_id = c.doc_id
+             AND t.pos BETWEEN c.hit_pos - $windowSize AND c.hit_pos + $windowSize),
+         model0 AS (SELECT code, tok, count(*) AS n_docs_w FROM
+           (SELECT DISTINCT code, tok, doc_id FROM ctx) GROUP BY code, tok),
+         model1 AS (SELECT code, tok,
+             rank() OVER (PARTITION BY code ORDER BY n_docs_w DESC) AS rnk
+           FROM model0 WHERE n_docs_w >= $modelMinCount),
+         model AS (SELECT code, tok FROM model1
+           WHERE rnk < $modelMaxRank
+             AND NOT EXISTS (SELECT 1 FROM dim WHERE dim.name = model1.tok)),
+         scored AS (SELECT c.doc_id, c.code, c.hit_pos,
+             count(*) AS n_context,
+             CAST(sum(CASE WHEN m.tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_close
+           FROM ctx c LEFT JOIN model m ON m.code = c.code AND m.tok = c.tok
+           GROUP BY c.doc_id, c.code, c.hit_pos)
+         SELECT doc_id, code, hit_pos, n_context, n_close,
+           CAST(n_close * 1000 // n_context AS BIGINT) AS score_milli
+         FROM scored ORDER BY doc_id, code, hit_pos""",
+    "q88_person_dedup" ->
+      s"""WITH $personsCte,
+         pairs AS (SELECT a.id AS id1, b.id AS id2, a.first_lastname,
+             a.firstname AS f1, a.lastname AS l1, a.pub AS p1,
+             b.firstname AS f2, b.lastname AS l2, b.pub AS p2
+           FROM cleaned a JOIN cleaned b
+             ON a.first_lastname = b.first_lastname AND a.id < b.id),
+         ruled AS (SELECT id1, id2, first_lastname,
+             CASE WHEN ${PersonDedup.sqlPubMatches("f1", "l1", "p2")}
+               THEN 'pub_ab'
+             WHEN ${PersonDedup.sqlPubMatches("f2", "l2", "p1")}
+               THEN 'pub_ba'
+             WHEN ${PersonDedup.sqlLastFirstAgreement("f1", "l1", "f2", "l2")}
+               THEN 'name' END AS rule
+           FROM pairs)
+         SELECT id1, id2, first_lastname, rule FROM ruled
+         WHERE rule IS NOT NULL ORDER BY id1, id2""")
+}
