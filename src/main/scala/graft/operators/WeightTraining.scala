@@ -49,6 +49,14 @@ object WeightTraining {
     * cached match table via [[evaluateGrid]]; the probed weight set
     * per round is a 3-row broadcast frame.
     *
+    * Weights live on the exact integer lattice num/denom with
+    * denom = coarseSteps·2^rounds, so every probed weight is a single
+    * double division — the same value any other engine computes —
+    * instead of an accumulated FP sum (0.2 + 0.1 ≠ 0.3 in doubles).
+    * That makes the whole walk unrollable in the DuckDB oracle: the
+    * reachable set is the 81-point lattice, and the argmin chain is
+    * plain SQL (q72's oracle evaluates all lattice points, then walks).
+    *
     * Returns one row per evaluation round: (round, w1, error) of the
     * incumbent after that round — deterministic given deterministic
     * inputs. */
@@ -56,26 +64,28 @@ object WeightTraining {
                     labels: DataFrame, coarseSteps: Int = 5,
                     rounds: Int = 4): DataFrame = {
     import spark.implicits._
-    def errOf(ws: Seq[Double]): Seq[(Double, Long)] = {
-      val grid = ws.zipWithIndex
-        .map { case (w, i) => (i.toLong, w, 1.0 - w) }
+    val denom = coarseSteps << rounds
+    def errOf(nums: Seq[Int]): Seq[(Int, Long)] = {
+      val grid = nums.zipWithIndex
+        .map { case (n, i) =>
+          (i.toLong, n.toDouble / denom, 1.0 - n.toDouble / denom) }
         .toDF("weight_id", "w1", "w2")
       evaluateGrid(pairScores, labels, grid)
         .select("weight_id", "error").collect()
-        .map(r => (ws(r.getLong(0).toInt), r.getLong(1))).toSeq
+        .map(r => (nums(r.getLong(0).toInt), r.getLong(1))).toSeq
     }
-    val coarse = errOf((0 to coarseSteps).map(_.toDouble / coarseSteps))
-    var (bestW, bestErr) = coarse.minBy { case (w, e) => (e, w) }
+    val coarse = errOf((0 to coarseSteps).map(_ * (denom / coarseSteps)))
+    var (bestN, bestErr) = coarse.minBy { case (n, e) => (e, n) }
     val history = Seq.newBuilder[(Int, Double, Long)]
-    history += ((0, bestW, bestErr))
-    var step = 1.0 / coarseSteps / 2
+    history += ((0, bestN.toDouble / denom, bestErr))
+    var step = denom / coarseSteps / 2
     var round = 1
     while (round <= rounds) {
-      val probes = Seq(bestW - step, bestW, bestW + step)
-        .filter(w => w >= 0.0 && w <= 1.0).distinct
-      val (w, e) = errOf(probes).minBy { case (w, e) => (e, w) }
-      bestW = w; bestErr = e
-      history += ((round, bestW, bestErr))
+      val probes = Seq(bestN - step, bestN, bestN + step)
+        .filter(n => n >= 0 && n <= denom).distinct
+      val (n, e) = errOf(probes).minBy { case (n, e) => (e, n) }
+      bestN = n; bestErr = e
+      history += ((round, bestN.toDouble / denom, bestErr))
       step /= 2
       round += 1
     }

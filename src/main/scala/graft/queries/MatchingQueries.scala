@@ -282,9 +282,12 @@ object MatchingQueries {
       .orderBy("rank_bucket")
   }
 
-  /** Walker-style weight refinement (rows-only; WeightSpec asserts the
-    * error trajectory). Consumes the same pivoted pair scores and
-    * synthetic labels as q20. */
+  /** Walker-style weight refinement. Consumes the same pivoted pair
+    * scores and synthetic labels as q20. Oracled by evaluating the
+    * whole reachable weight lattice (81 points at denom=80) and
+    * unrolling the 4-round argmin walk in CTEs — the same scheme
+    * q82's oracle uses for Lloyd iterations; WeightSpec asserts the
+    * error trajectory on top. */
   def q72WeightRefine(s: SparkSession, dir: String): DataFrame = {
     val pairScores = weightPairScores(s, dir)
     val labels = pairScores.select(col("doc1"), col("doc2"),
@@ -436,5 +439,48 @@ object MatchingQueries {
            count(*) AS n_directions,
            CAST(sum(item_count) AS BIGINT) AS total_items,
            max(score) AS score
-         FROM dups GROUP BY 1, 2, 3 ORDER BY pair_lo, pair_hi""")
+         FROM dups GROUP BY 1, 2, 3 ORDER BY pair_lo, pair_hi""",
+    // refineWeights walks the num/80 lattice (WeightTraining scaladoc):
+    // evaluate every lattice point once, then unroll the coarse pick
+    // (multiples of 16) and the four halving rounds (±8, ±4, ±2, ±1)
+    // as argmin CTEs — out-of-range probes vanish via the IN-list
+    "q72_weight_refine" ->
+      s"""WITH $bothScoresSql,
+         pairsc AS (SELECT doc1, doc2, s1, s2 FROM (
+           SELECT doc1, doc2,
+             coalesce(max(CASE WHEN score_type = 'part_overlap' THEN score END), 0.0) AS s1,
+             coalesce(max(CASE WHEN score_type = 'partsupp_overlap' THEN score END), 0.0) AS s2
+           FROM allscores GROUP BY doc1, doc2)
+           WHERE s1 > 0.0 AND s2 > 0.0),
+         lattice AS (SELECT i AS num, CAST(i AS DOUBLE)/80 AS w1,
+           1.0 - CAST(i AS DOUBLE)/80 AS w2 FROM range(0, 81) t(i)),
+         scored AS (SELECT num, doc1, doc2,
+           ((doc1 + doc2) % 5 = 0) AS accepted,
+           CAST(round((w1 * s1 + w2 * s2) * 1e6) AS BIGINT) AS total_micro
+           FROM pairsc, lattice),
+         ranked AS (SELECT *, row_number() OVER (PARTITION BY num, doc1
+           ORDER BY total_micro DESC, doc2) AS rnk FROM scored),
+         errs AS (SELECT num,
+           CAST(sum(CASE WHEN accepted THEN rnk - 1 ELSE 0 END) AS BIGINT) AS error
+           FROM ranked GROUP BY num),
+         r0 AS (SELECT num, error FROM errs WHERE num % 16 = 0
+           ORDER BY error, num LIMIT 1),
+         r1 AS (SELECT e.num, e.error FROM errs e, r0
+           WHERE e.num IN (r0.num - 8, r0.num, r0.num + 8)
+           ORDER BY e.error, e.num LIMIT 1),
+         r2 AS (SELECT e.num, e.error FROM errs e, r1
+           WHERE e.num IN (r1.num - 4, r1.num, r1.num + 4)
+           ORDER BY e.error, e.num LIMIT 1),
+         r3 AS (SELECT e.num, e.error FROM errs e, r2
+           WHERE e.num IN (r2.num - 2, r2.num, r2.num + 2)
+           ORDER BY e.error, e.num LIMIT 1),
+         r4 AS (SELECT e.num, e.error FROM errs e, r3
+           WHERE e.num IN (r3.num - 1, r3.num, r3.num + 1)
+           ORDER BY e.error, e.num LIMIT 1)
+         SELECT CAST(0 AS INTEGER) AS round, CAST(num AS DOUBLE)/80 AS w1, error FROM r0
+         UNION ALL SELECT 1, CAST(num AS DOUBLE)/80, error FROM r1
+         UNION ALL SELECT 2, CAST(num AS DOUBLE)/80, error FROM r2
+         UNION ALL SELECT 3, CAST(num AS DOUBLE)/80, error FROM r3
+         UNION ALL SELECT 4, CAST(num AS DOUBLE)/80, error FROM r4
+         ORDER BY round""")
 }

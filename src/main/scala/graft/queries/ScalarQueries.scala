@@ -107,8 +107,10 @@ object ScalarQueries {
     * JVM blockhash-256 (no python subprocess), banded prefilter (docs
     * sharing any 64-bit hash word are candidates — the MinHashLSH
     * role), exact hamming over the 4 words, score 100 at distance
-    * <= 30 (the PictureScorer rule). Rows-only: blockhash has no SQL
-    * spelling; MultimodalSpec pins golden hashes. */
+    * <= 30 (the PictureScorer rule). Fully oracled: the stub codec
+    * tiles ASCII text bytes, so the whole hash — block sums, band
+    * medians, MSB-first bit packing (HUGEINT → signed) — has an exact
+    * DuckDB spelling; MultimodalSpec additionally pins golden hashes. */
   def q75BlockhashPairs(s: SparkSession, dir: String): DataFrame = {
     val hashes = Multimodal.blockhashes(
       Multimodal.packBinary(Tables.documents(s, dir), "doc_id", "text"))
@@ -211,5 +213,68 @@ object ScalarQueries {
          CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes, ("""
         + (1 to 16).map(i => s"ascii(substr(text, $i, 1))").mkString(" + ")
         + """) AS cp16
-         FROM documents ORDER BY doc_id"""))
+         FROM documents ORDER BY doc_id"""),
+    // blockhash-256 in SQL: the payload is ASCII text, so byte p of the
+    // square side×side image is ascii(substr(text, p+1, 1)) (0 beyond
+    // the text — the zero padding). Block means are double divisions,
+    // band medians average sorted ranks 32/33, bits pack MSB-first via
+    // HUGEINT with an explicit two's-complement fold to signed BIGINT —
+    // every step the exact arithmetic blockhash256 does on the JVM.
+    "q75_blockhash_pairs" ->
+      """WITH sides AS (SELECT doc_id, text,
+           octet_length(encode(text)) AS n,
+           greatest(16, CAST(ceil(sqrt(CAST(octet_length(encode(text)) AS DOUBLE)))
+             AS INTEGER)) AS s
+           FROM documents),
+         px AS (SELECT doc_id, s, n, text, unnest(range(0, s * s)) AS p FROM sides),
+         pb AS (SELECT doc_id,
+             least((p // s) * 16 // s, 15) AS by,
+             least((p % s) * 16 // s, 15) AS bx,
+             CASE WHEN p < n THEN ascii(substr(text, CAST(p + 1 AS INTEGER), 1))
+               ELSE 0 END AS v
+           FROM px),
+         bl AS (SELECT doc_id, by * 16 + bx AS bi,
+             CAST(sum(v) AS BIGINT) AS sm, count(*) AS cnt
+           FROM pb GROUP BY doc_id, by * 16 + bx),
+         mean AS (SELECT doc_id, bi, bi // 64 AS band,
+             CAST(sm AS DOUBLE) / cnt AS m FROM bl),
+         med AS (SELECT doc_id, band, (m31 + m32) / 2.0 AS median FROM (
+           SELECT doc_id, band,
+             max(CASE WHEN rn = 32 THEN m END) AS m31,
+             max(CASE WHEN rn = 33 THEN m END) AS m32
+           FROM (SELECT doc_id, band, m,
+             row_number() OVER (PARTITION BY doc_id, band ORDER BY m) AS rn
+             FROM mean)
+           GROUP BY doc_id, band)),
+         bits AS (SELECT mean.doc_id, bi,
+             CASE WHEN m > median THEN 1 ELSE 0 END AS bit
+           FROM mean JOIN med ON mean.doc_id = med.doc_id
+             AND mean.band = med.band),
+         words0 AS (SELECT doc_id, bi // 64 AS word_idx,
+             sum(CAST(bit AS HUGEINT) << CAST(63 - (bi % 64) AS INTEGER)) AS hv
+           FROM bits GROUP BY doc_id, bi // 64),
+         wordsx AS (SELECT doc_id, word_idx,
+             CAST(CASE WHEN hv >= 9223372036854775808
+               THEN hv - 18446744073709551616 ELSE hv END AS BIGINT) AS word
+           FROM words0),
+         hashes AS (SELECT doc_id,
+             max(CASE WHEN word_idx = 0 THEN word END) AS h0,
+             max(CASE WHEN word_idx = 1 THEN word END) AS h1,
+             max(CASE WHEN word_idx = 2 THEN word END) AS h2,
+             max(CASE WHEN word_idx = 3 THEN word END) AS h3
+           FROM wordsx GROUP BY doc_id),
+         cands AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+           FROM wordsx a JOIN wordsx b
+             ON a.word_idx = b.word_idx AND a.word = b.word
+              AND a.doc_id < b.doc_id),
+         scored AS (SELECT doc1, doc2,
+             CAST(bit_count(xor(x.h0, y.h0)) + bit_count(xor(x.h1, y.h1))
+               + bit_count(xor(x.h2, y.h2)) + bit_count(xor(x.h3, y.h3))
+               AS INTEGER) AS hamming
+           FROM cands
+           JOIN hashes x ON x.doc_id = doc1
+           JOIN hashes y ON y.doc_id = doc2)
+         SELECT doc1, doc2, hamming,
+           CASE WHEN hamming <= 30 THEN 100.0 ELSE 0.0 END AS score
+         FROM scored ORDER BY doc1, doc2""")
 }

@@ -40,7 +40,7 @@ class QueriesSpec extends AnyFunSuite {
     // Porter stemming and seeded spark.ml pipelines have no DuckDB
     // spelling (offline: no fts extension); MlSpec carries their
     // semantic assertions instead.
-    val allowedRowsOnly = Set("q56_rf_classifier", "q57_ml_minhash", "q66_word2vec", "q72_weight_refine", "q75_blockhash_pairs")
+    val allowedRowsOnly = Set("q56_rf_classifier", "q57_ml_minhash", "q66_word2vec")
     assert(missing.subsetOf(allowedRowsOnly),
       s"queries without oracle SQL: ${missing.mkString(", ")}")
   }
