@@ -68,26 +68,39 @@ object PersonDedup {
     when(!nullOrEmpty(cleanLast), normalizeName(firstWord(cleanLast)))
       .otherwise(firstWord(pub))
 
-  /** publisherNameProbablyEqualToNames(A, B): does B's publication
-    * name look like A's (lastname, firstname)? Uses firstWord of the
-    * lastname, per the reference. */
-  def pubMatches(firstA: Column, lastA: Column, pubB: Column): Column = {
-    val ln = firstWord(lastA)
-    !nullOrEmpty(ln) && !nullOrEmpty(firstA) && !nullOrEmpty(pubB) && (
-      pubB.startsWith(concat(ln, lit(" "), substring(firstA, 1, 1))) ||
-      (pubB.startsWith(concat(ln, lit(" "))) &&
+  /** publisherNameProbablyEqualToNames(A, B) with the leading lastname
+    * word precomputed: does B's publication name look like A's
+    * (lastname, firstname)? Callers should derive `fwLastA` ONCE per
+    * person (see [[firstWord]]) — deriving it inside the quadratic
+    * pair join would run the regex per pair instead of per person. */
+  def pubMatchesPrepped(fwLastA: Column, firstA: Column,
+                        pubB: Column): Column =
+    !nullOrEmpty(fwLastA) && !nullOrEmpty(firstA) && !nullOrEmpty(pubB) && (
+      pubB.startsWith(concat(fwLastA, lit(" "), substring(firstA, 1, 1))) ||
+      (pubB.startsWith(concat(fwLastA, lit(" "))) &&
         pubB.endsWith(concat(lit(" "), firstA))) ||
-      (pubB.endsWith(concat(lit(" "), ln)) &&
+      (pubB.endsWith(concat(lit(" "), fwLastA)) &&
         pubB.startsWith(concat(firstA, lit(" ")))))
-  }
+
+  /** Convenience spelling deriving firstWord inline (fine outside
+    * quadratic contexts). */
+  def pubMatches(firstA: Column, lastA: Column, pubB: Column): Column =
+    pubMatchesPrepped(firstWord(lastA), firstA, pubB)
+
+  /** The lastname + firstname/initials branch, over precomputed
+    * leading lastname words. */
+  def lastFirstAgreementPrepped(first1: Column, fwLast1: Column,
+                                first2: Column, fwLast2: Column): Column =
+    !nullOrEmpty(fwLast1) && fwLast1 === fwLast2 &&
+      !nullOrEmpty(first1) && !nullOrEmpty(first2) && (
+        (length(first1) >= 2 && length(first2) >= 2 && first1 === first2) ||
+        substring(first1, 1, 1) === substring(first2, 1, 1))
 
   /** The lastname + firstname/initials branch of the pair predicate. */
   def lastFirstAgreement(first1: Column, last1: Column,
                          first2: Column, last2: Column): Column =
-    !nullOrEmpty(firstWord(last1)) && firstWord(last1) === firstWord(last2) &&
-      !nullOrEmpty(first1) && !nullOrEmpty(first2) && (
-        (length(first1) >= 2 && length(first2) >= 2 && first1 === first2) ||
-        substring(first1, 1, 1) === substring(first2, 1, 1))
+    lastFirstAgreementPrepped(first1, firstWord(last1),
+      first2, firstWord(last2))
 
   /** getNamesProbablyEqual: publication-name match in either
     * direction, or equal leading lastnames with full-firstname or
