@@ -91,6 +91,38 @@ class MlSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"LSH recall $recall over ${exact.size} exact pairs")
   }
 
+  test("instrument composite chains into a seeded mention classifier") {
+    // the reference's AdvancedInstrumentAnalyser tail: candidate
+    // windows become labelled feature rows for a seeded classifier
+    // (M6). The deterministic stages are q86's oracle-checked output;
+    // this asserts the ML hand-off on top of them.
+    import org.apache.spark.ml.classification.RandomForestClassifier
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.sql.functions._
+    def run(): Array[String] = {
+      val cands = graft.queries.PipelineQueries
+        .q86InstrumentPipeline(spark, sf)
+        .withColumn("label",
+          (col("score_milli") >= 200).cast("double"))
+        .withColumn("hits_d", col("n_close").cast("double"))
+        .withColumn("ctx_d", col("n_context").cast("double"))
+      val feats = new VectorAssembler()
+        .setInputCols(Array("hits_d", "ctx_d"))
+        .setOutputCol("features").transform(cands)
+      val model = new RandomForestClassifier()
+        .setSeed(42L).setNumTrees(10).setMaxDepth(4)
+        .setLabelCol("label").setFeaturesCol("features")
+        .fit(feats)
+      model.transform(feats)
+        .select(col("doc_id"), col("code"), col("hit_pos"), col("prediction"))
+        .collect().map(_.toString).sorted
+    }
+    val a = run()
+    assert(a.nonEmpty)
+    assert(a.sameElements(run()),
+      "seeded classifier over q86 candidates must be deterministic")
+  }
+
   test("q66 Word2Vec featurization is seeded-deterministic") {
     val a = MlQueries.q66Word2vec(spark, sf).collect()
     val b = MlQueries.q66Word2vec(spark, sf).collect()
