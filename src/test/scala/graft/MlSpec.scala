@@ -100,8 +100,13 @@ class MlSpec extends AnyFunSuite {
     import org.apache.spark.ml.feature.VectorAssembler
     import org.apache.spark.sql.functions._
     def run(): Array[String] = {
+      // one sorted partition: RF bagging samples rows in partition
+      // order, so determinism needs a pinned layout (as q66 pins the
+      // Word2Vec model partitions)
       val cands = graft.queries.PipelineQueries
         .q86InstrumentPipeline(spark, sf)
+        .repartition(1)
+        .sortWithinPartitions("doc_id", "code", "hit_pos")
         .withColumn("label",
           (col("score_milli") >= 200).cast("double"))
         .withColumn("hits_d", col("n_close").cast("double"))
@@ -113,9 +118,15 @@ class MlSpec extends AnyFunSuite {
         .setSeed(42L).setNumTrees(10).setMaxDepth(4)
         .setLabelCol("label").setFeaturesCol("features")
         .fit(feats)
-      model.transform(feats)
-        .select(col("doc_id"), col("code"), col("hit_pos"), col("prediction"))
-        .collect().map(_.toString).sorted
+      // predict driver-side: the candidate set is tiny here, and
+      // model.transform would ship the model (whose training summary
+      // pins the session) through a codegen closure
+      feats.select(col("doc_id"), col("code"), col("hit_pos"), col("features"))
+        .collect()
+        .map { r =>
+          val p = model.predict(r.getAs[org.apache.spark.ml.linalg.Vector](3))
+          s"${r.getLong(0)}|${r.getString(1)}|${r.getInt(2)}|$p"
+        }.sorted
     }
     val a = run()
     assert(a.nonEmpty)
