@@ -220,10 +220,65 @@ object NlpQueries {
       .orderBy("doc_id")
   }
 
+  /** RAKE stopword set (the corpus articles). */
+  private val rakeStop = Seq("the", "a")
+
+  /** q89: RAKE keyword extraction (the reference ships RAKE alongside
+    * the word-spec analyser, `DocumentWordSpecAnalyser2.scala:251-321`)
+    * re-expressed relationally:
+    *  - candidate phrases are maximal stopword-free token runs
+    *    (gaps-and-islands), truncated to the run's LAST
+    *    maxWordsInPhrase=2 words when longer — exactly what the
+    *    reference's drop-head-and-retake recursion converges to;
+    *  - word score = degree/freq where freq counts phrase-word
+    *    occurrences and degree adds (len-1) per occurrence, in exact
+    *    integer micro units ((freq+extra)·1e6 div freq — the Exact
+    *    doctrine stand-in for the reference's raw double ratio);
+    *  - phrase score = Σ word scores; top-3 per document with a
+    *    deterministic (score desc, phrase) tiebreak. */
+  def q89RakeKeywords(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir).select(col("doc_id"),
+      posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "w")))
+    val acc = tok.filter(!col("w").isin(rakeStop: _*) &&
+      col("w").rlike("^[a-z]+$"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val runs = acc
+      .withColumn("grp", col("pos") - row_number().over(byDoc))
+      .groupBy("doc_id", "grp")
+      .agg(array_sort(collect_list(struct(col("pos"), col("w")))).as("ws"))
+      .select(col("doc_id"),
+        transform(
+          when(size(col("ws")) <= 2, col("ws"))
+            .otherwise(slice(col("ws"), -2, 2)),
+          x => x.getField("w")).as("pwords"))
+      .withColumn("plen", size(col("pwords")))
+    val scores = runs
+      .select(col("doc_id"), explode(col("pwords")).as("w"),
+        (col("plen") - 1).as("deg_extra"))
+      .groupBy("doc_id", "w")
+      .agg(count(lit(1)).as("freq"), sum("deg_extra").as("extra"))
+      .withColumn("score_micro", expr("(freq + extra) * 1000000 div freq"))
+    val phrases = runs
+      .select(col("doc_id"), array_join(col("pwords"), " ").as("phrase"))
+      .distinct()
+    val pScores = phrases
+      .select(col("doc_id"), col("phrase"),
+        explode(split(col("phrase"), " ")).as("w"))
+      .join(scores, Seq("doc_id", "w"))
+      .groupBy("doc_id", "phrase")
+      .agg(sum("score_micro").as("score_micro"))
+    val rankW = Window.partitionBy("doc_id")
+      .orderBy(col("score_micro").desc, col("phrase"))
+    pScores.withColumn("rnk", rank().over(rankW))
+      .filter(col("rnk") <= 3)
+      .orderBy("doc_id", "rnk", "phrase")
+  }
+
   val queries: Map[String, Q] = Map(
     "q84_formula_entities" -> (q84FormulaEntities _),
     "q85_doi_stitch" -> (q85DoiStitch _),
-    "q87_word_spec" -> (q87WordSpec _))
+    "q87_word_spec" -> (q87WordSpec _),
+    "q89_rake_keywords" -> (q89RakeKeywords _))
 
   // ---- oracle SQL --------------------------------------------------
 
@@ -264,6 +319,40 @@ object NlpQueries {
            ELSE '10.5291/ILL'
          END AS doi
          FROM documents ORDER BY doc_id, doi""",
+    "q89_rake_keywords" ->
+      s"""WITH toks AS (SELECT doc_id, ${TextFns.sqlTokens("text")} AS t FROM documents),
+         tok0 AS (SELECT doc_id, unnest(list_transform(t, (x, i) ->
+             struct_pack(pos := i - 1, w := x))) AS u FROM toks),
+         acc AS (SELECT doc_id, u.pos AS pos, u.w AS w FROM tok0
+           WHERE u.w NOT IN (${rakeStop.map(w => s"'$w'").mkString(", ")})
+             AND regexp_matches(u.w, '^[a-z]+$$')),
+         grps AS (SELECT doc_id, pos, w,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+           FROM acc),
+         runs0 AS (SELECT doc_id, grp, list(w ORDER BY pos) AS ws
+           FROM grps GROUP BY doc_id, grp),
+         runsp AS (SELECT doc_id,
+             CASE WHEN len(ws) <= 2 THEN ws ELSE ws[-2:] END AS pwords,
+             len(CASE WHEN len(ws) <= 2 THEN ws ELSE ws[-2:] END) AS plen
+           FROM runs0),
+         wordocc AS (SELECT doc_id, unnest(pwords) AS w, plen - 1 AS deg_extra
+           FROM runsp),
+         scores AS (SELECT doc_id, w,
+             CAST((count(*) + sum(deg_extra)) * 1000000 // count(*) AS BIGINT)
+               AS score_micro
+           FROM wordocc GROUP BY doc_id, w),
+         phr AS (SELECT DISTINCT doc_id, array_to_string(pwords, ' ') AS phrase
+           FROM runsp),
+         pw AS (SELECT doc_id, phrase, unnest(string_split(phrase, ' ')) AS w
+           FROM phr),
+         ps AS (SELECT pw.doc_id, pw.phrase,
+             CAST(sum(s.score_micro) AS BIGINT) AS score_micro
+           FROM pw JOIN scores s ON s.doc_id = pw.doc_id AND s.w = pw.w
+           GROUP BY pw.doc_id, pw.phrase),
+         ranked AS (SELECT *, rank() OVER (PARTITION BY doc_id
+           ORDER BY score_micro DESC, phrase) AS rnk FROM ps)
+         SELECT doc_id, phrase, score_micro, rnk FROM ranked
+         WHERE rnk <= 3 ORDER BY doc_id, rnk, phrase""",
     "q87_word_spec" -> {
       val lem = SuffixLemmatizer.sqlLemma("word")
       s"""WITH nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
