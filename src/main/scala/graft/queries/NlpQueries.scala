@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.TextFns
-import graft.operators.{DoiStitch, SuffixLemmatizer, WordClassifier}
+import graft.operators.{DoiStitch, SuffixLemmatizer, SuffixPosTagger, WordClassifier}
 
 /** NLP-analyser parity family, round 4: the dictionary word/formula
   * classifier (`utils/nlp/FormulaAnalyser/service/WordService.java:34-420`,
@@ -194,7 +194,10 @@ object NlpQueries {
         posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "word")),
         (size(TextFns.tokens(col("text"))) + 1).as("doc_len"))
       .withColumn("lemma", SuffixLemmatizer.lemma(col("word")))
-      .filter(length(col("lemma")) >= 4)
+      // the reference's allowedPosTag ∧ lemma-length gate, over the
+      // pluggable tagger (CoreNLP would slot in behind the same trait)
+      .filter(SuffixPosTagger.tag(col("word"))
+        .isin(SuffixPosTagger.allowed: _*) && length(col("lemma")) >= 4)
     val pcc = tok.groupBy("lemma")
       .agg(countDistinct("doc_id").as("pcc_df"))
       .filter(col("pcc_df") > minPccFrequency)
@@ -371,7 +374,9 @@ object NlpQueries {
          tok AS (SELECT doc_id, doc_len, pos, $lem AS lemma
            FROM (SELECT doc_id, doc_len, u.pos AS pos, u.word AS word
                  FROM tok0)
-           WHERE length($lem) >= 4),
+           WHERE ${SuffixPosTagger.sqlTag("word")} IN
+             (${SuffixPosTagger.allowed.map(t => s"'$t'").mkString(", ")})
+             AND length($lem) >= 4),
          pcc AS (SELECT lemma, count(DISTINCT doc_id) AS pcc_df
            FROM tok GROUP BY lemma HAVING count(DISTINCT doc_id) > $minPccFrequency),
          pcc2 AS (SELECT lemma,

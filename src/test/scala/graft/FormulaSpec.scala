@@ -82,6 +82,37 @@ class FormulaSpec extends AnyFunSuite {
     assert(accepted === NlpQueries.expectedFormulas.sorted)
   }
 
+  test("pluggable lemmatizer and POS tagger goldens") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{SuffixLemmatizer, SuffixPosTagger}
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val words = Seq("queries", "tables", "classes", "misses", "bus",
+      "quickly", "running", "organize", "famous", "useful", "the",
+      "table", "merge")
+    val got = words.toDF("w")
+      .select(col("w"), SuffixLemmatizer.lemma(col("w")).as("lemma"),
+        SuffixPosTagger.tag(col("w")).as("tag"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2))))
+      .toMap
+    assert(got("queries") === ("query", "NOUN"))
+    assert(got("tables") === ("table", "NOUN"))
+    assert(got("misses") === ("miss", "NOUN"))   // -sses keeps -ss
+    assert(got("bus") === ("bus", "NOUN"))        // -us not stripped
+    assert(got("quickly") === ("quickly", "ADV"))
+    assert(got("running") === ("running", "VERB"))
+    assert(got("organize") === ("organize", "VERB"))
+    assert(got("famous") === ("famous", "ADJ"))
+    assert(got("useful") === ("useful", "ADJ"))
+    assert(got("the") === ("the", "DET"))
+    assert(got("table") === ("table", "NOUN"))
+    assert(got("merge") === ("merge", "NOUN"))
+    // trait contract: the SQL spellings exist and carry the same rules
+    assert(SuffixLemmatizer.sqlLemma("w").contains("'%ies'"))
+    assert(SuffixPosTagger.sqlTag("w").contains("'%ly'"))
+  }
+
   test("ILL-DOI stitching") {
     // the reference's own worked example (CodeAnalyserService comment)
     assert(DoiStitch.analyseIllDoi(
