@@ -62,4 +62,67 @@ object GraphComponents {
     undirected.unpersist()
     labels
   }
+
+  /** Alternating large-star/small-star connected components (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond") — the
+    * known fix for min-propagation's O(diameter) rounds: each
+    * iteration squares path lengths, so even adversarial long-chain
+    * graphs converge in O(log² n) rounds. Kept as an alternative to
+    * [[connectedComponents]] (whose single-join rounds win on the
+    * tiny-diameter dedup forests this engine actually builds);
+    * StarSpec asserts both produce identical labels and that a
+    * 256-node path converges well under its diameter.
+    *
+    * Edge state is the canonical (hi, lo) pair set. Per round:
+    * large-star hangs every larger neighbor of u onto u's minimum
+    * neighborhood label; small-star re-hangs the smaller neighbors
+    * (and u itself) onto it. Convergence = (count, hash-sum) checksum
+    * of the canonical edge set unchanged — one aggregate per round. */
+  def connectedComponentsStar(nodes: DataFrame, edges: DataFrame,
+                              maxIter: Int = 50): DataFrame = {
+    def canon(df: DataFrame): DataFrame =
+      df.filter(col("a") =!= col("b"))
+        .select(greatest(col("a"), col("b")).as("u"),
+          least(col("a"), col("b")).as("v"))
+        .distinct()
+
+    var e = canon(edges.select(col("src").as("a"), col("dst").as("b")))
+      .localCheckpoint()
+    var prev: (Long, String) = (-1L, "")
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // large-star over the symmetric adjacency
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val minsL = sym.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val large = canon(sym.join(minsL, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b")))
+      // small-star over the canonical (hi, lo) orientation: all
+      // neighbors v of u satisfy v <= u, so m = min neighbor
+      val minsS = large.groupBy("u").agg(min("v").as("m"))
+      val small = canon(
+        large.join(minsS, "u").select(col("v").as("a"), col("m").as("b"))
+          .union(minsS.select(col("u").as("a"), col("m").as("b"))))
+        .localCheckpoint()
+      val sig = small
+        .agg(count(lit(1)).cast("long").as("n"),
+          // decimal accumulator: a long sum of 64-bit hashes overflows
+          // under ANSI semantics
+          coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+            lit(0).cast("decimal(38,0)")).as("h"))
+        .head()
+      val cur = (sig.getLong(0), String.valueOf(sig.getDecimal(1)))
+      converged = cur == prev
+      prev = cur
+      e = small
+      i += 1
+    }
+    // fixed point is a star forest: (node, root) plus self-rooted rest
+    nodes.select(col("node"))
+      .join(e.select(col("u").as("node"), col("v").as("comp")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("comp"), col("node")).as("comp"))
+  }
 }
