@@ -37,9 +37,9 @@ class QueriesSpec extends AnyFunSuite {
   test("every query has either an oracle or is explicitly rows-only") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // rows-only checks are allowed, but keep the list deliberate:
-    // Porter stemming and seeded spark.ml pipelines have no DuckDB
-    // spelling (offline: no fts extension); MlSpec carries their
-    // semantic assertions instead.
+    // only the seeded spark.ml pipelines remain oracle-less (their
+    // randomness has no SQL spelling); MlSpec carries their semantic
+    // assertions instead.
     val allowedRowsOnly = Set("q56_rf_classifier", "q57_ml_minhash", "q66_word2vec")
     assert(missing.subsetOf(allowedRowsOnly),
       s"queries without oracle SQL: ${missing.mkString(", ")}")
