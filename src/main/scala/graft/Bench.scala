@@ -43,15 +43,18 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         // per-query progress on stderr so a wedged run is diagnosable
         System.err.println(f"[bench] run $run $name rows=$n ${dt}%.1f s")
-        name -> dt
+        name -> (dt, n >= 0)
       }
       // drop every session-level cache so the next sweep is cold —
       // otherwise run 2 times the cached path, not the query
       queries.Shared.clear()
-      times
+      times.toMap
     }
+    // min over SUCCESSFUL sweeps only — a crashed sweep's short
+    // duration must not masquerade as a timing; all-failed → -1
     val results = names.map(_._1).map { name =>
-      name -> samples.map(_.toMap.apply(name)).min
+      val ok = samples.map(_(name)).collect { case (dt, true) => dt }
+      name -> (if (ok.nonEmpty) ok.min else -1.0)
     }
     // The harness that records this run keeps only a bounded tail of
     // stdout, so the JSON line must stay short (3-decimal times) and be

@@ -50,9 +50,9 @@ object AsofJoin {
     val reserved = Seq("__side", "__p")
     require(!(left.columns ++ right.columns).exists(reserved.contains),
       s"asofPrior reserves columns ${reserved.mkString(", ")}")
-    require(payload.intersect(leftOnly).isEmpty,
-      s"payload columns ${payload.intersect(leftOnly).mkString(", ")} " +
-        "collide with left-side columns")
+    require(payload.intersect(leftOnly :+ key :+ ts).isEmpty,
+      s"payload columns ${payload.intersect(leftOnly :+ key :+ ts).mkString(", ")} " +
+        "collide with left-side output columns (alias them on the right first)")
     val pStruct = struct(payload.map(col): _*)
     val l = left.select(
       Seq(col(key), col(ts), lit(0).as("__side")) ++

@@ -23,6 +23,14 @@ object Cleaning {
       .replaceAll("\\p{M}", "")
   }
 
+  /** NFD-decompose then drop ALL non-ASCII (stricter than
+    * [[foldAccents]], which keeps non-ASCII non-marks) — the fold the
+    * reference's code/word analysers apply to raw text. One shared
+    * helper so the extractors cannot silently diverge. */
+  def asciiFold(s: String): String =
+    java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+      .replaceAll("[^\\p{ASCII}]", "")
+
   /** Lowercase, strip everything but letters/digits/space, collapse
     * runs of whitespace, trim. Oracle spelling: lower + regexp_replace
     * + trim, identical semantics. */

@@ -35,9 +35,7 @@ object DoiStitch {
     "\\b(10[.][0-9]{4,}(?:[.][0-9]+)*/(?:(?![\"&\\'<>])\\S)+)\\b")
   private val windowChars = 20
 
-  private def asciiFold(text: String): String =
-    java.text.Normalizer.normalize(text, java.text.Normalizer.Form.NFD)
-      .replaceAll("[^\\p{ASCII}]", "")
+  private def asciiFold(text: String): String = Cleaning.asciiFold(text)
 
   /** Proposal codes (> 4 chars) over the newline-stripped, ASCII-folded
     * text. */

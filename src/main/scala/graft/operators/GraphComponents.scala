@@ -41,7 +41,7 @@ object GraphComponents {
     // decreased. The sum rides the checkpoint action via observe()
     // (decimal accumulator — immune to long overflow at any node
     // count), halving the job count per iteration (VERDICT r3).
-    var prevSum: java.math.BigDecimal = null
+    var prevSum: String = null
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
@@ -53,8 +53,10 @@ object GraphComponents {
         .groupBy("node").agg(min("comp").as("comp"))
         .observe(obs, sum(col("comp").cast("decimal(38,0)")).as("label_sum"))
         .localCheckpoint()
-      val curSum = obs.get("label_sum").asInstanceOf[java.math.BigDecimal]
-      converged = prevSum != null && prevSum.compareTo(curSum) == 0
+      // string repr so the empty relation ("null" sum every round)
+      // also reaches the prev == cur fixpoint instead of spinning
+      val curSum = String.valueOf(obs.get("label_sum"))
+      converged = prevSum != null && prevSum == curSum
       prevSum = curSum
       labels = next
       i += 1
@@ -119,9 +121,12 @@ object GraphComponents {
       e = small
       i += 1
     }
-    // fixed point is a star forest: (node, root) plus self-rooted rest
+    // fixed point is a star forest: (node, root) plus self-rooted rest.
+    // The min-aggregate keeps the output one-row-per-node even if
+    // maxIter expired before the edge set contracted to stars (a
+    // plain join would multiply rows for still-multi-edge nodes).
     nodes.select(col("node"))
-      .join(e.select(col("u").as("node"), col("v").as("comp")),
+      .join(e.groupBy(col("u").as("node")).agg(min(col("v")).as("comp")),
         Seq("node"), "left")
       .select(col("node"), coalesce(col("comp"), col("node")).as("comp"))
   }

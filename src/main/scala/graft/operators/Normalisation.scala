@@ -35,9 +35,18 @@ object Normalisation {
   def kthLargest(df: DataFrame, valueCol: String, k: Long,
                  buckets: Int = 4096): Long = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val v = col(valueCol)
-    val bounds = df.agg(min(v).as("lo"), max(v).as("hi")).head()
+    require(df.schema(valueCol).dataType match {
+      case org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }, s"kthLargest needs an integral column, got ${df.schema(valueCol)}")
+    // widen ints to longs up front: Row.getLong does not unbox Integer
+    val v = col(valueCol).cast("long")
+    val bounds = df
+      .agg(min(v).as("lo"), max(v).as("hi"), count(v).as("n")).head()
     require(!bounds.isNullAt(0), "kthLargest over an empty relation")
+    require(k <= bounds.getLong(2),
+      s"k=$k exceeds the ${bounds.getLong(2)} non-null rows")
     var lo = bounds.getLong(0)
     var hi = bounds.getLong(1)
     var kk = k

@@ -67,9 +67,13 @@ object WordClassifier {
   private val numberRe = Pattern.compile(
     "-?(0[xX][0-9a-fA-F]+|(\\d+\\.?\\d*|\\.\\d+)([eE][-+]?\\d+)?[dDfFlL]?)")
 
-  private def ascii(s: String): String =
-    java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
-      .replaceAll("[^\\p{ASCII}]", "")
+  private def ascii(s: String): String = Cleaning.asciiFold(s)
+
+  // the reference's explicit control-character set (not all of
+  // 0x00-0x1F: it keeps e.g. 0x0B-0x0D and 0x18-0x1C); hoisted —
+  // normalize runs once per distinct word
+  private val ctl: Set[Int] = (0x00 to 0x07).toSet ++ (0x10 to 0x17) ++
+    Set(0x0E, 0x0F, 0x1E, 0x1D, 0x1F, 0x08)
 
   /** One pass of the reference's strip rules over the ASCII-folded
     * word. Suffix strips fire only when the word is strictly longer
@@ -86,10 +90,6 @@ object WordClassifier {
     Seq("'", "\"", "^", "{", "}", "/").foreach(dropStart)
     Seq("-", "\\", ",", ".", ":", ";").foreach(dropStart)
     Seq("'", "\"").foreach(dropEnd)
-    // the reference's explicit control-character set (not all of
-    // 0x00-0x1F: it keeps e.g. 0x0B-0x0D and 0x18-0x1C)
-    val ctl = (0x00 to 0x07).toSet ++ (0x10 to 0x17) ++
-      Set(0x0E, 0x0F, 0x1E, 0x1D, 0x1F, 0x08)
     w = w.filterNot(c => ctl(c.toInt))
     if (w.startsWith("(") && w.endsWith(")") && w.length > 1 &&
         w.count(_ == '(') == 1 && w.count(_ == ')') == 1)

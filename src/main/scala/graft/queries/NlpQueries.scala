@@ -190,9 +190,14 @@ object NlpQueries {
     // corpus side: early-position (first third) lemma occurrences;
     // document_length reproduces the reference's +1 quirk (the word
     // counter is post-incremented before being emitted)
-    val tok = docs.select(col("doc_id"),
-        posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "word")),
-        (size(TextFns.tokens(col("text"))) + 1).as("doc_len"))
+    // materialize the token array once: putting size(tokens(text))
+    // next to the generator would re-run the regex split per OUTPUT
+    // row (no CSE between Generate and its projection)
+    val tok = docs
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        posexplode(col("toks")).as(Seq("pos", "word")),
+        (size(col("toks")) + 1).as("doc_len"))
       .withColumn("lemma", SuffixLemmatizer.lemma(col("word")))
       // the reference's allowedPosTag ∧ lemma-length gate, over the
       // pluggable tagger (CoreNLP would slot in behind the same trait)
