@@ -136,6 +136,23 @@ object ScalarQueries {
       .orderBy("doc1", "doc2")
   }
 
+  /** Block-mean thumbnail resize over the multimodal payloads
+    * (Multimodal.resizeThumbs — the media resize step, same block
+    * partitioning as blockhash): every 8×8-thumb byte decoded back to
+    * its integer value. The payload bytes are ASCII (< 0x80) and
+    * block means of ASCII stay ASCII, so the byte→int hop is a safe
+    * UTF-8 decode and the whole pipeline has an exact DuckDB spelling
+    * (integer half-up means over the q75 block partitioning). */
+  def q90ThumbnailBlocks(s: SparkSession, dir: String): DataFrame = {
+    val thumbs = Multimodal.resizeThumbs(
+      Multimodal.packBinary(Tables.documents(s, dir), "doc_id", "text"), 8, 8)
+    thumbs.select(col("doc_id"), col("w"), col("h"),
+        posexplode(transform(sequence(lit(0), lit(63)),
+          i => ascii(decode(col("thumb").substr(i + 1, lit(1)), "UTF-8"))))
+          .as(Seq("block_idx", "mean_byte")))
+      .orderBy("doc_id", "block_idx")
+  }
+
   /** Frame sampling over the packed payloads (the video plumbing
     * shape, q46's sibling): every 2nd 64-byte frame as a row, decoded
     * back to text so DuckDB can check the exact slicing. The text is
@@ -157,7 +174,8 @@ object ScalarQueries {
     "q42_token_runs" -> (q42TokenRuns _),
     "q46_multimodal_features" -> (q46MultimodalFeatures _),
     "q75_blockhash_pairs" -> (q75BlockhashPairs _),
-    "q83_frame_sample" -> (q83FrameSample _))
+    "q83_frame_sample" -> (q83FrameSample _),
+    "q90_thumbnail_blocks" -> (q90ThumbnailBlocks _))
 
   private val tokCte =
     s"""toks AS (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents),
@@ -276,5 +294,28 @@ object ScalarQueries {
            JOIN hashes y ON y.doc_id = doc2)
          SELECT doc1, doc2, hamming,
            CASE WHEN hamming <= 30 THEN 100.0 ELSE 0.0 END AS score
-         FROM scored ORDER BY doc1, doc2""")
+         FROM scored ORDER BY doc1, doc2""",
+    // block-mean 8x8 thumbnail in SQL: the q75 block partitioning with
+    // integer half-up means ((sm + cnt//2) // cnt — exactly
+    // resizeGray's JVM arithmetic on the zero-padded square tiling)
+    "q90_thumbnail_blocks" ->
+      """WITH sides AS (SELECT doc_id, text,
+           octet_length(encode(text)) AS n,
+           greatest(16, CAST(ceil(sqrt(CAST(octet_length(encode(text)) AS DOUBLE)))
+             AS INTEGER)) AS s
+           FROM documents),
+         px AS (SELECT doc_id, s, n, text, unnest(range(0, s * s)) AS p FROM sides),
+         pb AS (SELECT doc_id, s,
+             least((p // s) * 8 // s, 7) AS by,
+             least((p % s) * 8 // s, 7) AS bx,
+             CASE WHEN p < n THEN ascii(substr(text, CAST(p + 1 AS INTEGER), 1))
+               ELSE 0 END AS v
+           FROM px),
+         bl AS (SELECT doc_id, CAST(max(s) AS INTEGER) AS s,
+             CAST(by * 8 + bx AS INTEGER) AS block_idx,
+             CAST(sum(v) AS BIGINT) AS sm, count(*) AS cnt
+           FROM pb GROUP BY doc_id, by * 8 + bx)
+         SELECT doc_id, s AS w, s AS h, block_idx,
+           CAST((sm + cnt // 2) // cnt AS INTEGER) AS mean_byte
+         FROM bl ORDER BY doc_id, block_idx""")
 }
