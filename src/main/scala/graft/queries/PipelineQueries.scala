@@ -172,9 +172,66 @@ object PipelineQueries {
       .orderBy("id1", "id2")
   }
 
+  /** q91: benchmark decontamination — the training-data hygiene stage
+    * that flags corpus documents overlapping an evaluation set
+    * (GPT-3/LLaMA-style n-gram decontamination). The "benchmark" is
+    * the 5-shingle set of docs 0-4 (a stand-in eval fixture, tiny by
+    * nature), broadcast against the corpus shingle stream; overlap is
+    * exact-integer milli coverage. At 100 TB the benchmark side stays
+    * broadcast-small and the corpus only flows through
+    * tokenize→shingle→semi-join→hash-agg. */
+  def q91Decontamination(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(TextFns.shingles(TextFns.tokens(col("text")), 5)).as("w"))
+    val bench = sh.filter(col("doc_id") < 5).select("w").distinct()
+    val perDoc = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val hit = sh.join(broadcast(bench), Seq("w"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+    perDoc.join(hit, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_contaminated"))
+      .withColumn("contamination_milli",
+        expr("n_contaminated * 1000 div n_shingles"))
+      .withColumn("flagged", col("contamination_milli") >= 500)
+      .orderBy("doc_id")
+  }
+
+  private val cumsumBucket = 1000L   // docs per distributed-cumsum bucket
+  private val shardTokens = 10000L   // target tokens per training shard
+
+  /** q92: token-count sharding — assign documents to training shards
+    * of ~shardTokens each by running token count. The running total is
+    * the TWO-PHASE distributed cumulative sum (per-bucket partial sums
+    * → a global offset window over the tiny bucket relation →
+    * within-bucket window), NOT a single global orderBy window: the
+    * only global sort runs over n/1000 bucket rows, so the shape holds
+    * at any corpus size. A document belongs to the shard where it
+    * starts ((cum - n_tokens) div shardTokens). */
+  def q92TokenShards(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"),
+        expr(s"doc_id div $cumsumBucket").as("bucket"))
+    val offsets = d.groupBy("bucket").agg(sum("n_tokens").as("bucket_total"))
+      .withColumn("offset", coalesce(
+        sum("bucket_total").over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "offset")
+    val wIn = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("cum_tokens", sum("n_tokens").over(wIn) + col("offset"))
+      .withColumn("shard_id",
+        expr(s"(cum_tokens - n_tokens) div $shardTokens"))
+      .select("doc_id", "n_tokens", "cum_tokens", "shard_id")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q86_instrument_pipeline" -> (q86InstrumentPipeline _),
-    "q88_person_dedup" -> (q88PersonDedup _))
+    "q88_person_dedup" -> (q88PersonDedup _),
+    "q91_decontamination" -> (q91Decontamination _),
+    "q92_token_shards" -> (q92TokenShards _))
 
   // ---- oracle SQL --------------------------------------------------
 
@@ -268,5 +325,33 @@ object PipelineQueries {
                THEN 'name' END AS rule
            FROM pairs)
          SELECT id1, id2, first_lastname, rule FROM ruled
-         WHERE rule IS NOT NULL ORDER BY id1, id2""")
+         WHERE rule IS NOT NULL ORDER BY id1, id2""",
+    "q91_decontamination" ->
+      s"""WITH toks AS (SELECT doc_id, ${TextFns.sqlTokens("text")} AS t FROM documents),
+         sh AS (SELECT doc_id, unnest(${TextFns.sqlShingles("t", 5)}) AS w
+           FROM toks),
+         bench AS (SELECT DISTINCT w FROM sh WHERE doc_id < 5),
+         per AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+         hit AS (SELECT doc_id, count(*) AS n_contaminated
+           FROM sh WHERE w IN (SELECT w FROM bench) GROUP BY doc_id)
+         SELECT per.doc_id, per.n_shingles,
+           coalesce(hit.n_contaminated, 0) AS n_contaminated,
+           CAST(coalesce(hit.n_contaminated, 0) * 1000 // per.n_shingles
+             AS BIGINT) AS contamination_milli,
+           CAST(coalesce(hit.n_contaminated, 0) * 1000 // per.n_shingles
+             AS BIGINT) >= 500 AS flagged
+         FROM per LEFT JOIN hit ON per.doc_id = hit.doc_id
+         ORDER BY per.doc_id""",
+    "q92_token_shards" ->
+      s"""WITH toks AS (SELECT doc_id,
+           CAST(len(${TextFns.sqlTokens("text")}) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (SELECT doc_id, n_tokens,
+           CAST(sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_tokens
+           FROM toks)
+         SELECT doc_id, n_tokens, cum_tokens,
+           CAST((cum_tokens - n_tokens) // $shardTokens AS BIGINT) AS shard_id
+         FROM c ORDER BY doc_id""")
 }
