@@ -227,11 +227,57 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** q93: the end-to-end curation pass — the flagship composite of the
+    * training-data side, mirroring how a user would chain this
+    * engine's stages over a raw corpus: language ID (q23) → quality
+    * score (q24) → boilerplate coverage (q81) → exact dedup (q22) →
+    * near-dup suppression (greedy: drop any document that
+    * near-duplicates a lower-id document, over the q26 LSH pairs) →
+    * benchmark decontamination (q91). One row per document with every
+    * stage verdict and a deterministic comma-joined drop-reason list.
+    * The expensive inputs (LSH pairs, shingle tf) come from the same
+    * memoized frames the individual queries use, so the composite
+    * costs the joins, not a recompute. */
+  def q93CurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val lang = TextQueries.q23LangId(s, dir)
+      .select(col("doc_id"), col("predicted_lang"))
+    val qual = TextQueries.q24QualityScore(s, dir)
+      .select(col("doc_id"), col("quality"))
+    val boiler = ParityQueries.q81BoilerplateCoverage(s, dir)
+      .select(col("doc_id"), col("coverage_milli"))
+    val exact = TextQueries.q22ExactDedup(s, dir)
+      .select(col("doc_id"), col("canonical_id"))
+    val nearDup = Shared.dupPairs(s, dir)
+      .select(col("doc2").as("doc_id")).distinct()
+      .withColumn("is_near_dup", lit(true))
+    val contam = q91Decontamination(s, dir)
+      .select(col("doc_id"), col("contamination_milli"))
+    lang.join(qual, Seq("doc_id"))
+      .join(boiler, Seq("doc_id"))
+      .join(exact, Seq("doc_id"))
+      .join(nearDup, Seq("doc_id"), "left")
+      .na.fill(false, Seq("is_near_dup"))
+      .join(contam, Seq("doc_id"))
+      .withColumn("drop_reasons", concat_ws(",",
+        when(col("predicted_lang") =!= "en", "lang"),
+        when(col("quality") < 0.5, "quality"),
+        when(col("coverage_milli") > 800, "boilerplate"),
+        when(col("doc_id") =!= col("canonical_id"), "exact_dup"),
+        when(col("is_near_dup"), "near_dup"),
+        when(col("contamination_milli") >= 500, "contamination")))
+      .withColumn("keep", col("drop_reasons") === "")
+      .select("doc_id", "predicted_lang", "quality", "coverage_milli",
+        "canonical_id", "is_near_dup", "contamination_milli",
+        "drop_reasons", "keep")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q86_instrument_pipeline" -> (q86InstrumentPipeline _),
     "q88_person_dedup" -> (q88PersonDedup _),
     "q91_decontamination" -> (q91Decontamination _),
-    "q92_token_shards" -> (q92TokenShards _))
+    "q92_token_shards" -> (q92TokenShards _),
+    "q93_curation_pipeline" -> (q93CurationPipeline _))
 
   // ---- oracle SQL --------------------------------------------------
 
@@ -353,5 +399,78 @@ object PipelineQueries {
            FROM toks)
          SELECT doc_id, n_tokens, cum_tokens,
            CAST((cum_tokens - n_tokens) // $shardTokens AS BIGINT) AS shard_id
-         FROM c ORDER BY doc_id""")
+         FROM c ORDER BY doc_id""",
+    // the curation composite re-derives each stage with the SAME CTE
+    // fragments its standalone oracle uses (lshDupPairsCtes provides
+    // toks + dup_pairs; lang/quality/boilerplate/contamination are
+    // restated with disambiguated names)
+    "q93_curation_pipeline" ->
+      s"""WITH ${TextQueries.lshDupPairsCtes},
+         lscores AS (${TextQueries.langUnion}),
+         lranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+           ORDER BY hits DESC, lang) AS rn FROM lscores),
+         lang AS (SELECT doc_id, lang AS predicted_lang FROM lranked
+           WHERE rn = 1),
+         qbase AS (SELECT doc_id, len(toks) AS n_tokens,
+             length(text) AS text_len,
+             len(list_filter(toks, x ->
+               list_contains(['the', 'a', 'is', 'of', 'to'], x))) AS stop_hits,
+             length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha_chars
+           FROM toks WHERE len(toks) > 0),
+         qual AS (SELECT doc_id,
+           ${TextQueries.r6Sql(
+             "0.3 * least(1.0, n_tokens / 50.0) + 0.4 * (stop_hits / n_tokens)" +
+             " + 0.3 * (alpha_chars / text_len)")} AS quality
+           FROM qbase),
+         sh3 AS (SELECT doc_id, unnest(${TextFns.sqlShingles("toks", 3)}) AS w
+           FROM toks),
+         tf3 AS (SELECT doc_id, w, count(*) AS tf FROM sh3 GROUP BY doc_id, w),
+         nd3 AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf3),
+         common3 AS (SELECT w FROM
+           (SELECT w, count(*) AS df FROM tf3 GROUP BY w), nd3
+           WHERE df >= n_docs / 20.0),
+         per3 AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_pos FROM tf3
+           GROUP BY doc_id),
+         com3 AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_common
+           FROM tf3 JOIN common3 USING (w) GROUP BY doc_id),
+         boiler AS (SELECT per3.doc_id,
+             CAST(coalesce(com3.n_common, 0) * 1000 // per3.n_pos AS BIGINT)
+               AS coverage_milli
+           FROM per3 LEFT JOIN com3 ON per3.doc_id = com3.doc_id),
+         ex AS (SELECT doc_id,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+           FROM documents),
+         ndup AS (SELECT DISTINCT doc2 AS doc_id FROM dup_pairs),
+         sh5 AS (SELECT doc_id, unnest(${TextFns.sqlShingles("toks", 5)}) AS w
+           FROM toks),
+         bench5 AS (SELECT DISTINCT w FROM sh5 WHERE doc_id < 5),
+         per5 AS (SELECT doc_id, count(*) AS n_sh FROM sh5 GROUP BY doc_id),
+         hit5 AS (SELECT doc_id, count(*) AS n_cont FROM sh5
+           WHERE w IN (SELECT w FROM bench5) GROUP BY doc_id),
+         contam AS (SELECT per5.doc_id,
+             CAST(coalesce(hit5.n_cont, 0) * 1000 // per5.n_sh AS BIGINT)
+               AS contamination_milli
+           FROM per5 LEFT JOIN hit5 ON per5.doc_id = hit5.doc_id),
+         verdict AS (SELECT l.doc_id, l.predicted_lang, q.quality,
+             b.coverage_milli, e.canonical_id,
+             (ndup.doc_id IS NOT NULL) AS is_near_dup,
+             c.contamination_milli,
+             concat_ws(',',
+               CASE WHEN l.predicted_lang <> 'en' THEN 'lang' END,
+               CASE WHEN q.quality < 0.5 THEN 'quality' END,
+               CASE WHEN b.coverage_milli > 800 THEN 'boilerplate' END,
+               CASE WHEN l.doc_id <> e.canonical_id THEN 'exact_dup' END,
+               CASE WHEN ndup.doc_id IS NOT NULL THEN 'near_dup' END,
+               CASE WHEN c.contamination_milli >= 500 THEN 'contamination' END)
+               AS drop_reasons
+           FROM lang l
+           JOIN qual q ON q.doc_id = l.doc_id
+           JOIN boiler b ON b.doc_id = l.doc_id
+           JOIN ex e ON e.doc_id = l.doc_id
+           LEFT JOIN ndup ON ndup.doc_id = l.doc_id
+           JOIN contam c ON c.doc_id = l.doc_id)
+         SELECT doc_id, predicted_lang, quality, coverage_milli,
+           canonical_id, is_near_dup, contamination_milli, drop_reasons,
+           drop_reasons = '' AS keep
+         FROM verdict ORDER BY doc_id""")
 }

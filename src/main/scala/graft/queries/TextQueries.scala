@@ -20,7 +20,7 @@ object TextQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private val langSets: Seq[(String, Seq[String])] = Seq(
+  private[queries] val langSets: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "das", "und"),
     "en" -> Seq("the", "a", "is", "of", "to"),
     "es" -> Seq("el", "los", "las", "y"),
@@ -177,7 +177,7 @@ object TextQueries {
 
   // ---- oracle SQL --------------------------------------------------
 
-  private val toksCte =
+  private[queries] val toksCte =
     s"""toks AS (SELECT doc_id, text, ${sqlTokens("text")} AS toks FROM documents)"""
 
   /** CTE chain ending in `dup_pairs(doc1, doc2, n_shared, jaccard)` —
@@ -210,14 +210,14 @@ object TextQueries {
          FROM joined
          WHERE ${r6Sql("n_shared / (n1 + n2 - n_shared)")} >= 0.2)"""
 
-  private def langUnion: String = langSets.map { case (lang, words) =>
+  private[queries] def langUnion: String = langSets.map { case (lang, words) =>
     val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
     s"""SELECT doc_id, len(toks) AS n_tokens, '$lang' AS lang,
         len(list_filter(toks, x -> list_contains($lst, x))) AS hits
         FROM toks WHERE len(toks) > 0"""
   }.mkString("\nUNION ALL\n")
 
-  private def r6Sql(e: String): String =
+  private[queries] def r6Sql(e: String): String =
     s"CAST(round(($e)*1e6) AS BIGINT)/1e6"
 
   val oracles: Map[String, String] = Map(
