@@ -22,10 +22,17 @@ import org.apache.spark.storage.StorageLevel
   * one map-side-combined hash aggregate whose result (≤4096 longs)
   * always fits on the driver. The bucket containing rank k is then
   * refined recursively; the range shrinks by ~4096× per round, so even
-  * a 2^63 value range converges in ≤6 rounds. Driver traffic is
-  * O(buckets · rounds) — independent of n.
+  * a 2^62 value range converges in ≤6 rounds (ranges wider than Long
+  * are first halved by an overflow-safe midpoint count). Driver
+  * traffic is O(buckets · rounds) — independent of n.
   */
 object Normalisation {
+
+  /** True iff hi - lo would overflow Long (only possible when lo < 0
+    * and hi > 0, i.e. the range spans more than 2^63 values). */
+  private def rangeOverflows(lo: Long, hi: Long): Boolean =
+    try { Math.subtractExact(hi, lo); false }
+    catch { case _: ArithmeticException => true }
 
   /** Exact k-th largest value of an integral column, computed with
     * bounded driver traffic. `df` should be persisted by the caller
@@ -50,6 +57,14 @@ object Normalisation {
     var lo = bounds.getLong(0)
     var hi = bounds.getLong(1)
     var kk = k
+    while (hi > lo && rangeOverflows(lo, hi)) {
+      // hi-lo exceeds Long range (lo << 0 <= hi): bisect at an
+      // overflow-safe midpoint with a single count pass; one split
+      // brings the range under 2^62 and the histogram path takes over
+      val mid = (lo >> 1) + (hi >> 1)
+      val c = df.filter(v > mid).count()
+      if (kk <= c) lo = mid + 1 else { kk -= c; hi = mid }
+    }
     while (hi > lo) {
       // ceil so bucket ids stay < buckets even for huge ranges;
       // unsigned-safe because lo <= hi

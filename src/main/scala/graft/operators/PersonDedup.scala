@@ -32,7 +32,9 @@ object PersonDedup {
     val s4 = when(s3.contains("a¨") || s3.contains("o¨") || s3.contains("u¨"),
       regexp_replace(s3, "¨", "e")).otherwise(s3)
     val s5 = regexp_replace(s4, "oe", "o")
-    Cleaning.foldAccents(s5)
+    // reference normalizeText ends with NFD + strip of ALL non-ASCII
+    // ([^\p{ASCII}]), not just combining marks — ß/ø/đ are dropped
+    Cleaning.foldAscii(s5)
   }
 
   /** StringUtils.firstWord: prefix before the first space. */
@@ -116,7 +118,10 @@ object PersonDedup {
     val s3 = s"replace(replace(replace($e, 'ä', 'ae'), 'ö', 'oe'), 'ü', 'ue')"
     val s4 = s"CASE WHEN contains($s3, 'a¨') OR contains($s3, 'o¨') OR " +
       s"contains($s3, 'u¨') THEN replace($s3, '¨', 'e') ELSE $s3 END"
-    s"strip_accents(replace($s4, 'oe', 'o'))"
+    // strip_accents NFD-folds marked letters; the trailing regexp drops
+    // non-decomposable non-ASCII (ß, ø, đ) the way the Spark side does
+    s"regexp_replace(strip_accents(replace($s4, 'oe', 'o')), " +
+      "'[^\\x00-\\x7F]', '', 'g')"
   }
 
   def sqlFirstWord(e: String): String = s"regexp_extract($e, '^[^ ]*', 0)"

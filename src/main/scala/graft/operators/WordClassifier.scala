@@ -125,8 +125,13 @@ object WordClassifier {
     if (dicts.countries.contains(lower)) types += "country"
     if (dicts.instrumentCodes.contains(lower)) types += "instrument_code"
     if (clean.length < 5) types += "shortWord"
-    if (fullyMatches(numberRe, clean.replace("(", "").replace(")", "")) &&
-        clean.replace("(", "").replace(")", "").nonEmpty)
+    val parenStripped = clean.replace("(", "").replace(")", "")
+    if (fullyMatches(numberRe, parenStripped) && parenStripped.nonEmpty)
+      types += "number"
+    // the reference ALSO tries Integer.parseInt, which accepts forms
+    // commons-lang isNumber rejects (leading '+', e.g. "+123")
+    else if (parenStripped.nonEmpty &&
+        scala.util.Try(Integer.parseInt(parenStripped)).isSuccess)
       types += "number"
     if (clean.exists(c => c == '-' || c == '–' || c == '_')) {
       val parts = clean.split("[-|–|_]")

@@ -181,7 +181,11 @@ object NlpQueries {
       .groupBy("lemma")
       .agg(sum("frequency").as("eng_raw"))
       .crossJoin(broadcast(nd))
-      .withColumn("factor", expr(s"$englishDocCount div n_docs"))
+      // floor at 1: a corpus larger than englishDocCount would zero the
+      // factor and the IDF ratio would divide by zero (Spark/DuckDB
+      // disagree on the fallout, so guard both sides identically)
+      .withColumn("factor",
+        greatest(expr(s"$englishDocCount div n_docs"), lit(1L)))
       .withColumn("eng_idf_milli",
         round(log(col("n_docs").cast("double") / (col("eng_raw") / col("factor"))) * 1000)
           .cast("long"))
@@ -367,7 +371,7 @@ object NlpQueries {
          freq(word, frequency) AS (VALUES $wordFreqSql),
          eng AS (SELECT lemma,
              CAST(round(ln(CAST(n_docs AS DOUBLE) /
-               (eng_raw / (CAST($englishDocCount AS BIGINT) // n_docs))) * 1000)
+               (eng_raw / greatest(CAST($englishDocCount AS BIGINT) // n_docs, 1))) * 1000)
                AS BIGINT) AS eng_idf_milli
            FROM (SELECT $lem AS lemma, CAST(sum(frequency) AS BIGINT) AS eng_raw
                  FROM freq WHERE length(word) > 1 GROUP BY 1), nd),
