@@ -2,23 +2,23 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, VectorAssembler, Word2Vec}
-import org.apache.spark.ml.classification.RandomForestClassifier
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
 import graft.Tables
 import graft.functions.{StemExpression, TextFns}
 
-/** ML-adjacent operators from SURVEY.md §2.8-2.9 whose logic cannot be
-  * expressed in DuckDB SQL (Porter stemming; seeded `spark.ml`
-  * pipelines): Porter stem indexing (`analyser/TextEntitiesAnalyser
-  * .scala:275-279`), the RandomForest mention classifier
-  * (`analyser/AdvancedInstrumentAnalyser.scala:113-118,225-359` — M6),
-  * and `MinHashLSH.approxSimilarityJoin` (`matcher/PictureMatcher
-  * .scala:54-68` — M4/J9, here over text shingle sets).
+/** ML-adjacent operators from SURVEY.md §2.8-2.9: Porter stem indexing
+  * (`analyser/TextEntitiesAnalyser.scala:275-279`), the RandomForest
+  * mention classifier (`analyser/AdvancedInstrumentAnalyser
+  * .scala:113-118,225-359` — M6), Word2Vec featurization (ibid:169-221
+  * — M5), and `MinHashLSH.approxSimilarityJoin`
+  * (`matcher/PictureMatcher.scala:54-68` — M4/J9, over text shingles).
   *
-  * These are registered WITHOUT oracle SQL — the driver records a
-  * rows-only check — and their semantics are asserted by MlSpec
-  * (golden stem cases from the published algorithm; seeded-pipeline
-  * determinism; LSH-pair containment in the exact-Jaccard pair set).
+  * Training a seeded model can never hash-match DuckDB, but INFERENCE
+  * can: q56/q66 predict over the models' FROZEN learned parameters
+  * ([[MlFixtures]]) with relational tree-walks and integer centroid
+  * math, so their prediction legs are oracle-verified. Only q57 (LSH
+  * join at query time) stays rows-only; MlSpec carries the training
+  * determinism, extraction-faithfulness and LSH-recall assertions.
   */
 object MlQueries {
 
@@ -38,21 +38,36 @@ object MlQueries {
       .orderBy("token")
   }
 
-  /** Seeded RandomForest classifier (M6 shape): predict the document's
-    * `lang` label from token-statistics features, 0.7/0.3 split, and
-    * report the confusion matrix. Deterministic via fixed seeds. */
-  def q56RfClassifier(s: SparkSession, dir: String): DataFrame = {
-    val langs = Seq("de", "en", "es", "fr", "zh")
-    val langSets = Map(
-      "de" -> Seq("der", "die", "das", "und"),
-      "en" -> Seq("the", "a", "is", "of", "to"),
-      "es" -> Seq("el", "los", "las", "y"),
-      "fr" -> Seq("le", "la", "les", "et"))
+  val langs = Seq("de", "en", "es", "fr", "zh")
+  private val langSets = Seq(
+    "de" -> Seq("der", "die", "das", "und"),
+    "en" -> Seq("the", "a", "is", "of", "to"),
+    "es" -> Seq("el", "los", "las", "y"),
+    "fr" -> Seq("le", "la", "les", "et"))
+
+  /** Feature column order — must match the VectorAssembler order the
+    * fixture forest was trained with (feature INDICES in [[MlFixtures
+    * .rfNodes]] point into this sequence). */
+  val q56FeatureNames: Seq[String] =
+    Seq("hits_de", "hits_en", "hits_es", "hits_fr", "n_tokens", "alpha_ratio")
+
+  /** Deterministic 256-bucket hash split (q80's portable sampler):
+    * test = bucket < 0x4d (~30%), train = the rest. `randomSplit` is
+    * partitioning-dependent and has no SQL spelling; this split does. */
+  val splitSalt = "q56split"
+  val testBucketHex = "4d"
+
+  /** The q56 feature frame: per-language stopword-hit ratios, token
+    * count, alphabetic-character ratio, integer class label. All
+    * ratios are single double divisions of exact integers — IEEE says
+    * both engines round them identically, so downstream comparisons
+    * against frozen double thresholds are engine-portable. */
+  def q56Features(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), col("text"),
         TextFns.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) > 0)
-    val featured = langSets.foldLeft(base) { case (df, (l, words)) =>
+    langSets.foldLeft(base) { case (df, (l, words)) =>
       df.withColumn(s"hits_$l",
         (size(filter(col("toks"),
           x => array_contains(array(words.map(lit): _*), x)))
@@ -63,21 +78,36 @@ object MlQueries {
         (length(regexp_replace(lower(col("text")), "[^a-z]", ""))
           / length(col("text"))).cast("double"))
       .withColumn("label",
-        array_position(array(langs.map(lit): _*), col("lang")).cast("double") - 1)
-    val features = new VectorAssembler()
-      .setInputCols(Array("hits_de", "hits_en", "hits_es", "hits_fr",
-        "n_tokens", "alpha_ratio"))
-      .setOutputCol("features")
-      .transform(featured)
-    val Array(train, test) = features.randomSplit(Array(0.7, 0.3), seed = 42L)
-    val model = new RandomForestClassifier()
-      .setSeed(42L).setNumTrees(20).setMaxDepth(5)
-      .setLabelCol("label").setFeaturesCol("features")
-      .fit(train)
-    model.transform(test)
+        array_position(array(langs.map(lit): _*), col("lang")).cast("int") - 1)
+  }
+
+  /** RandomForest mention-classifier prediction leg (M6): walk the
+    * FROZEN seeded forest ([[MlFixtures.rfNodes]], provenance
+    * `graft.tools.MlFixtureGen`) over the hash-held-out test split and
+    * report the confusion matrix. Each tree compiles to a nested CASE
+    * (whole-stage codegen, no ml-lib at query time); the forest
+    * predicts by plurality vote with lowest-class tie-break (Breiman
+    * voting — deliberately simpler than spark.ml's probability
+    * averaging; MlSpec asserts the two agree on this corpus). Training
+    * stays spec-only: a seeded fit cannot hash-match DuckDB, but
+    * inference over frozen parameters is just CASEs and exact
+    * arithmetic, so the oracle replays it bit-for-bit. */
+  def q56RfClassifier(s: SparkSession, dir: String): DataFrame = {
+    val test = q56Features(s, dir).filter(
+      graft.operators.Sampling.bucket(col("doc_id"), splitSalt)
+        < lit(testBucketHex))
+    val votes = MlFixtures.rfTreeIds.map(t => MlFixtures.treeColumn(t))
+    val voted = test.select(col("doc_id"), col("lang"),
+      explode(array(votes: _*)).as("vote"))
+      .groupBy("doc_id", "lang", "vote").agg(count(lit(1)).as("n_votes"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("n_votes").desc, col("vote"))))
+      .filter(col("rnk") === 1)
+    voted
       .select(col("lang"),
         element_at(array(langs.map(lit): _*),
-          (col("prediction") + 1).cast("int")).as("predicted_lang"))
+          (col("vote") + 1).cast("int")).as("predicted_lang"))
       .groupBy("lang", "predicted_lang").agg(count(lit(1)).as("n"))
       .orderBy("lang", "predicted_lang")
   }
@@ -109,27 +139,38 @@ object MlQueries {
       .orderBy("doc1", "doc2")
   }
 
-  /** Seeded Word2Vec featurization (M5 shape: `AdvancedInstrument
-    * Analyser.scala:169-221` featurizes candidate sentences): 16-dim
-    * embeddings over token sequences, then per-lang centroid norms —
-    * deterministic under fixed seed + 1 partition for the tiny model. */
+  /** Word2Vec featurization leg (M5, `AdvancedInstrumentAnalyser
+    * .scala:169-221`): the FROZEN seeded 16-dim embedding table
+    * ([[MlFixtures.w2vVectors]], micro-quantized integers, provenance
+    * `graft.tools.MlFixtureGen`) joined against the token stream.
+    * Document embedding = dim-wise integer mean of its in-vocabulary
+    * token vectors; per-lang centroid = dim-wise integer mean of the
+    * document embeddings; output = per-lang document count and exact
+    * integer squared centroid distances (avg + max). Every step is
+    * integer arithmetic (`div` truncation identical in DuckDB), so the
+    * centroid math is hash-verifiable; documents with no in-vocabulary
+    * token carry no embedding and drop out, as with any featurizer. */
   def q66Word2vec(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"), TextFns.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) > 0)
-    val model = new Word2Vec()
-      .setInputCol("toks").setOutputCol("vec")
-      .setVectorSize(16).setSeed(42L).setMinCount(2)
-      .setNumPartitions(1).setMaxIter(1)
-      .fit(docs)
-    // vector_to_array + the native codegen dot replaces the scalar UDF
-    // (the project standard — ADVICE r3): ||v|| = sqrt(v·v)
-    model.transform(docs)
-      .withColumn("varr", org.apache.spark.ml.functions.vector_to_array(col("vec")))
-      .withColumn("vnorm", sqrt(graft.functions.VectorExpressions.dot(col("varr"), col("varr"))))
-      .groupBy("lang")
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(TextFns.tokens(col("text"))).as("word"))
+    val docDim = toks
+      .join(broadcast(MlFixtures.w2vDims(s)), Seq("word"))
+      .groupBy("doc_id", "lang", "dim")
+      .agg(sum("v_micro").as("sv"), count(lit(1)).as("nv"))
+      .select(col("doc_id"), col("lang"), col("dim"),
+        expr("sv div nv").as("mean_micro"))
+    val cent = docDim.groupBy("lang", "dim")
+      .agg(sum("mean_micro").as("cs"), count(lit(1)).as("cn"))
+      .select(col("lang"), col("dim"), expr("cs div cn").as("cent_micro"))
+    val dist = docDim.join(broadcast(cent), Seq("lang", "dim"))
+      .withColumn("d", col("mean_micro") - col("cent_micro"))
+      .groupBy("doc_id", "lang")
+      .agg(sum(col("d") * col("d")).as("dist2"))
+    dist.groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
-        round(avg("vnorm"), 4).as("avg_norm"))
+        expr("sum(dist2) div count(1)").as("avg_dist2"),
+        max("dist2").as("max_dist2"))
       .orderBy("lang")
   }
 
@@ -163,10 +204,58 @@ object MlQueries {
     "value" -> "valu", "vector" -> "vector", "window" -> "window")
     .map { case (t, st) => s"('$t', '$st')" }.mkString(", ")
 
-  /** Other ML queries (seeded spark.ml pipelines) have no DuckDB
-    * oracles — driver records rows-only checks; MlSpec carries the
-    * semantic assertions. */
+  /** q56/q66 replay frozen-parameter inference relationally (forest =
+    * generated nested CASEs; embeddings = integer VALUES rows), so the
+    * prediction legs hash-match. Only q57 (seeded MinHashLSH
+    * approxSimilarityJoin at query time) stays rows-only — MlSpec
+    * asserts its pairs against the exact-Jaccard set. */
   val oracles: Map[String, String] = Map(
+    "q56_rf_classifier" -> {
+      val treeCases = MlFixtures.rfTreeIds.map(MlFixtures.treeSql)
+        .mkString(", ")
+      val langList = langs.map(l => s"'$l'").mkString(", ")
+      s"""WITH base AS (SELECT doc_id, lang, text,
+             ${TextFns.sqlTokens("text")} AS toks FROM documents),
+         feats AS (SELECT doc_id, lang,
+             len(list_filter(toks, x -> list_contains(['der','die','das','und'], x))) / len(toks) AS hits_de,
+             len(list_filter(toks, x -> list_contains(['the','a','is','of','to'], x))) / len(toks) AS hits_en,
+             len(list_filter(toks, x -> list_contains(['el','los','las','y'], x))) / len(toks) AS hits_es,
+             len(list_filter(toks, x -> list_contains(['le','la','les','et'], x))) / len(toks) AS hits_fr,
+             CAST(len(toks) AS DOUBLE) AS n_tokens,
+             length(regexp_replace(lower(text), '[^a-z]', '', 'g')) / length(text) AS alpha_ratio
+           FROM base WHERE len(toks) > 0
+             AND substr(md5('$splitSalt' || CAST(doc_id AS VARCHAR)), 1, 2)
+               < '$testBucketHex'),
+         voted AS (SELECT doc_id, lang, unnest([$treeCases]) AS vote
+           FROM feats),
+         counts AS (SELECT doc_id, lang, vote, count(*) AS n_votes
+           FROM voted GROUP BY doc_id, lang, vote),
+         winner AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY n_votes DESC, vote) AS rnk FROM counts)
+         SELECT lang, [$langList][vote + 1] AS predicted_lang,
+           count(*) AS n
+         FROM winner WHERE rnk = 1
+         GROUP BY lang, predicted_lang ORDER BY lang, predicted_lang"""
+    },
+    "q66_word2vec" ->
+      s"""WITH vecs(word, dim, v_micro) AS (VALUES ${MlFixtures.w2vSqlValues}),
+         toks AS (SELECT doc_id, lang, unnest(${TextFns.sqlTokens("text")}) AS word
+           FROM documents),
+         docdim AS (SELECT doc_id, lang, dim,
+             CAST(sum(v_micro) AS BIGINT) // count(*) AS mean_micro
+           FROM toks JOIN vecs USING (word) GROUP BY doc_id, lang, dim),
+         cent AS (SELECT lang, dim,
+             CAST(sum(mean_micro) AS BIGINT) // count(*) AS cent_micro
+           FROM docdim GROUP BY lang, dim),
+         dist AS (SELECT d.doc_id, d.lang,
+             CAST(sum((d.mean_micro - c.cent_micro) *
+               (d.mean_micro - c.cent_micro)) AS BIGINT) AS dist2
+           FROM docdim d JOIN cent c USING (lang, dim)
+           GROUP BY d.doc_id, d.lang)
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(dist2) AS BIGINT) // count(*) AS avg_dist2,
+           max(dist2) AS max_dist2
+         FROM dist GROUP BY lang ORDER BY lang""",
     "q55_stem_tokens" ->
       s"""WITH toks AS (SELECT doc_id, ${TextFns.sqlTokens("text")} AS toks
            FROM documents),

@@ -62,14 +62,58 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
-  test("q56 RF classifier is seeded-deterministic and covers the test split") {
+  test("q56 frozen-forest prediction covers the test split") {
     val a = MlQueries.q56RfClassifier(spark, sf).collect()
-    val b = MlQueries.q56RfClassifier(spark, sf).collect()
     assert(a.nonEmpty)
-    assert(a.map(_.toString).sorted.sameElements(b.map(_.toString).sorted),
-      "same seed must give the same confusion matrix")
     val total = a.map(_.getAs[Long]("n")).sum
     assert(total > 0)
+  }
+
+  test("RF training leg: seeded fit is deterministic and plurality " +
+      "vote over the extracted forest agrees with model.transform") {
+    import org.apache.spark.ml.classification.RandomForestClassifier
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.sql.functions._
+    val feats = MlQueries.q56Features(spark, sf)
+    val train = feats.filter(
+      graft.operators.Sampling.bucket(col("doc_id"), MlQueries.splitSalt)
+        >= MlQueries.testBucketHex)
+    val assembled = new VectorAssembler()
+      .setInputCols(MlQueries.q56FeatureNames.toArray)
+      .setOutputCol("features").transform(train)
+    def fit() = new RandomForestClassifier()
+      .setSeed(42L).setNumTrees(20).setMaxDepth(5)
+      .setLabelCol("label").setFeaturesCol("features")
+      .fit(assembled)
+    val model = fit()
+    val nodes = graft.queries.MlFixtures.extractForest(model)
+    assert(nodes == graft.queries.MlFixtures.extractForest(fit()),
+      "same seed must learn the same forest")
+    // plurality vote over the extracted trees vs spark.ml's
+    // probability-averaged transform, on the held-out split
+    val test = feats.filter(
+      graft.operators.Sampling.bucket(col("doc_id"), MlQueries.splitSalt)
+        < MlQueries.testBucketHex)
+    val trees = nodes.map(_.tree).distinct.sorted
+      .map(t => graft.queries.MlFixtures.treeColumnOf(nodes, t))
+    val voted = test.select(col("doc_id"),
+      explode(array(trees: _*)).as("vote"))
+      .groupBy("doc_id", "vote").agg(count(lit(1)).as("n_votes"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("n_votes").desc, col("vote"))))
+      .filter(col("rnk") === 1)
+      .select(col("doc_id"), col("vote"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val mlPred = model.transform(new VectorAssembler()
+      .setInputCols(MlQueries.q56FeatureNames.toArray)
+      .setOutputCol("features").transform(test))
+      .select(col("doc_id"), col("prediction"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1).toInt).toMap
+    assert(voted.keySet == mlPred.keySet)
+    val agree = voted.count { case (d, v) => mlPred(d) == v }
+    assert(agree.toDouble / voted.size >= 0.9,
+      s"plurality vote agrees on $agree/${voted.size} test docs")
   }
 
   test("q57 ml MinHashLSH pairs are within the distance threshold and " +
@@ -134,12 +178,34 @@ class MlSpec extends AnyFunSuite {
       "seeded classifier over q86 candidates must be deterministic")
   }
 
-  test("q66 Word2Vec featurization is seeded-deterministic") {
+  test("q66 frozen-embedding centroid distances are exact and non-negative") {
     val a = MlQueries.q66Word2vec(spark, sf).collect()
-    val b = MlQueries.q66Word2vec(spark, sf).collect()
     assert(a.nonEmpty)
-    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq,
-      "same seed + 1 model partition must give identical centroid norms")
-    a.foreach(r => assert(r.getAs[Double]("avg_norm") > 0.0))
+    a.foreach { r =>
+      assert(r.getAs[Long]("n_docs") > 0L)
+      assert(r.getAs[Long]("avg_dist2") >= 0L)
+      assert(r.getAs[Long]("max_dist2") >= r.getAs[Long]("avg_dist2"))
+    }
+  }
+
+  test("Word2Vec training leg: seeded fit is deterministic (M5)") {
+    import org.apache.spark.ml.feature.Word2Vec
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.functions.TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+    def fit() = new Word2Vec()
+      .setInputCol("toks").setOutputCol("vec")
+      .setVectorSize(16).setSeed(42L).setMinCount(2)
+      .setNumPartitions(1).setMaxIter(1)
+      .fit(docs).getVectors.collect()
+      .map(r => r.getString(0) ->
+        r.getAs[org.apache.spark.ml.linalg.Vector](1).toArray.toSeq)
+      .sortBy(_._1).toSeq
+    val a = fit()
+    assert(a.nonEmpty)
+    assert(a == fit(), "same seed + 1 model partition must learn " +
+      "identical embeddings")
   }
 }

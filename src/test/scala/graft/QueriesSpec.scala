@@ -36,11 +36,11 @@ class QueriesSpec extends AnyFunSuite {
 
   test("every query has either an oracle or is explicitly rows-only") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // rows-only checks are allowed, but keep the list deliberate:
-    // only the seeded spark.ml pipelines remain oracle-less (their
-    // randomness has no SQL spelling); MlSpec carries their semantic
-    // assertions instead.
-    val allowedRowsOnly = Set("q56_rf_classifier", "q57_ml_minhash", "q66_word2vec")
+    // rows-only checks are allowed, but keep the list deliberate: only
+    // q57 (seeded MinHashLSH approxSimilarityJoin at query time) has no
+    // SQL spelling; q56/q66 predict over FROZEN parameters and are
+    // oracle-checked. MlSpec carries q57's semantic assertions.
+    val allowedRowsOnly = Set("q57_ml_minhash")
     assert(missing.subsetOf(allowedRowsOnly),
       s"queries without oracle SQL: ${missing.mkString(", ")}")
   }
