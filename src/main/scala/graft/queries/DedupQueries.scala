@@ -66,6 +66,39 @@ object DedupQueries {
       .orderBy("id1", "id2")
   }
 
+  /** Laboratory dedup variant (reference
+    * `deduplication/LaboratoryDeduplicationStage.scala:24-68`): labs
+    * block on the TWO-COLUMN (name, country) key, unlike the person
+    * stage's single surname key. Fixture: suppliers are labs; the lab
+    * name is a supplier-family token (`lab<suppkey div 200>` — block
+    * count grows with data, matching how real lab names behave) and
+    * the country is the supplier's nation. Same [[graft.operators
+    * .Blocking.capBlocks]] skew armor as q88, over the composite key;
+    * the pair rule flags matching contact codes and close balances. */
+  def q96LabDedup(s: SparkSession, dir: String): DataFrame = {
+    val labs = Tables.supplier(s, dir)
+      .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey").as("id"),
+        concat(lit("lab"), expr("s_suppkey div 200")).as("lab_name"),
+        col("n_name").as("country"),
+        (col("s_suppkey") % 97).as("contact_code"),
+        cents(col("s_acctbal")).as("bal_cents"))
+    val capped = graft.operators.Blocking.capBlocks(
+      labs, Seq("lab_name", "country"), cap = 200L)
+    val a = capped.select(col("lab_name"), col("country"),
+      col("id").as("id1"), col("contact_code").as("cc1"),
+      col("bal_cents").as("bal1"))
+    val b = capped.select(col("lab_name"), col("country"),
+      col("id").as("id2"), col("contact_code").as("cc2"),
+      col("bal_cents").as("bal2"))
+    a.join(b, Seq("lab_name", "country"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("lab_name"), col("country"),
+        (col("cc1") === col("cc2")).as("same_contact_code"),
+        abs(col("bal1") - col("bal2")).as("bal_diff_cents"))
+      .orderBy("id1", "id2")
+  }
+
   /** Cleaning bank (PersonCleanerStage analogue): normalized text,
     * embedded-id extraction, consistency check against the key. */
   def q38NameClean(s: SparkSession, dir: String): DataFrame =
@@ -81,7 +114,8 @@ object DedupQueries {
   val queries: Map[String, Q] = Map(
     "q36_connected_components" -> (q36ConnectedComponents _),
     "q37_blocked_dedup" -> (q37BlockedDedup _),
-    "q38_name_clean" -> (q38NameClean _))
+    "q38_name_clean" -> (q38NameClean _),
+    "q96_lab_dedup" -> (q96LabDedup _))
 
   val oracles: Map[String, String] = Map(
     "q36_connected_components" ->
@@ -106,6 +140,24 @@ object DedupQueries {
            ON a.c_nationkey = b.c_nationkey
           AND a.c_custkey < b.c_custkey
          WHERE abs(a.bal_cents - b.bal_cents) < 5000
+         ORDER BY id1, id2""",
+    "q96_lab_dedup" ->
+      s"""WITH labs AS (SELECT s_suppkey AS id,
+           'lab' || CAST(s_suppkey // 200 AS VARCHAR) AS lab_name,
+           n_name AS country,
+           s_suppkey % 97 AS contact_code,
+           CAST(round(s_acctbal*100) AS BIGINT) AS bal_cents
+           FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+         small_blocks AS (${graft.operators.Blocking.sqlCapKeys(
+             "labs", Seq("lab_name", "country"), 200L)}),
+         capped AS (SELECT labs.* FROM labs
+           JOIN small_blocks USING (lab_name, country))
+         SELECT a.id AS id1, b.id AS id2, a.lab_name, a.country,
+           a.contact_code = b.contact_code AS same_contact_code,
+           abs(a.bal_cents - b.bal_cents) AS bal_diff_cents
+         FROM capped a JOIN capped b
+           ON a.lab_name = b.lab_name AND a.country = b.country
+          AND a.id < b.id
          ORDER BY id1, id2""",
     "q38_name_clean" ->
       """SELECT c_custkey,

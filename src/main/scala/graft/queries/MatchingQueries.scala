@@ -296,7 +296,46 @@ object MatchingQueries {
       .orderBy("round")
   }
 
+  /** q94: the FullMatcherApp end-to-end composite (reference
+    * `matching/app/FullMatcherApp.scala:38-67`, pipelines 1-2) — the
+    * matcher-side counterpart of q93's curation chain. Off the SAME
+    * memoized frames the standalone stages use, so the composite pays
+    * the joins, not a recompute:
+    *
+    * analyser/matcher (both entity types, q13/q14) → type filter
+    * (PROPOSAL↔PUBLICATION, q15) → date filter (year₁ ≤ year₂, q16) →
+    * canonical pair-dedup persister direction (least/greatest, q44) →
+    * per-pair multi-type verdict with the q17 whitelist rule → weighted
+    * total score (q43's 0.7/0.3 dim, micro-exact) → percentile
+    * normalisation (q12's bounded histogram, driver-traffic O(1) in n)
+    * → per-document match-count stat (q18's counting leg). One row per
+    * surviving pair with every stage's verdict. */
+  def q94MatcherPipeline(s: SparkSession, dir: String): DataFrame = {
+    val scores = partScores(s, dir).unionByName(partSuppScores(s, dir))
+    val typed = PairFilters.typeFilter(scores, docTypes(s, dir),
+      t => t.startsWith("PROPOSAL"))
+    val dated = PairFilters.dateFilter(typed, docDates(s, dir))
+    val pairs = dated
+      .withColumn("w_micro", round(col("score") *
+        when(col("score_type") === "part_overlap", 0.7).otherwise(0.3)
+        * 1e6).cast("long"))
+      .groupBy(least(col("doc1"), col("doc2")).as("doc1"),
+        greatest(col("doc1"), col("doc2")).as("doc2"))
+      .agg(countDistinct("score_type").as("n_types"),
+        array_join(array_sort(collect_set("score_type")), ",").as("types"),
+        sum("w_micro").as("total_micro"))
+      .filter(col("n_types") > 1 ||
+        col("types").contains("partsupp_overlap"))
+    Normalisation.percentileNormalise(pairs, "total_micro")
+      .withColumn("doc1_n_matches",
+        count(lit(1)).over(Window.partitionBy("doc1")))
+      .select("doc1", "doc2", "n_types", "types", "total_micro",
+        "norm_score", "doc1_n_matches")
+      .orderBy("doc1", "doc2")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q94_matcher_pipeline" -> (q94MatcherPipeline _),
     "q13_entity_candidates" -> (q13Candidates _),
     "q14_entity_scores" -> (q14EntityScores _),
     "q15_type_filter" -> (q15TypeFilter _),
@@ -311,6 +350,40 @@ object MatchingQueries {
     "q72_weight_refine" -> (q72WeightRefine _))
 
   val oracles: Map[String, String] = Map(
+    "q94_matcher_pipeline" ->
+      s"""WITH $bothScoresSql,
+         dt AS (SELECT o_orderkey AS doc_id,
+           CASE WHEN o_orderstatus = 'O' THEN 'PROPOSAL' ELSE 'PUBLICATION' END AS doc_type
+           FROM orders),
+         dd AS (SELECT o_orderkey AS doc_id, o_orderdate AS doc_date FROM orders),
+         typed AS (SELECT a.* FROM allscores a
+           JOIN dt t1 ON t1.doc_id = a.doc1
+           JOIN dt t2 ON t2.doc_id = a.doc2
+           WHERE (starts_with(t1.doc_type, 'PROPOSAL') AND NOT starts_with(t2.doc_type, 'PROPOSAL'))
+              OR (starts_with(t2.doc_type, 'PROPOSAL') AND NOT starts_with(t1.doc_type, 'PROPOSAL'))),
+         dated AS (SELECT typed.* FROM typed
+           JOIN dd d1 ON d1.doc_id = doc1
+           JOIN dd d2 ON d2.doc_id = doc2
+           WHERE year(d1.doc_date) <= year(d2.doc_date)),
+         pairs AS (SELECT least(doc1, doc2) AS doc1,
+             greatest(doc1, doc2) AS doc2,
+             count(DISTINCT score_type) AS n_types,
+             string_agg(DISTINCT score_type, ',' ORDER BY score_type) AS types,
+             CAST(sum(CAST(round(score *
+               CASE score_type WHEN 'part_overlap' THEN 0.7 ELSE 0.3 END
+               * 1e6) AS BIGINT)) AS BIGINT) AS total_micro
+           FROM dated GROUP BY 1, 2),
+         kept AS (SELECT * FROM pairs
+           WHERE n_types > 1 OR contains(types, 'partsupp_overlap')),
+         nk AS (SELECT count(*) AS c FROM kept),
+         ranked AS (SELECT total_micro,
+             row_number() OVER (ORDER BY total_micro DESC) AS rn FROM kept),
+         ref AS (SELECT min(total_micro) AS ref_micro FROM ranked
+           WHERE rn <= (SELECT greatest(1, CAST(ceil(c * 0.01) AS BIGINT)) FROM nk))
+         SELECT doc1, doc2, n_types, types, total_micro,
+           CAST(round((least(100.0, 100.0 * total_micro / ref_micro))*1e6) AS BIGINT)/1e6 AS norm_score,
+           count(*) OVER (PARTITION BY doc1) AS doc1_n_matches
+         FROM kept, ref ORDER BY doc1, doc2""",
     "q13_entity_candidates" ->
       s"""WITH ${candsSql(partEnts)}
          SELECT entity_id, doc1, doc2, tf1, tf2, cnt1, cnt2, idf_micro

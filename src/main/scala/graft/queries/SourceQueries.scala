@@ -99,13 +99,50 @@ object SourceQueries {
       .orderBy("yr")
   }
 
+  /** S3 exactly (`matching/datasource/FileDataSource.scala:37-61`): a
+    * (doc_id, file_path) TABLE drives which files' contents are loaded
+    * on executors — the reference reads the path list from JDBC, then
+    * each worker fetches its files from the shared FS. Re-expressed
+    * Spark-first: the corpus is laid out one file per document
+    * (`partitionBy(doc_id)` text write — each doc is a single row, so
+    * exactly one file); the path table selects HALF the documents (even
+    * ids), and the loader is `spark.read.text` over the corpus root +
+    * `input_file_name()` parsed back to doc_id + a join against the
+    * path table — contents flow only through executors, the driver sees
+    * paths. The semi-join proves the fetch is table-DRIVEN (odd-id
+    * files exist on disk but are never emitted). The md5 roll-up
+    * proves the file hop is byte-lossless vs the parquet original. */
+  def q95PathDrivenSource(s: SparkSession, dir: String): DataFrame = {
+    val path = ioDir(dir, "doc_files")
+    val docs = Tables.documents(s, dir)
+    docs.select(col("doc_id"), col("text").as("value"))
+      .write.mode("overwrite").partitionBy("doc_id").text(path)
+    // the driving path table (the reference's JDBC-sourced list):
+    // half the corpus, with the file path recorded per row
+    val pathTable = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"),
+        concat(lit(path + "/doc_id="), col("doc_id")).as("file_path"))
+    val loaded = s.read.text(path)
+      .select(col("value").as("text"),
+        regexp_extract(input_file_name(), "doc_id=(\\d+)", 1)
+          .cast("long").as("doc_id"))
+    loaded.join(pathTable, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), length(col("text")).as("text_len"),
+        md5(col("text")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q95_path_driven_source" -> (q95PathDrivenSource _),
     "q62_csv_source" -> (q62CsvSource _),
     "q63_json_source" -> (q63JsonSource _),
     "q64_text_source" -> (q64TextSource _),
     "q65_partitioned_sink" -> (q65PartitionedSink _))
 
   val oracles: Map[String, String] = Map(
+    "q95_path_driven_source" ->
+      """SELECT doc_id, length(text) AS text_len, md5(text) AS text_md5
+         FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
     "q62_csv_source" ->
       """SELECT r.r_name AS region, count(*) AS n_nations,
          string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations

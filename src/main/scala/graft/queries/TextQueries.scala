@@ -163,7 +163,37 @@ object TextQueries {
       .orderBy("doc1", "doc2")
   }
 
+  /** q97: customReplace term highlighting (reference
+    * `matching/analyser/TextEntitiesAnalyser.scala:287`,
+    * `AdvancedInstrumentAnalyser.scala:770-776` — matched entity terms
+    * are wrapped in `<b>` for the review UI). The highlighted term
+    * here is each document's most frequent >=4-char token
+    * (deterministic tie-break); the replacement is a word-boundary
+    * regexp over the raw text, replayed verbatim by DuckDB. n_hits
+    * falls out of the length delta (7 chars per wrap), and the md5
+    * pins the full highlighted text byte-for-byte. */
+  def q97Highlight(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val top = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) >= 4)
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("tf").desc, col("tok"))))
+      .filter(col("rnk") === 1)
+      .select(col("doc_id"), col("tok").as("term"))
+    docs.join(top, Seq("doc_id"))
+      .withColumn("highlighted", regexp_replace(col("text"),
+        concat(lit("\\b"), col("term"), lit("\\b")),
+        concat(lit("<b>"), col("term"), lit("</b>"))))
+      .select(col("doc_id"), col("term"),
+        expr("(length(highlighted) - length(text)) div 7").as("n_hits"),
+        md5(col("highlighted")).as("highlighted_md5"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q97_highlight" -> (q97Highlight _),
     "q21_token_stats" -> (q21TokenStats _),
     "q22_exact_dedup" -> (q22ExactDedup _),
     "q23_lang_id" -> (q23LangId _),
@@ -221,6 +251,23 @@ object TextQueries {
     s"CAST(round(($e)*1e6) AS BIGINT)/1e6"
 
   val oracles: Map[String, String] = Map(
+    "q97_highlight" ->
+      s"""WITH $toksCte,
+         tf AS (SELECT doc_id, t AS tok, count(*) AS tf
+           FROM (SELECT doc_id, unnest(toks) AS t FROM toks)
+           WHERE length(t) >= 4 GROUP BY doc_id, t),
+         top AS (SELECT doc_id, tok AS term FROM
+           (SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY tf DESC, tok) AS rnk FROM tf)
+           WHERE rnk = 1),
+         h AS (SELECT d.doc_id, t.term, d.text,
+             regexp_replace(d.text, '\\b' || t.term || '\\b',
+               '<b>' || t.term || '</b>', 'g') AS highlighted
+           FROM documents d JOIN top t USING (doc_id))
+         SELECT doc_id, term,
+           CAST((length(highlighted) - length(text)) // 7 AS BIGINT) AS n_hits,
+           md5(highlighted) AS highlighted_md5
+         FROM h ORDER BY doc_id""",
     "q21_token_stats" ->
       s"""WITH $toksCte
          SELECT doc_id, len(toks) AS n_tokens,
