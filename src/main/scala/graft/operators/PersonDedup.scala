@@ -23,22 +23,35 @@ object PersonDedup {
 
   private def nullOrEmpty(c: Column): Column = c.isNull || length(c) === 0
 
-  /** The PersonCleanerStage.normalizeText chain. */
-  def normalizeName(c: Column): Column = {
-    val s1 = regexp_replace(c, "ä", "ae")
-    val s2 = regexp_replace(s1, "ö", "oe")
-    val s3 = regexp_replace(s2, "ü", "ue")
+  /** The PersonCleanerStage.normalizeText chain, as ONE plain-JVM
+    * string pass. An earlier Column-expression spelling cost ~1.3 ms
+    * per person: `when(s.contains…)` branching embeds ~5 copies of the
+    * nested replace chain in the expression tree (Catalyst cannot CSE
+    * across a UDF boundary), and composed calls (firstLastName =
+    * normalize∘firstWord∘normalize∘…) multiplied that to ~100 regex
+    * evaluations per row — the real q88 hot spot, misattributed to
+    * blocking in round 4. One UDF call per value is strictly cheaper
+    * than the old shape, whose final accent fold was a UDF already. */
+  def normalizeNameImpl(s: String): String = {
+    if (s == null) return null
+    var x = s.replace("ä", "ae").replace("ö", "oe").replace("ü", "ue")
     // OCR artifact rule: a¨/o¨/u¨ → the diaeresis becomes an e
-    val s4 = when(s3.contains("a¨") || s3.contains("o¨") || s3.contains("u¨"),
-      regexp_replace(s3, "¨", "e")).otherwise(s3)
-    val s5 = regexp_replace(s4, "oe", "o")
+    if (x.contains("a¨") || x.contains("o¨") || x.contains("u¨"))
+      x = x.replace("¨", "e")
+    x = x.replace("oe", "o")
     // reference normalizeText ends with NFD + strip of ALL non-ASCII
     // ([^\p{ASCII}]), not just combining marks — ß/ø/đ are dropped
-    Cleaning.foldAscii(s5)
+    Cleaning.asciiFold(x)
   }
 
-  /** StringUtils.firstWord: prefix before the first space. */
-  def firstWord(c: Column): Column = regexp_extract(c, "^[^ ]*", 0)
+  private val normalizeNameUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf(normalizeNameImpl _)
+
+  def normalizeName(c: Column): Column = normalizeNameUdf(c)
+
+  /** StringUtils.firstWord: prefix before the first space
+    * (substring_index — no regex engine in the pair-join path). */
+  def firstWord(c: Column): Column = substring_index(c, " ", 1)
 
   /** firstNameCleaner: normalize, dots/dashes to spaces, trim. */
   def cleanFirstName(c: Column): Column =
