@@ -77,8 +77,12 @@ object Bench {
       System.err.println(s"[bench] spark.stop failed: ${e.getMessage}")
     }
     val detail = s"""{"queries":${qmap(results)},"metric":"total","value":${s3(total)},"unit":"sec","sf":"$sfDir","runs":$runs}"""
+    // absolute path: the recording harness may run this main from any
+    // cwd, and the detail file must land where the repo readers look
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL",
+      "/root/repo/BENCH_DETAIL.json")
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}")

@@ -120,8 +120,9 @@ object SourceQueries {
     // document costs ~1 min of local-FS metadata ops at sf0.1, so the
     // (deterministic) layout is created once per sf dir and reused —
     // the _SUCCESS marker is the write's own atomicity token.
-    val done = new java.io.File(path, "_SUCCESS")
-    if (!done.exists()) {
+    val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
       docs.select(col("doc_id"), col("text").as("value"))
         .write.mode("overwrite").partitionBy("doc_id").text(path)
     }
