@@ -70,7 +70,11 @@ object Bench {
     def qmap(rs: Seq[(String, Double)]) = rs
       .map { case (k, v) => "\"" + k + "\":" + s3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // failed queries stay -1.0 in the per-query map (visible) but must
+    // NOT be summed — a failure would otherwise SHRINK the total and
+    // read as a speedup; they are named in the summary instead
+    val failed = results.collect { case (k, v) if v < 0 => k }
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     // stop() can throw on FS-teardown races; the results must not be
     // lost to that (ADVICE r3)
     try spark.stop() catch { case e: Throwable =>
@@ -89,6 +93,7 @@ object Bench {
     }
     println(detail)
     val top = results.filter(_._2 >= 0).sortBy(-_._2).take(15)
-    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":${qmap(top)},"sf":"$sfDir","runs":$runs,"n_queries":${results.size},"detail":"BENCH_DETAIL.json"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":${qmap(top)},"sf":"$sfDir","runs":$runs,"n_queries":${results.size},"failed":$failedJson,"detail":"BENCH_DETAIL.json"}""")
   }
 }

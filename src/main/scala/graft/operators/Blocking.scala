@@ -20,14 +20,22 @@ object Blocking {
   /** Drop all rows of blocks larger than `cap` members before a
     * blocked self-join — the within-block occurrence guard. One
     * map-side-combined count per key plus a left-semi join that reuses
-    * the same hash partitioning the pair join needs next; no extra
-    * shuffle shape at scale. */
+    * the same hash partitioning the pair join needs next. The input
+    * feeds BOTH sides of that semi join, so an unpersisted lineage
+    * would be computed twice — it is persisted here (and tracked for
+    * session cleanup) exactly like percentileNormalise's input. */
   def capBlocks(df: DataFrame, keys: Seq[String], cap: Long): DataFrame = {
-    val small = df.groupBy(keys.map(col): _*)
+    val in =
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+        graft.queries.Shared.track(p)
+        p
+      } else df
+    val small = in.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__block_n"))
       .filter(col("__block_n") <= cap)
       .select(keys.map(col): _*)
-    df.join(small, keys, "left_semi")
+    in.join(small, keys, "left_semi")
   }
 
   /** The matching DuckDB oracle fragment: CTE text selecting the

@@ -31,13 +31,6 @@ object Cleaning {
     java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
       .replaceAll("[^\\p{ASCII}]", "")
 
-  /** [[asciiFold]] as a null-safe column — the fold person-dedup name
-    * normalisation ends with (the reference strips ALL non-ASCII, not
-    * just combining marks, so ß/ø/đ are dropped rather than kept). */
-  val foldAscii: UserDefinedFunction = udf { s: String =>
-    if (s == null) null else asciiFold(s)
-  }
-
   /** Lowercase, strip everything but letters/digits/space, collapse
     * runs of whitespace, trim. Oracle spelling: lower + regexp_replace
     * + trim, identical semantics. */

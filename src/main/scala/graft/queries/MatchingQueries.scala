@@ -315,17 +315,30 @@ object MatchingQueries {
     val typed = PairFilters.typeFilter(scores, docTypes(s, dir),
       t => t.startsWith("PROPOSAL"))
     val dated = PairFilters.dateFilter(typed, docDates(s, dir))
+    // flags shape, not countDistinct/collect_set: pair keys are
+    // near-unique, so a distinct aggregate would EXPAND + fall back to
+    // sort-based ObjectHashAggregate past 128 groups — the exact
+    // scale-killer PairFilters.multiTypeFilter's scaladoc documents
+    // (measured 473 s vs 11 s at sf0.1). max(when) flags keep the
+    // whole roll-up one codegen'd HashAggregate.
     val pairs = dated
       .withColumn("w_micro", round(col("score") *
         when(col("score_type") === "part_overlap", 0.7).otherwise(0.3)
         * 1e6).cast("long"))
       .groupBy(least(col("doc1"), col("doc2")).as("doc1"),
         greatest(col("doc1"), col("doc2")).as("doc2"))
-      .agg(countDistinct("score_type").as("n_types"),
-        array_join(array_sort(collect_set("score_type")), ",").as("types"),
+      .agg(
+        max(when(col("score_type") === "part_overlap", 1L)
+          .otherwise(0L)).as("has_p"),
+        max(when(col("score_type") === "partsupp_overlap", 1L)
+          .otherwise(0L)).as("has_ps"),
         sum("w_micro").as("total_micro"))
-      .filter(col("n_types") > 1 ||
-        col("types").contains("partsupp_overlap"))
+      .withColumn("n_types", col("has_p") + col("has_ps"))
+      .withColumn("types", concat_ws(",",
+        when(col("has_p") === 1L, "part_overlap"),
+        when(col("has_ps") === 1L, "partsupp_overlap")))
+      .filter(col("n_types") > 1 || col("has_ps") === 1L)
+      .drop("has_p", "has_ps")
     Normalisation.percentileNormalise(pairs, "total_micro")
       .withColumn("doc1_n_matches",
         count(lit(1)).over(Window.partitionBy("doc1")))

@@ -107,19 +107,26 @@ object SourceQueries {
     * (`partitionBy(doc_id)` text write — each doc is a single row, so
     * exactly one file); the path table selects HALF the documents (even
     * ids), and the loader is `spark.read.text` over the corpus root +
-    * `input_file_name()` parsed back to doc_id + a join against the
-    * path table — contents flow only through executors, the driver sees
-    * paths. The semi-join proves the fetch is table-DRIVEN (odd-id
-    * files exist on disk but are never emitted). The md5 roll-up
-    * proves the file hop is byte-lossless vs the parquet original. */
+    * a join ON THE FILE PATH (scheme-stripped `input_file_name()`
+    * prefix vs the table's file_path) — contents flow only through
+    * executors, the driver sees paths, and the path column is the
+    * actual join key, not decoration. The join proves the fetch is
+    * table-DRIVEN (odd-id files exist on disk but are never emitted).
+    * The md5 roll-up proves the file hop is byte-lossless vs the
+    * parquet original. Requires newline-free documents (a text file
+    * holds lines, not documents) — SourceSpec pins that invariant. */
   def q95PathDrivenSource(s: SparkSession, dir: String): DataFrame = {
-    val path = ioDir(dir, "doc_files")
     val docs = Tables.documents(s, dir)
     // Fixture prep, not the operator under test: a real S3-backed
     // corpus already exists on the shared FS. Laying out one file per
     // document costs ~1 min of local-FS metadata ops at sf0.1, so the
-    // (deterministic) layout is created once per sf dir and reused —
-    // the _SUCCESS marker is the write's own atomicity token.
+    // (deterministic) layout is created once and reused. The dir name
+    // carries a corpus fingerprint so a regenerated/edited documents
+    // table gets a fresh layout instead of silently reusing staleness.
+    val fp = docs.agg(count(lit(1)).as("n"), sum("doc_id").as("ids"),
+      sum(length(col("text"))).as("len")).head()
+    val path = ioDir(dir,
+      s"doc_files_${fp.getLong(0)}_${fp.getLong(1)}_${fp.getLong(2)}")
     val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
     val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(marker)) {
@@ -127,15 +134,18 @@ object SourceQueries {
         .write.mode("overwrite").partitionBy("doc_id").text(path)
     }
     // the driving path table (the reference's JDBC-sourced list):
-    // half the corpus, with the file path recorded per row
+    // half the corpus, keyed by the file path
     val pathTable = docs.filter(col("doc_id") % 2 === 0)
       .select(col("doc_id"),
         concat(lit(path + "/doc_id="), col("doc_id")).as("file_path"))
+    // normalize the URI scheme (file:/ vs file:///) to a bare absolute
+    // path, then keep the directory prefix up to the partition value
+    val barePath =
+      regexp_replace(input_file_name(), "^[a-z]+:/+", "/")
     val loaded = s.read.text(path)
       .select(col("value").as("text"),
-        regexp_extract(input_file_name(), "doc_id=(\\d+)", 1)
-          .cast("long").as("doc_id"))
-    loaded.join(pathTable, Seq("doc_id"), "left_semi")
+        regexp_extract(barePath, "^(.*/doc_id=\\d+)", 1).as("file_path"))
+    loaded.join(pathTable, Seq("file_path"))
       .select(col("doc_id"), length(col("text")).as("text_len"),
         md5(col("text")).as("text_md5"))
       .orderBy("doc_id")
