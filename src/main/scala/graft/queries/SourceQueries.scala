@@ -151,7 +151,45 @@ object SourceQueries {
       .orderBy("doc_id")
   }
 
+  private val shardBytes = 65536L   // compaction target per shard
+
+  /** q98: small-file compaction — the operational remedy for the
+    * file-per-document corpus q95 reads (5000 file opens cost ~12 s at
+    * sf0.1 even locally; on an object store, per-request latency makes
+    * uncompacted corpora unusable). Documents are packed into
+    * ~[[shardBytes]]-sized shards by running byte count using the same
+    * TWO-PHASE distributed cumulative sum as q92 (the only global sort
+    * is over n/1000 bucket rows), written as a shard-partitioned
+    * parquet store, and the per-shard inventory is computed by READING
+    * THE STORE BACK — so the oracle (which re-derives the assignment
+    * relationally) verifies the round trip, not just the math. */
+  def q98CompactedStore(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir).select(col("doc_id"),
+      length(col("text")).cast("long").as("n_bytes"),
+      expr("doc_id div 1000").as("bucket"))
+    val offsets = d.groupBy("bucket").agg(sum("n_bytes").as("bt"))
+      .withColumn("offset", coalesce(
+        sum("bt").over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "offset")
+    val wIn = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sharded = d.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("cum", sum("n_bytes").over(wIn) + col("offset"))
+      .withColumn("shard_id", expr(s"(cum - n_bytes) div $shardBytes"))
+      .select("doc_id", "n_bytes", "shard_id")
+    val path = ioDir(dir, "compacted_store")
+    sharded.write.mode("overwrite").partitionBy("shard_id").parquet(path)
+    s.read.parquet(path)
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_bytes").as("shard_bytes"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("shard_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q98_compacted_store" -> (q98CompactedStore _),
     "q95_path_driven_source" -> (q95PathDrivenSource _),
     "q62_csv_source" -> (q62CsvSource _),
     "q63_json_source" -> (q63JsonSource _),
@@ -159,6 +197,19 @@ object SourceQueries {
     "q65_partitioned_sink" -> (q65PartitionedSink _))
 
   val oracles: Map[String, String] = Map(
+    "q98_compacted_store" ->
+      s"""WITH b AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes
+           FROM documents),
+         c AS (SELECT doc_id, n_bytes,
+           CAST(sum(n_bytes) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum
+           FROM b)
+         SELECT CAST((cum - n_bytes) // $shardBytes AS BIGINT) AS shard_id,
+           count(*) AS n_docs,
+           CAST(sum(n_bytes) AS BIGINT) AS shard_bytes,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         FROM c GROUP BY 1 ORDER BY shard_id""",
     "q95_path_driven_source" ->
       """SELECT doc_id, length(text) AS text_len, md5(text) AS text_md5
          FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
