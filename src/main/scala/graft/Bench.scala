@@ -93,7 +93,11 @@ object Bench {
     }
     println(detail)
     val top = results.filter(_._2 >= 0).sortBy(-_._2).take(15)
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":${qmap(top)},"sf":"$sfDir","runs":$runs,"n_queries":${results.size},"failed":$failedJson,"detail":"BENCH_DETAIL.json"}""")
+    // cap the failed-name list: an unbounded list could push this line
+    // past the 2000-char stdout tail window the driver captures
+    val failedShown = failed.take(10).map("\"" + _ + "\"") ++
+      (if (failed.size > 10) Seq("\"+" + (failed.size - 10) + " more\"") else Nil)
+    val failedJson = failedShown.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":${qmap(top)},"sf":"$sfDir","runs":$runs,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"detail":"BENCH_DETAIL.json"}""")
   }
 }

@@ -129,9 +129,11 @@ object WordClassifier {
     if (fullyMatches(numberRe, parenStripped) && parenStripped.nonEmpty)
       types += "number"
     // the reference ALSO tries Integer.parseInt, which accepts forms
-    // commons-lang isNumber rejects (leading '+', e.g. "+123")
-    else if (parenStripped.nonEmpty &&
-        scala.util.Try(Integer.parseInt(parenStripped)).isSuccess)
+    // commons-lang isNumber rejects (leading '+', e.g. "+123") — but
+    // on the RAW clean word, not the paren-stripped one
+    // (WordService.java:182), so "(+5)" is NOT a number there
+    else if (clean.nonEmpty &&
+        scala.util.Try(Integer.parseInt(clean)).isSuccess)
       types += "number"
     if (clean.exists(c => c == '-' || c == '–' || c == '_')) {
       val parts = clean.split("[-|–|_]")

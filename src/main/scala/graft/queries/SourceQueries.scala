@@ -123,10 +123,14 @@ object SourceQueries {
     // (deterministic) layout is created once and reused. The dir name
     // carries a corpus fingerprint so a regenerated/edited documents
     // table gets a fresh layout instead of silently reusing staleness.
+    // the crc32 sum makes the fingerprint content-sensitive: a
+    // regenerated corpus that preserves row count, ids, and per-doc
+    // lengths but changes text still invalidates the cached layout
     val fp = docs.agg(count(lit(1)).as("n"), sum("doc_id").as("ids"),
-      sum(length(col("text"))).as("len")).head()
+      sum(length(col("text"))).as("len"),
+      sum(crc32(col("text"))).as("crc")).head()
     val path = ioDir(dir,
-      s"doc_files_${fp.getLong(0)}_${fp.getLong(1)}_${fp.getLong(2)}")
+      s"doc_files_${fp.getLong(0)}_${fp.getLong(1)}_${fp.getLong(2)}_${fp.getLong(3)}")
     val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
     val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(marker)) {

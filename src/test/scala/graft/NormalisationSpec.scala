@@ -28,6 +28,23 @@ class NormalisationSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("kthLargest survives a range wider than Long (overflow bisect)") {
+    // Long.MinValue..Long.MaxValue makes hi-lo overflow, driving the
+    // rangeOverflows bisect loop before the histogram path takes over
+    import spark.implicits._
+    val vals = Seq(Long.MinValue, Long.MinValue + 1, -7L, 0L, 3L,
+      Long.MaxValue - 1, Long.MaxValue)
+    val df = vals.toDF("s").persist()
+    val sorted = vals.sorted.reverse
+    for (k <- 1 to vals.size) {
+      assert(Normalisation.kthLargest(df, "s", k.toLong) === sorted(k - 1),
+        s"k=$k")
+    }
+    // tiny buckets force repeated refinement after the bisect as well
+    assert(Normalisation.kthLargest(df, "s", 2L, buckets = 2) === sorted(1))
+    df.unpersist()
+  }
+
   test("normalised plan contains no n-proportional limit and no global sort") {
     val o = Tables.orders(spark, sf)
       .select(col("o_orderkey"), round(col("o_totalprice") * 100).cast("long").as("s"))
