@@ -2,9 +2,9 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+import org.apache.spark.ml.feature.MinHashLSH
 import graft.Tables
-import graft.functions.{StemExpression, TextFns}
+import graft.functions.{Exact, StemExpression, TextFns}
 
 /** ML-adjacent operators from SURVEY.md §2.8-2.9: Porter stem indexing
   * (`analyser/TextEntitiesAnalyser.scala:275-279`), the RandomForest
@@ -16,9 +16,11 @@ import graft.functions.{StemExpression, TextFns}
   * Training a seeded model can never hash-match DuckDB, but INFERENCE
   * can: q56/q66 predict over the models' FROZEN learned parameters
   * ([[MlFixtures]]) with relational tree-walks and integer centroid
-  * math, so their prediction legs are oracle-verified. Only q57 (LSH
-  * join at query time) stays rows-only; MlSpec carries the training
-  * determinism, extraction-faithfulness and LSH-recall assertions.
+  * math, and q57's oracle replays the frozen seeded LSH coefficients
+  * through the same banded candidate join + Jaccard distance the
+  * `approxSimilarityJoin` performs — so all ML legs are
+  * oracle-verified. MlSpec carries the training determinism,
+  * extraction-faithfulness and LSH-recall assertions.
   */
 object MlQueries {
 
@@ -112,29 +114,53 @@ object MlQueries {
       .orderBy("lang", "predicted_lang")
   }
 
+  /** Sparse-binary feature dimension for the q57 vector space. */
+  val minhashDim: Int = 1 << 18
+
   /** `spark.ml` MinHashLSH approximate-similarity join (M4/J9) over
-    * 5-shingle sets hashed into a sparse binary vector space — the
+    * 5-shingle sets in a sparse binary vector space — the
     * PictureMatcher shape with text shingles standing in for picture
-    * blockhashes. Seeded, so the signature permutations are stable. */
+    * blockhashes. Seeded, so the signature permutations are stable.
+    *
+    * Feature indexing is `polyHash(shingle) mod 2^18` rather than
+    * HashingTF's murmur3: identical LSH semantics (a deterministic
+    * shingle → dimension map), but one with an exact DuckDB spelling —
+    * which is what lets THIS leg be oracle-verified end to end. The
+    * oracle replays the model's frozen seeded coefficients
+    * ([[MlFixtures.minhashCoefs]], provenance `graft.tools
+    * .MlFixtureGen`) through the same banded candidate join + Jaccard
+    * distance that `approxSimilarityJoin` performs; MlSpec asserts the
+    * fixture matches a fresh fit AND that the relational signature
+    * equals `model.transform`'s, so the frozen replay is checked
+    * against the live spark.ml path every run. */
+  /** q57's input frame: per-doc sorted distinct feature indices plus
+    * the equivalent sparse binary vector. Memoized because
+    * approxSimilarityJoin consumes it on BOTH sides of its self-join,
+    * which would otherwise recompute the tokenize→shingle→index
+    * pipeline twice; also reused by MlSpec's parity assertions. */
+  def q57Tf(s: SparkSession, dir: String): DataFrame = {
+    val toVec = udf((idx: Seq[Long]) =>
+      org.apache.spark.ml.linalg.Vectors.sparse(
+        minhashDim, idx.map(_.toInt).toArray, Array.fill(idx.size)(1.0)))
+    Shared.memoized(s, dir, "mlMinhashTf")(
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          array_sort(array_distinct(transform(
+            TextFns.shingleHashes(TextFns.tokens(col("text")), 5),
+            h => h % minhashDim))).as("idx"))
+        .filter(size(col("idx")) > 0)
+        .withColumn("features", toVec(col("idx"))))
+  }
+
   def q57MlMinhash(s: SparkSession, dir: String): DataFrame = {
-    val shingled = Tables.documents(s, dir)
-      .select(col("doc_id"),
-        TextFns.shingles(TextFns.tokens(col("text")), 5).as("sh"))
-      .filter(size(col("sh")) > 0)
-    // memoized: approxSimilarityJoin consumes the frame on BOTH sides
-    // of its self-join, which would otherwise recompute the whole
-    // tokenize→shingle→HashingTF pipeline twice
-    val tf = Shared.memoized(s, dir, "mlMinhashTf")(
-      new HashingTF().setInputCol("sh").setOutputCol("features")
-        .setNumFeatures(1 << 18).setBinary(true)
-        .transform(shingled))
+    val tf = q57Tf(s, dir)
     val lsh = new MinHashLSH().setInputCol("features").setOutputCol("sig")
       .setNumHashTables(4).setSeed(42L)
     val model = lsh.fit(tf)
     model.approxSimilarityJoin(tf, tf, 0.8, "jaccard_dist")
       .select(col("datasetA.doc_id").as("doc1"),
         col("datasetB.doc_id").as("doc2"),
-        round(col("jaccard_dist"), 6).as("jaccard_dist"))
+        Exact.r6(col("jaccard_dist")).as("jaccard_dist"))
       .filter(col("doc1") < col("doc2"))
       .orderBy("doc1", "doc2")
   }
@@ -204,12 +230,37 @@ object MlQueries {
     "value" -> "valu", "vector" -> "vector", "window" -> "window")
     .map { case (t, st) => s"('$t', '$st')" }.mkString(", ")
 
-  /** q56/q66 replay frozen-parameter inference relationally (forest =
-    * generated nested CASEs; embeddings = integer VALUES rows), so the
-    * prediction legs hash-match. Only q57 (seeded MinHashLSH
-    * approxSimilarityJoin at query time) stays rows-only — MlSpec
-    * asserts its pairs against the exact-Jaccard set. */
+  /** q56/q66/q57 replay frozen-parameter inference relationally
+    * (forest = generated nested CASEs; embeddings = integer VALUES
+    * rows; LSH = frozen seeded coefficients through the banded
+    * candidate join + exact Jaccard distance), so every ML leg
+    * hash-matches. Training runs stay spec-only in MlSpec. */
   val oracles: Map[String, String] = Map(
+    "q57_ml_minhash" ->
+      s"""WITH toks AS (SELECT doc_id, ${TextFns.sqlTokens("text")} AS toks
+           FROM documents),
+         sets AS (SELECT doc_id, list_sort(list_distinct(list_transform(
+             ${TextFns.sqlShingleHashes("toks", 5)}, h -> h % $minhashDim))) AS idx
+           FROM toks),
+         f AS (SELECT doc_id, idx FROM sets WHERE len(idx) > 0),
+         coefs(t, a, b) AS (VALUES ${MlFixtures.minhashCoefSqlValues}),
+         sig AS (SELECT f.doc_id, c.t,
+             list_min(list_transform(f.idx,
+               i -> ((1 + i) * c.a + c.b) % ${MlFixtures.minhashPrime})) AS key
+           FROM f CROSS JOIN coefs c),
+         cands AS (SELECT DISTINCT s1.doc_id AS doc1, s2.doc_id AS doc2
+           FROM sig s1 JOIN sig s2
+           ON s1.t = s2.t AND s1.key = s2.key AND s1.doc_id < s2.doc_id),
+         d AS (SELECT doc1, doc2,
+             1 - CAST(len(list_intersect(f1.idx, f2.idx)) AS DOUBLE) /
+               (len(f1.idx) + len(f2.idx) - len(list_intersect(f1.idx, f2.idx)))
+               AS jd
+           FROM cands
+           JOIN f f1 ON f1.doc_id = doc1
+           JOIN f f2 ON f2.doc_id = doc2)
+         SELECT doc1, doc2,
+           CAST(round(jd*1e6) AS BIGINT)/1e6 AS jaccard_dist
+         FROM d WHERE jd < 0.8 ORDER BY doc1, doc2""",
     "q56_rf_classifier" -> {
       val treeCases = MlFixtures.rfTreeIds.map(MlFixtures.treeSql)
         .mkString(", ")

@@ -135,6 +135,42 @@ class MlSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"LSH recall $recall over ${exact.size} exact pairs")
   }
 
+  test("q57 frozen LSH coefficients match a fresh seeded fit and the " +
+      "relational minhash signature equals model.transform's") {
+    import org.apache.spark.ml.feature.MinHashLSH
+    import org.apache.spark.sql.functions._
+    import graft.queries.MlFixtures
+    val tf = MlQueries.q57Tf(spark, sf)
+    val model = new MinHashLSH().setInputCol("features").setOutputCol("sig")
+      .setNumHashTables(4).setSeed(42L).fit(tf)
+    // the frozen fixture IS the fitted model's coefficient table
+    // (private[ml] → runtime reflection)
+    val coefs = model.getClass.getMethod("randCoefficients")
+      .invoke(model).asInstanceOf[Array[(Int, Int)]].toSeq
+    assert(coefs == MlFixtures.minhashCoefs,
+      "MlFixtures.minhashCoefs is stale — re-run graft.tools.MlFixtureGen")
+    // the hard-coded prime matches the installed Spark's constant
+    val mod = Class.forName("org.apache.spark.ml.feature.MinHashLSH$")
+      .getField("MODULE$").get(null)
+    assert(mod.getClass.getMethod("HASH_PRIME").invoke(mod)
+      .asInstanceOf[Int].toLong == MlFixtures.minhashPrime)
+    // relational replay of the signature (what the q57 oracle does)
+    // must equal spark.ml's hash values doc-for-doc
+    val sigCols = MlFixtures.minhashCoefs.zipWithIndex.map { case ((a, b), t) =>
+      array_min(transform(col("idx"),
+        i => ((lit(1L) + i) * a + b) % MlFixtures.minhashPrime)).as(s"k$t")
+    }
+    val rel = tf.select(col("doc_id") +: sigCols: _*).collect()
+      .map(r => r.getLong(0) ->
+        MlFixtures.minhashCoefs.indices.map(i => r.getLong(i + 1))).toMap
+    val ml = model.transform(tf).select(col("doc_id"), col("sig")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.ml.linalg.Vector](1).map(_(0).toLong).toIndexedSeq)
+      .toMap
+    assert(rel.nonEmpty && rel == ml,
+      "relational minhash signature diverges from spark.ml hashFunction")
+  }
+
   test("instrument composite chains into a seeded mention classifier") {
     // the reference's AdvancedInstrumentAnalyser tail: candidate
     // windows become labelled feature rows for a seeded classifier
