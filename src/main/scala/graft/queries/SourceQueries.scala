@@ -157,43 +157,94 @@ object SourceQueries {
 
   private val shardBytes = 65536L   // compaction target per shard
 
+  /** Fingerprint-cached build of the compacted corpus store: documents
+    * packed into ~[[shardBytes]]-sized text-carrying parquet shards by
+    * running byte count (q92's TWO-PHASE distributed cumulative sum —
+    * the only global sort is over n/1000 bucket rows), plus a small
+    * doc→shard manifest. Built once per corpus fingerprint (same
+    * content-sensitive key as q95's layout) and shared by q98
+    * (inventory round-trip) and q99 (serving reads). Returns
+    * (storePath, manifestPath). */
+  private[graft] def compactedStore(s: SparkSession, dir: String): (String, String) = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val fp = docs.agg(count(lit(1)).as("n"), sum("doc_id").as("ids"),
+      sum(length(col("text"))).as("len"),
+      sum(crc32(col("text"))).as("crc")).head()
+    val base = ioDir(dir,
+      s"compacted_${fp.getLong(0)}_${fp.getLong(1)}_${fp.getLong(2)}_${fp.getLong(3)}")
+    val storePath = s"$base/shards"
+    val manifestPath = s"$base/manifest"
+    val marker = new org.apache.hadoop.fs.Path(base, "_DONE")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      val d = docs.select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("n_bytes"),
+        expr("doc_id div 1000").as("bucket"))
+      val offsets = d.groupBy("bucket").agg(sum("n_bytes").as("bt"))
+        .withColumn("offset", coalesce(
+          sum("bt").over(Window.orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("bucket", "offset")
+      val wIn = Window.partitionBy("bucket").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sharded = d.join(broadcast(offsets), Seq("bucket"))
+        .withColumn("cum", sum("n_bytes").over(wIn) + col("offset"))
+        .withColumn("shard_id", expr(s"(cum - n_bytes) div $shardBytes"))
+      sharded.select("doc_id", "n_bytes", "text", "shard_id")
+        .write.mode("overwrite").partitionBy("shard_id").parquet(storePath)
+      sharded.select("doc_id", "shard_id", "n_bytes")
+        .write.mode("overwrite").parquet(manifestPath)
+      fs.create(marker, true).close()
+    }
+    (storePath, manifestPath)
+  }
+
   /** q98: small-file compaction — the operational remedy for the
     * file-per-document corpus q95 reads (5000 file opens cost ~12 s at
     * sf0.1 even locally; on an object store, per-request latency makes
-    * uncompacted corpora unusable). Documents are packed into
-    * ~[[shardBytes]]-sized shards by running byte count using the same
-    * TWO-PHASE distributed cumulative sum as q92 (the only global sort
-    * is over n/1000 bucket rows), written as a shard-partitioned
-    * parquet store, and the per-shard inventory is computed by READING
-    * THE STORE BACK — so the oracle (which re-derives the assignment
-    * relationally) verifies the round trip, not just the math. */
+    * uncompacted corpora unusable). The per-shard inventory is computed
+    * by READING THE STORE BACK — so the oracle (which re-derives the
+    * shard assignment relationally) verifies the round trip, not just
+    * the math. */
   def q98CompactedStore(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val d = Tables.documents(s, dir).select(col("doc_id"),
-      length(col("text")).cast("long").as("n_bytes"),
-      expr("doc_id div 1000").as("bucket"))
-    val offsets = d.groupBy("bucket").agg(sum("n_bytes").as("bt"))
-      .withColumn("offset", coalesce(
-        sum("bt").over(Window.orderBy("bucket")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("bucket", "offset")
-    val wIn = Window.partitionBy("bucket").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val sharded = d.join(broadcast(offsets), Seq("bucket"))
-      .withColumn("cum", sum("n_bytes").over(wIn) + col("offset"))
-      .withColumn("shard_id", expr(s"(cum - n_bytes) div $shardBytes"))
-      .select("doc_id", "n_bytes", "shard_id")
-    val path = ioDir(dir, "compacted_store")
-    sharded.write.mode("overwrite").partitionBy("shard_id").parquet(path)
-    s.read.parquet(path)
+    val (storePath, _) = compactedStore(s, dir)
+    s.read.parquet(storePath)
       .groupBy("shard_id")
       .agg(count(lit(1)).as("n_docs"), sum("n_bytes").as("shard_bytes"),
         min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
       .orderBy("shard_id")
   }
 
+  /** q99: q95's path-driven fetch SERVED FROM the q98 compacted store —
+    * the remedy demonstrably remedying the cost it was built for. The
+    * same request table (the even-id half of the corpus) resolves
+    * through the doc→shard manifest to the shards that hold its
+    * documents; the store read is joined to that (broadcast) shard
+    * list — Spark's dynamic partition pruning skips unrequested shards
+    * at runtime — then semi-joined to the request ids. Identical output
+    * to q95 (same oracle: per-doc length + md5), but ~n_docs/400 file
+    * opens instead of one per document. An id-localized fetch prunes
+    * further: shards are id-ordered, so a range request touches only
+    * its shard range (SourceSpec asserts the pruned plan). */
+  def q99StoreFetch(s: SparkSession, dir: String): DataFrame = {
+    val (storePath, manifestPath) = compactedStore(s, dir)
+    val requests = Tables.documents(s, dir)
+      .filter(col("doc_id") % 2 === 0).select("doc_id")
+    val wanted = s.read.parquet(manifestPath)
+      .join(requests, Seq("doc_id"))
+      .select("shard_id").distinct()
+    s.read.parquet(storePath)
+      .join(broadcast(wanted), Seq("shard_id"))
+      .join(requests, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), length(col("text")).as("text_len"),
+        md5(col("text")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q98_compacted_store" -> (q98CompactedStore _),
+    "q99_store_fetch" -> (q99StoreFetch _),
     "q95_path_driven_source" -> (q95PathDrivenSource _),
     "q62_csv_source" -> (q62CsvSource _),
     "q63_json_source" -> (q63JsonSource _),
@@ -215,6 +266,11 @@ object SourceQueries {
            min(doc_id) AS min_doc, max(doc_id) AS max_doc
          FROM c GROUP BY 1 ORDER BY shard_id""",
     "q95_path_driven_source" ->
+      """SELECT doc_id, length(text) AS text_len, md5(text) AS text_md5
+         FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    // q99 serves the SAME fetch as q95 from the compacted store, so it
+    // must reproduce the same relation — one oracle, two access paths
+    "q99_store_fetch" ->
       """SELECT doc_id, length(text) AS text_len, md5(text) AS text_md5
          FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
     "q62_csv_source" ->
