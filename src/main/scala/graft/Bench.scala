@@ -35,7 +35,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional subset filter (comma-separated names) for scale probes;
+    // the driver never sets it, so the recorded bench stays full-suite
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_(n)) }
     val samples = (1 to runs).map { run =>
       val times = names.map { case (name, fn) =>
         val t0 = System.nanoTime()

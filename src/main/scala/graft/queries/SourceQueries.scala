@@ -242,7 +242,47 @@ object SourceQueries {
       .orderBy("doc_id")
   }
 
+  /** S1/S2 at bench scale (the reference's primary source,
+    * `matching/datasource/SqlDataSource.scala:34-58`): the orders
+    * table round-trips through embedded Derby — JDBC batch write, a
+    * driver-side min/max bounds query, then the PARTITIONED read
+    * (16 stride partitions on the key) with the status predicate
+    * pushed down to the database — so the whole S1 path has a
+    * measured cost at sf0.1, not just JdbcSpec's API proof. The
+    * roll-up matches the parquet-side oracle, proving the hop is
+    * lossless. At cluster scale the same code points at a warehouse
+    * JDBC endpoint; numPartitions becomes the reference's 2048. */
+  def q100JdbcSource(s: SparkSession, dir: String): DataFrame = {
+    val dbDir = ioDir(dir, "derby_db")
+    val url = s"jdbc:derby:$dbDir;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+        year(col("o_orderdate")).as("o_year"))
+      .write.mode("overwrite")
+      // Derby maps StringType to CLOB (not comparable, no pushdown);
+      // declare VARCHAR explicitly
+      .option("createTableColumnTypes", "o_orderstatus VARCHAR(4)")
+      .jdbc(url, "orders_bench", props)
+    // S1's driver-side scalar bounds query, then one partition per stride
+    val bounds = s.read.jdbc(url, "orders_bench", props)
+      .agg(min("o_orderkey"), max("o_orderkey")).head()
+    val part = s.read
+      .option("partitionColumn", "o_orderkey")
+      .option("lowerBound", bounds.getLong(0).toString)
+      .option("upperBound", (bounds.getLong(1) + 1).toString)
+      .option("numPartitions", "16")
+      .jdbc(url, "orders_bench", props)
+    part.filter(col("o_orderstatus") =!= "F")   // pushed to Derby
+      .groupBy("o_year", "o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"), sum("price_cents").as("sum_cents"))
+      .orderBy("o_year", "o_orderstatus")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q100_jdbc_source" -> (q100JdbcSource _),
     "q98_compacted_store" -> (q98CompactedStore _),
     "q99_store_fetch" -> (q99StoreFetch _),
     "q95_path_driven_source" -> (q95PathDrivenSource _),
@@ -252,6 +292,12 @@ object SourceQueries {
     "q65_partitioned_sink" -> (q65PartitionedSink _))
 
   val oracles: Map[String, String] = Map(
+    "q100_jdbc_source" ->
+      """SELECT year(o_orderdate) AS o_year, o_orderstatus,
+         count(*) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM orders WHERE o_orderstatus <> 'F'
+         GROUP BY 1, 2 ORDER BY o_year, o_orderstatus""",
     "q98_compacted_store" ->
       s"""WITH b AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes
            FROM documents),

@@ -1,0 +1,78 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Derive a larger scale factor from the driver-generated testdata by
+  * key-shifted replication — the second bench point that turns the
+  * "linear in sf" scale claims into measurements (VERDICT r5 item 3).
+  *
+  * Each replica r shifts every entity key by r·10^8 (far above any
+  * real key), so referential integrity is preserved within a replica
+  * and keys never collide across replicas. `region`/`nation` are
+  * dimension tables and stay as-is (replicas keep referencing them).
+  * Document text gets a replica-unique suffix (and n_chars is
+  * recomputed) so the corpus triples without being byte-identical —
+  * near-dup operators see each doc's copies as the near-duplicates
+  * they are, not as exact clones that collapse to one hash.
+  *
+  * Usage: tools/run.sh graft.tools.ScaleUp [src] [dst] [replicas]
+  * Writes parquet per table under dst (default /tmp/graft_sf0.3).
+  */
+object ScaleUp {
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dst = args.lift(1).getOrElse("/tmp/graft_sf0.3")
+    val reps = args.lift(2).map(_.toInt).getOrElse(3)
+    val S = 100000000L
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    for (t <- Seq("region", "nation"))
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+
+    def rep(t: String)(f: (DataFrame, Long) => DataFrame): Unit = {
+      val base = spark.read.parquet(s"$src/$t.parquet")
+      (0 until reps).map(r => f(base, r.toLong * S))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      System.err.println(s"[scaleup] $t x$reps done")
+    }
+
+    rep("customer")((d, k) =>
+      d.withColumn("c_custkey", col("c_custkey") + k))
+    rep("supplier")((d, k) =>
+      d.withColumn("s_suppkey", col("s_suppkey") + k))
+    rep("part")((d, k) =>
+      d.withColumn("p_partkey", col("p_partkey") + k))
+    rep("orders")((d, k) => d
+      .withColumn("o_orderkey", col("o_orderkey") + k)
+      .withColumn("o_custkey", col("o_custkey") + k))
+    rep("lineitem")((d, k) => d
+      .withColumn("l_orderkey", col("l_orderkey") + k)
+      .withColumn("l_partkey", col("l_partkey") + k)
+      .withColumn("l_suppkey", col("l_suppkey") + k))
+    rep("events")((d, k) => d
+      .withColumn("event_id", col("event_id") + k)
+      .withColumn("user_id", col("user_id") + k))
+    rep("documents")((d, k) => {
+      val t = if (k == 0L) col("text")
+        else concat(col("text"), lit(s" zrep${k / S}"))
+      d.withColumn("doc_id", col("doc_id") + k)
+        .withColumn("text", t)
+        .withColumn("n_chars", length(t).cast("long"))
+    })
+    rep("embeddings")((d, k) =>
+      d.withColumn("vec_id", col("vec_id") + k))
+
+    spark.stop()
+  }
+}

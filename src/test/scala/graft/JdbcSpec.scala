@@ -62,4 +62,12 @@ class JdbcSpec extends AnyFunSuite {
     assert(pushed.count() ==
       orders.filter(col("o_orderstatus") === "O").count())
   }
+
+  test("q100 bench-scale JDBC path pushes its predicate to the database") {
+    val df = queries.SourceQueries.q100JdbcSource(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("o_orderstatus"),
+      s"status predicate must reach the JDBC scan:\n$plan")
+    assert(df.count() > 0)
+  }
 }
