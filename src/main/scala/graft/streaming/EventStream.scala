@@ -26,22 +26,32 @@ object EventStream {
 
   def eventsStream(s: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
-    // The testdata tables are single parquet FILES, but the file stream
-    // source monitors a DIRECTORY (that is its production shape). Stage
-    // a per-sf directory with a hard link (fallback: copy) once.
-    val streamDir = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft-stream",
-      Integer.toHexString(dir.hashCode), "events")
-    val target = streamDir.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(target)) {
-      java.nio.file.Files.createDirectories(streamDir)
-      try java.nio.file.Files.createLink(target, java.nio.file.Paths.get(path))
-      catch { case _: Exception =>
-        java.nio.file.Files.copy(java.nio.file.Paths.get(path), target) }
-    }
+    // The file stream source monitors a DIRECTORY (its production
+    // shape). A Spark-written table is already a directory of part
+    // files — monitor it in place. The driver testdata tables are
+    // single parquet FILES; those are staged into a per-sf directory
+    // with a hard link (fallback: copy) once. (Files.copy on a
+    // directory copies only the empty dir entry, so staging a
+    // directory-shaped table would silently yield an empty stream.)
+    val srcPath = java.nio.file.Paths.get(path)
+    val monitored =
+      if (java.nio.file.Files.isDirectory(srcPath)) path
+      else {
+        val streamDir = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), "graft-stream",
+          Integer.toHexString(dir.hashCode), "events")
+        val target = streamDir.resolve("events.parquet")
+        if (!java.nio.file.Files.exists(target)) {
+          java.nio.file.Files.createDirectories(streamDir)
+          try java.nio.file.Files.createLink(target, srcPath)
+          catch { case _: Exception =>
+            java.nio.file.Files.copy(srcPath, target) }
+        }
+        streamDir.toString
+      }
     graft.Tables.normalizeTs(
       s.readStream.schema(s.read.parquet(path).schema)
-        .parquet(streamDir.toString))
+        .parquet(monitored))
   }
 
   def windowedAgg(events: DataFrame, width: String = "1 hour",

@@ -38,11 +38,10 @@ class QueriesSpec extends AnyFunSuite {
 
   test("every query has either an oracle or is explicitly rows-only") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // rows-only checks are allowed, but keep the list deliberate: only
-    // q57 (seeded MinHashLSH approxSimilarityJoin at query time) has no
-    // SQL spelling; q56/q66 predict over FROZEN parameters and are
-    // oracle-checked. MlSpec carries q57's semantic assertions.
-    val allowedRowsOnly = Set("q57_ml_minhash")
+    // Every query is oracle-checked (q57 gained its oracle in round 6
+    // via the frozen seeded-LSH coefficients); keep any future
+    // rows-only exception deliberate by listing it here.
+    val allowedRowsOnly = Set.empty[String]
     assert(missing.subsetOf(allowedRowsOnly),
       s"queries without oracle SQL: ${missing.mkString(", ")}")
   }

@@ -101,4 +101,29 @@ class StreamingSpec extends AnyFunSuite {
       assert(ids == Seq(1L, 2L, 3L))
     } finally q.stop()
   }
+
+  test("a directory-shaped events table streams in place, matching batch") {
+    // Spark-written tables are DIRECTORIES of part files; the single-file
+    // staging path (hard link) must not be taken for them — Files.copy on
+    // a directory stages an empty dir and the stream silently reads 0
+    // rows (the sf0.3 replica regression).
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dir_events")
+      .toString
+    Tables.events(spark, TestSpark.sf)
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val streamed = EventStream.windowedCountsOnce(spark, tmp)
+      .select(col("wstart").cast("string"), col("event_type"),
+        col("n_events"), col("sum_value_cents"))
+      .collect().map(_.toSeq).toSet
+    val batch = Tables.events(spark, tmp)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(graft.functions.Exact.cents(col("value")))
+          .as("sum_value_cents"))
+      .select(col("w.start").cast("string"), col("event_type"),
+        col("n_events"), col("sum_value_cents"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty, "directory-shaped stream read 0 rows")
+    assert(streamed == batch)
+  }
 }
