@@ -39,6 +39,14 @@ object Bench {
     // the driver never sets it, so the recorded bench stays full-suite
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // fail fast on a name that matches nothing — a typo would
+    // otherwise silently bench an empty (or smaller) suite and emit a
+    // plausible-looking near-zero total
+    only.foreach { o =>
+      val unknown = o -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.mkString(", ")}")
+    }
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_(n)) }
     val samples = (1 to runs).map { run =>

@@ -117,22 +117,6 @@ object MlQueries {
   /** Sparse-binary feature dimension for the q57 vector space. */
   val minhashDim: Int = 1 << 18
 
-  /** `spark.ml` MinHashLSH approximate-similarity join (M4/J9) over
-    * 5-shingle sets in a sparse binary vector space — the
-    * PictureMatcher shape with text shingles standing in for picture
-    * blockhashes. Seeded, so the signature permutations are stable.
-    *
-    * Feature indexing is `polyHash(shingle) mod 2^18` rather than
-    * HashingTF's murmur3: identical LSH semantics (a deterministic
-    * shingle → dimension map), but one with an exact DuckDB spelling —
-    * which is what lets THIS leg be oracle-verified end to end. The
-    * oracle replays the model's frozen seeded coefficients
-    * ([[MlFixtures.minhashCoefs]], provenance `graft.tools
-    * .MlFixtureGen`) through the same banded candidate join + Jaccard
-    * distance that `approxSimilarityJoin` performs; MlSpec asserts the
-    * fixture matches a fresh fit AND that the relational signature
-    * equals `model.transform`'s, so the frozen replay is checked
-    * against the live spark.ml path every run. */
   /** q57's input frame: per-doc sorted distinct feature indices plus
     * the equivalent sparse binary vector. Memoized because
     * approxSimilarityJoin consumes it on BOTH sides of its self-join,
@@ -152,6 +136,22 @@ object MlQueries {
         .withColumn("features", toVec(col("idx"))))
   }
 
+  /** `spark.ml` MinHashLSH approximate-similarity join (M4/J9) over
+    * 5-shingle sets in a sparse binary vector space — the
+    * PictureMatcher shape with text shingles standing in for picture
+    * blockhashes. Seeded, so the signature permutations are stable.
+    *
+    * Feature indexing is `polyHash(shingle) mod 2^18` rather than
+    * HashingTF's murmur3: identical LSH semantics (a deterministic
+    * shingle → dimension map), but one with an exact DuckDB spelling —
+    * which is what lets THIS leg be oracle-verified end to end. The
+    * oracle replays the model's frozen seeded coefficients
+    * ([[MlFixtures.minhashCoefs]], provenance `graft.tools
+    * .MlFixtureGen`) through the same banded candidate join + Jaccard
+    * distance that `approxSimilarityJoin` performs; MlSpec asserts the
+    * fixture matches a fresh fit AND that the relational signature
+    * equals `model.transform`'s, so the frozen replay is checked
+    * against the live spark.ml path every run. */
   def q57MlMinhash(s: SparkSession, dir: String): DataFrame = {
     val tf = q57Tf(s, dir)
     val lsh = new MinHashLSH().setInputCol("features").setOutputCol("sig")

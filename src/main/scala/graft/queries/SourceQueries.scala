@@ -171,8 +171,10 @@ object SourceQueries {
     val fp = docs.agg(count(lit(1)).as("n"), sum("doc_id").as("ids"),
       sum(length(col("text"))).as("len"),
       sum(crc32(col("text"))).as("crc")).head()
+    // shardBytes is part of the key: retuning the shard size must
+    // invalidate the cached store, same as a content change
     val base = ioDir(dir,
-      s"compacted_${fp.getLong(0)}_${fp.getLong(1)}_${fp.getLong(2)}_${fp.getLong(3)}")
+      s"compacted_${shardBytes}_${fp.getLong(0)}_${fp.getLong(1)}_${fp.getLong(2)}_${fp.getLong(3)}")
     val storePath = s"$base/shards"
     val manifestPath = s"$base/manifest"
     val marker = new org.apache.hadoop.fs.Path(base, "_DONE")
@@ -193,7 +195,10 @@ object SourceQueries {
         .withColumn("shard_id", expr(s"(cum - n_bytes) div $shardBytes"))
       sharded.select("doc_id", "n_bytes", "text", "shard_id")
         .write.mode("overwrite").partitionBy("shard_id").parquet(storePath)
-      sharded.select("doc_id", "shard_id", "n_bytes")
+      // Derive the manifest from the WRITTEN store instead of
+      // re-evaluating the cumsum pipeline: column pruning reads only
+      // the three small columns, never the text bytes
+      s.read.parquet(storePath).select("doc_id", "shard_id", "n_bytes")
         .write.mode("overwrite").parquet(manifestPath)
       fs.create(marker, true).close()
     }
@@ -266,9 +271,15 @@ object SourceQueries {
       // declare VARCHAR explicitly
       .option("createTableColumnTypes", "o_orderstatus VARCHAR(4)")
       .jdbc(url, "orders_bench", props)
-    // S1's driver-side scalar bounds query, then one partition per stride
-    val bounds = s.read.jdbc(url, "orders_bench", props)
-      .agg(min("o_orderkey"), max("o_orderkey")).head()
+    // S1's driver-side scalar bounds query — pushed to the database as
+    // a derived table so Derby computes the two scalars (a plain
+    // .jdbc().agg() would stream the whole table through one
+    // connection just to find min/max)
+    // (Spark's JDBC writer quotes column names, so Derby holds them
+    // case-sensitively lowercase — quote them here too)
+    val bounds = s.read.jdbc(url,
+      "(SELECT MIN(\"o_orderkey\") AS mn, MAX(\"o_orderkey\") AS mx " +
+        "FROM orders_bench) b", props).head()
     val part = s.read
       .option("partitionColumn", "o_orderkey")
       .option("lowerBound", bounds.getLong(0).toString)

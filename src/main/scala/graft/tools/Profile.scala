@@ -45,8 +45,15 @@ object Profile {
       val t0 = System.nanoTime()
       val n = df.count()
       val dt = (System.nanoTime() - t0) / 1e9
-      // listener events are posted async; give the queue a beat to drain
-      Thread.sleep(800)
+      // listener events are posted async; poll until the totals stop
+      // changing (a fixed sleep can under-report spill on a loaded box)
+      var prev = -1L
+      var cur = memSpill.get + diskSpill.get + shufR.get + shufW.get
+      while (cur != prev) {
+        Thread.sleep(400)
+        prev = cur
+        cur = memSpill.get + diskSpill.get + shufR.get + shufW.get
+      }
       println(f"run $i: $dt%.3f s rows=$n shufR=${mb(shufR)} " +
         f"shufW=${mb(shufW)} memSpill=${mb(memSpill)} diskSpill=${mb(diskSpill)}")
     }

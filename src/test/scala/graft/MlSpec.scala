@@ -143,17 +143,13 @@ class MlSpec extends AnyFunSuite {
     val tf = MlQueries.q57Tf(spark, sf)
     val model = new MinHashLSH().setInputCol("features").setOutputCol("sig")
       .setNumHashTables(4).setSeed(42L).fit(tf)
-    // the frozen fixture IS the fitted model's coefficient table
-    // (private[ml] → runtime reflection)
-    val coefs = model.getClass.getMethod("randCoefficients")
-      .invoke(model).asInstanceOf[Array[(Int, Int)]].toSeq
+    // the frozen fixture IS the fitted model's coefficient table, and
+    // the hard-coded prime matches the installed Spark's constant —
+    // extracted via the same shared recipe the generator used
+    val (coefs, prime) = MlFixtures.extractMinhash(model)
     assert(coefs == MlFixtures.minhashCoefs,
       "MlFixtures.minhashCoefs is stale — re-run graft.tools.MlFixtureGen")
-    // the hard-coded prime matches the installed Spark's constant
-    val mod = Class.forName("org.apache.spark.ml.feature.MinHashLSH$")
-      .getField("MODULE$").get(null)
-    assert(mod.getClass.getMethod("HASH_PRIME").invoke(mod)
-      .asInstanceOf[Int].toLong == MlFixtures.minhashPrime)
+    assert(prime == MlFixtures.minhashPrime)
     // relational replay of the signature (what the q57 oracle does)
     // must equal spark.ml's hash values doc-for-doc
     val sigCols = MlFixtures.minhashCoefs.zipWithIndex.map { case ((a, b), t) =>

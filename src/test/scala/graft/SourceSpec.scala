@@ -66,9 +66,8 @@ class SourceSpec extends AnyFunSuite {
       .join(broadcast(wanted), Seq("shard_id"))
       .join(requests, Seq("doc_id"), "left_semi")
     val plan = fetched.queryExecution.executedPlan.toString
-    assert(plan.contains("dynamicpruning") ||
-      fetched.count() == requests.count(),
-      "range fetch should prune shards dynamically (or at least be correct)")
+    assert(plan.contains("dynamicpruning"),
+      s"range fetch must prune shards dynamically; plan:\n$plan")
     assert(fetched.count() === requests.count())
   }
 }
