@@ -68,6 +68,31 @@ object HashExpressions {
     new GenericArrayData(out)
   }
 
+  /** k-word shingle STRINGS (space-joined), one compiled loop per row —
+    * the string-producing sibling of [[shingleHashes]] for operators
+    * whose predicates need the shingle text itself (rare-word filters,
+    * n-gram dictionaries). Mirrors the HOF spelling bit-for-bit:
+    * fewer than k tokens → empty array. */
+  def shingles(toks: ArrayData, k: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val arr = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { arr(i) = toks.getUTF8String(i); i += 1 }
+    val space = UTF8String.fromString(" ")
+    val m = n - k + 1
+    val out = new Array[Any](m)
+    i = 0
+    while (i < m) {
+      val parts = new Array[UTF8String](k)
+      var j = 0
+      while (j < k) { parts(j) = arr(i + j); j += 1 }
+      out(i) = UTF8String.concatWs(space, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def tokenHashes(toks: ArrayData): ArrayData = {
     val n = toks.numElements()
     val out = new Array[Any](n)
@@ -156,6 +181,18 @@ object HashExpressions {
       copy(child = newChild)
   }
 
+  case class Shingles(child: Expression, k: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override protected def nullSafeEval(input: Any): Any =
+      shingles(input.asInstanceOf[ArrayData], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.HashExpressions.shingles($c, $k)")
+    override protected def withNewChildInternal(newChild: Expression): Shingles =
+      copy(child = newChild)
+  }
+
   case class TokenHashes(child: Expression) extends ArrayLongUnary {
     override protected def nullSafeEval(input: Any): Any =
       tokenHashes(input.asInstanceOf[ArrayData])
@@ -206,6 +243,10 @@ object HashExpressions {
       new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
       (args: Seq[Expression]) =>
         ShingleHashes(args.head, intArg(args(1), "graft_shingle_hashes"))),
+    (FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[Shingles].getName, "graft_shingles"),
+      (args: Seq[Expression]) =>
+        Shingles(args.head, intArg(args(1), "graft_shingles"))),
     (FunctionIdentifier("graft_token_hashes"),
       new ExpressionInfo(classOf[TokenHashes].getName, "graft_token_hashes"),
       (args: Seq[Expression]) => TokenHashes(args.head)),

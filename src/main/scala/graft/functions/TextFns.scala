@@ -48,7 +48,15 @@ object TextFns {
   /** k-word shingles of a token array. Spark `sequence(0, n)` is
     * *inclusive* and counts DOWN when n < 0, so the empty case is
     * guarded explicitly (DuckDB's exclusive `range` is naturally empty). */
+  /** k-word shingle strings (native one-pass; see
+    * [[shinglesHof]] for the HOF spelling this mirrors). */
   def shingles(toks: Column, k: Int): Column =
+    call_function("graft_shingles", toks, lit(k))
+
+  /** HOF spelling of [[shingles]] (documentation + HashSpec
+    * cross-check; interpreted, so ~10× the cost of the native loop on
+    * the postings-build hot path). */
+  def shinglesHof(toks: Column, k: Int): Column =
     when(size(toks) < k, array().cast("array<string>"))
       .otherwise(transform(
         sequence(lit(0), size(toks) - k),

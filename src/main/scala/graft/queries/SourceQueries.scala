@@ -270,6 +270,9 @@ object SourceQueries {
       // Derby maps StringType to CLOB (not comparable, no pushdown);
       // declare VARCHAR explicitly
       .option("createTableColumnTypes", "o_orderstatus VARCHAR(4)")
+      // default batchsize is 1000; larger batches cut the per-round-trip
+      // overhead that dominates an embedded-Derby bulk load
+      .option("batchsize", "10000")
       .jdbc(url, "orders_bench", props)
     // S1's driver-side scalar bounds query — pushed to the database as
     // a derived table so Derby computes the two scalars (a plain

@@ -34,6 +34,16 @@ class HashSpec extends AnyFunSuite {
     }
   }
 
+  test("shingle strings native == HOF for k in {2,3,5}") {
+    Seq(2, 3, 5).foreach { k =>
+      val diff = toks.select(
+          TextFns.shingles(col("toks"), k).as("native"),
+          TextFns.shinglesHof(col("toks"), k).as("hof"))
+        .filter(col("native") =!= col("hof"))
+      assert(diff.count() == 0, s"k=$k")
+    }
+  }
+
   test("minhash signature native == HOF (n=12)") {
     val sets = toks.select(array_sort(array_distinct(
       TextFns.shingleHashes(col("toks"), 5))).as("hashes"))
