@@ -24,6 +24,28 @@ object EventStream {
 
   private val runIdx = new AtomicInteger(0)
 
+  /** State-store partition count for the bounded oracle/bench drains.
+    * Stateful-stream partitioning is a STATE-VOLUME knob, not a
+    * data-volume knob: every partition pays a per-micro-batch state
+    * store commit (four stores per partition for a stream-stream
+    * join), so a bounded ~100k-event drain wants single-digit
+    * partitions, while a 1000-executor deployment sizes it to total
+    * state across executors. Measured at sf0.1 for the stream-stream
+    * join (tools/StreamProbe): 32 partitions → 9.4 s, 8 → 3.6 s,
+    * 4 → 2.5 s, identical results. */
+  private val drainStatePartitions = 8
+
+  /** Run `body` (a stream start + drain) with the session's shuffle
+    * partitions sized for drain state; restore the caller's setting
+    * after. The count latches into the query plan at `.start()`, so
+    * the override must span it. */
+  private def drainSized[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, drainStatePartitions.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   def eventsStream(s: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
     // The file stream source monitors a DIRECTORY (its production
@@ -68,7 +90,7 @@ object EventStream {
   /** Run the stream to completion over the (finite) input, return the
     * materialized result. */
   def windowedCountsOnce(s: SparkSession, dir: String,
-                         outputMode: String = "complete"): DataFrame = {
+                         outputMode: String = "complete"): DataFrame = { drainSized(s) {
     val name = s"graft_stream_win_${runIdx.incrementAndGet()}"
     val q = windowedAgg(eventsStream(s, dir))
       .writeStream.format("memory").queryName(name)
@@ -77,6 +99,7 @@ object EventStream {
       .start()
     q.awaitTermination()
     s.table(name)
+  }
   }
 
   // ---- stateful sessionization ------------------------------------
@@ -122,7 +145,7 @@ object EventStream {
     * AvailableNow into a memory sink. Column-compatible with the batch
     * [[graft.operators.EventAnalytics.sessionize]] / its DuckDB oracle. */
   def statefulSessionsOnce(s: SparkSession, dir: String,
-                           gapMinutes: Int = 30): DataFrame = {
+                           gapMinutes: Int = 30): DataFrame = { drainSized(s) {
     import s.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
     val ev = eventsStream(s, dir)
@@ -145,6 +168,7 @@ object EventStream {
         timestamp_micros(col("end_us")).as("session_end"),
         col("n_events"), col("sum_value_cents"))
   }
+  }
 
   // ---- streaming dedup / join / file sink --------------------------
 
@@ -154,7 +178,7 @@ object EventStream {
     * q22's batch content dedup. Drained append-mode into memory; the
     * per-type roll-up of the deduped rows must equal the batch
     * distinct-events aggregate. */
-  def dedupedCountsOnce(s: SparkSession, dir: String): DataFrame = {
+  def dedupedCountsOnce(s: SparkSession, dir: String): DataFrame = { drainSized(s) {
     val ev = eventsStream(s, dir)
     val doubled = ev.unionByName(ev)
     val name = s"graft_stream_dedup_${runIdx.incrementAndGet()}"
@@ -172,13 +196,14 @@ object EventStream {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"), sum("cents").as("sum_value_cents"))
   }
+  }
 
   /** Stream-static join: the event stream joined to a static per-user
     * dimension (computed batch-side from the same table), then
     * per-(bucket, type) roll-up. The static side is planned as a
     * broadcast per micro-batch — the streaming analogue of the
     * reference's broadcast dim joins (J5). */
-  def streamStaticJoinOnce(s: SparkSession, dir: String): DataFrame = {
+  def streamStaticJoinOnce(s: SparkSession, dir: String): DataFrame = { drainSized(s) {
     val userDim = graft.Tables.events(s, dir)
       .select(col("user_id")).distinct()
       .withColumn("user_bucket", col("user_id") % 10)
@@ -196,6 +221,7 @@ object EventStream {
       .groupBy("user_bucket", "event_type")
       .agg(count(lit(1)).as("n_events"), sum("cents").as("sum_value_cents"))
   }
+  }
 
   /** Built-in merging session windows on the stream:
     * `session_window(ts, gap)` grouped per user — the declarative
@@ -208,7 +234,7 @@ object EventStream {
     * window-merge rule: a new event merges only if it starts strictly
     * inside the previous window). */
   def sessionWindowsOnce(s: SparkSession, dir: String,
-                         gapMinutes: Int = 30): DataFrame = {
+                         gapMinutes: Int = 30): DataFrame = { drainSized(s) {
     val name = s"graft_stream_sesswin_${runIdx.incrementAndGet()}"
     val q = eventsStream(s, dir)
       .withWatermark("ts", "1 hour")
@@ -228,6 +254,7 @@ object EventStream {
     q.awaitTermination()
     s.table(name)
   }
+  }
 
   /** Stream-stream interval join: view events joined to purchase
     * events of the same user within [view_ts, view_ts + 30 min]. Both
@@ -237,7 +264,7 @@ object EventStream {
     * user_id; at 100 TB/day the watermark bound is what keeps state
     * finite). Drained AvailableNow into memory; the batch SQL oracle
     * proves stream/batch parity. */
-  def streamStreamJoinOnce(s: SparkSession, dir: String): DataFrame = {
+  def streamStreamJoinOnce(s: SparkSession, dir: String): DataFrame = { drainSized(s) {
     val ev = eventsStream(s, dir)
     val views = ev.filter(col("event_type") === "view")
       .select(col("event_id").as("view_id"), col("user_id"),
@@ -264,13 +291,14 @@ object EventStream {
     q.awaitTermination()
     s.table(name)
   }
+  }
 
   /** Streaming aggregation → file sink via foreachBatch: each
     * micro-batch overwrites the parquet output with the complete
     * windowed aggregate (the idempotent-overwrite pattern for
     * aggregate sinks); the function then reads the files back. This is
     * the S7 sink shape on the streaming path. */
-  def parquetSinkOnce(s: SparkSession, dir: String): DataFrame = {
+  def parquetSinkOnce(s: SparkSession, dir: String): DataFrame = { drainSized(s) {
     val out = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft-stream",
       Integer.toHexString(dir.hashCode), "win_parquet").toString
@@ -284,5 +312,6 @@ object EventStream {
       .start()
     q.awaitTermination()
     s.read.parquet(out)
+  }
   }
 }
