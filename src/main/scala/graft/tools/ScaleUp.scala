@@ -12,28 +12,20 @@ import org.apache.spark.sql.functions._
   * and keys never collide across replicas. `region`/`nation` are
   * dimension tables and stay as-is (replicas keep referencing them).
   * Document text gets a replica-unique suffix (and n_chars is
-  * recomputed) so the corpus triples without being byte-identical —
+  * recomputed) so the corpus multiplies without being byte-identical —
   * near-dup operators see each doc's copies as the near-duplicates
   * they are, not as exact clones that collapse to one hash.
+  * ScaleUpSpec asserts the multiplication, FK integrity, and
+  * near-dup-not-clone invariants.
   *
   * Usage: tools/run.sh graft.tools.ScaleUp [src] [dst] [replicas]
   * Writes parquet per table under dst (default /tmp/graft_sf0.3).
   */
 object ScaleUp {
 
-  def main(args: Array[String]): Unit = {
-    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val dst = args.lift(1).getOrElse("/tmp/graft_sf0.3")
-    val reps = args.lift(2).map(_.toInt).getOrElse(3)
+  def replicate(spark: SparkSession, src: String, dst: String,
+                reps: Int): Unit = {
     val S = 100000000L
-    val spark = SparkSession.builder()
-      .master("local[16]")
-      .config("spark.sql.shuffle.partitions", "16")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
 
     for (t <- Seq("region", "nation"))
       spark.read.parquet(s"$src/$t.parquet")
@@ -68,11 +60,29 @@ object ScaleUp {
         else concat(col("text"), lit(s" zrep${k / S}"))
       d.withColumn("doc_id", col("doc_id") + k)
         .withColumn("text", t)
-        .withColumn("n_chars", length(t).cast("long"))
+        // length(col("text")) AFTER the replace — reusing `t` here
+        // would re-apply the concat against the already-suffixed
+        // column and record n_chars 6 too large (caught by
+        // ScaleUpSpec's stale-n_chars assert)
+        .withColumn("n_chars", length(col("text")).cast("long"))
     })
     rep("embeddings")((d, k) =>
       d.withColumn("vec_id", col("vec_id") + k))
+  }
 
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dst = args.lift(1).getOrElse("/tmp/graft_sf0.3")
+    val reps = args.lift(2).map(_.toInt).getOrElse(3)
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    replicate(spark, src, dst, reps)
     spark.stop()
   }
 }
