@@ -165,8 +165,32 @@ object SourceQueries {
     * content-sensitive key as q95's layout) and shared by q98
     * (inventory round-trip) and q99 (serving reads). Returns
     * (storePath, manifestPath). */
-  private[graft] def compactedStore(s: SparkSession, dir: String): (String, String) = {
+  /** The two-phase distributed cumsum shard assignment (the q92
+    * scheme): global doc_id-order running byte count div
+    * [[shardBytes]], computed WITHOUT a global sort over the corpus —
+    * per-bucket window sums plus a broadcast of n/1000 bucket offsets.
+    * `offset` shifts the whole assignment past existing shards (the
+    * append path). Returns (doc_id, n_bytes, text, shard_id). */
+  private[graft] def shardAssign(docs: DataFrame, offset: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val d = docs.select(col("doc_id"), col("text"),
+      length(col("text")).cast("long").as("n_bytes"),
+      expr("doc_id div 1000").as("bucket"))
+    val offsets = d.groupBy("bucket").agg(sum("n_bytes").as("bt"))
+      .withColumn("boff", coalesce(
+        sum("bt").over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "boff")
+    val wIn = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("cum", sum("n_bytes").over(wIn) + col("boff"))
+      .withColumn("shard_id",
+        expr(s"(cum - n_bytes) div $shardBytes") + lit(offset))
+      .select("doc_id", "n_bytes", "text", "shard_id")
+  }
+
+  private[graft] def compactedStore(s: SparkSession, dir: String): (String, String) = {
     val docs = Tables.documents(s, dir)
     val fp = docs.agg(count(lit(1)).as("n"), sum("doc_id").as("ids"),
       sum(length(col("text"))).as("len"),
@@ -180,20 +204,7 @@ object SourceQueries {
     val marker = new org.apache.hadoop.fs.Path(base, "_DONE")
     val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(marker)) {
-      val d = docs.select(col("doc_id"), col("text"),
-        length(col("text")).cast("long").as("n_bytes"),
-        expr("doc_id div 1000").as("bucket"))
-      val offsets = d.groupBy("bucket").agg(sum("n_bytes").as("bt"))
-        .withColumn("offset", coalesce(
-          sum("bt").over(Window.orderBy("bucket")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select("bucket", "offset")
-      val wIn = Window.partitionBy("bucket").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val sharded = d.join(broadcast(offsets), Seq("bucket"))
-        .withColumn("cum", sum("n_bytes").over(wIn) + col("offset"))
-        .withColumn("shard_id", expr(s"(cum - n_bytes) div $shardBytes"))
-      sharded.select("doc_id", "n_bytes", "text", "shard_id")
+      shardAssign(docs, 0L)
         .write.mode("overwrite").partitionBy("shard_id").parquet(storePath)
       // Derive the manifest from the WRITTEN store instead of
       // re-evaluating the cumsum pipeline: column pruning reads only
@@ -247,6 +258,50 @@ object SourceQueries {
       .orderBy("doc_id")
   }
 
+  /** q101: incremental APPEND to the compacted store — the ingestion
+    * path q98's one-shot build needs at scale. Yesterday's corpus
+    * (doc_id % 4 ≠ 3) is sharded and written once; today's batch
+    * (doc_id % 4 = 3) gets the same cumsum assignment OFFSET past the
+    * existing max shard id and lands as append-only partitions — no
+    * existing shard file is rewritten, and readers of the store see
+    * old + new without coordination (each parquet partition dir is
+    * immutable once written). Output: per-shard inventory of the
+    * COMBINED store read back, tagged with the batch it arrived in;
+    * the oracle re-derives both assignments and the offset
+    * relationally. */
+  def q101StoreAppend(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val fp = docs.agg(count(lit(1)).as("n"), sum("doc_id").as("ids"),
+      sum(length(col("text"))).as("len"),
+      sum(crc32(col("text"))).as("crc")).head()
+    val base = ioDir(dir,
+      s"appendstore_${shardBytes}_${fp.getLong(0)}_${fp.getLong(1)}_${fp.getLong(2)}_${fp.getLong(3)}")
+    val storePath = s"$base/shards"
+    val marker = new org.apache.hadoop.fs.Path(base, "_DONE")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      shardAssign(docs.filter(col("doc_id") % 4 =!= 3), 0L)
+        .write.mode("overwrite").partitionBy("shard_id").parquet(storePath)
+      // driver-side scalar (S9 pattern, bounded): the append offset =
+      // one past the base store's max shard. cast("long") because a
+      // read-back partition column may infer as int
+      val off = s.read.parquet(storePath)
+        .agg(max(col("shard_id").cast("long"))).head().getLong(0) + 1L
+      shardAssign(docs.filter(col("doc_id") % 4 === 3), off)
+        .write.mode("append").partitionBy("shard_id").parquet(storePath)
+      fs.create(marker, true).close()
+    }
+    // batch provenance is recoverable from content (appended shards
+    // hold only doc_id % 4 = 3 docs), so a reader needs no side state
+    s.read.parquet(storePath)
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_bytes").as("shard_bytes"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .withColumn("batch",
+        when(col("min_doc") % 4 === 3, lit(1L)).otherwise(lit(0L)))
+      .orderBy("shard_id")
+  }
+
   /** S1/S2 at bench scale (the reference's primary source,
     * `matching/datasource/SqlDataSource.scala:34-58`): the orders
     * table round-trips through embedded Derby — JDBC batch write, a
@@ -297,6 +352,7 @@ object SourceQueries {
 
   val queries: Map[String, Q] = Map(
     "q100_jdbc_source" -> (q100JdbcSource _),
+    "q101_store_append" -> (q101StoreAppend _),
     "q98_compacted_store" -> (q98CompactedStore _),
     "q99_store_fetch" -> (q99StoreFetch _),
     "q95_path_driven_source" -> (q95PathDrivenSource _),
@@ -312,6 +368,36 @@ object SourceQueries {
          CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_cents
          FROM orders WHERE o_orderstatus <> 'F'
          GROUP BY 1, 2 ORDER BY o_year, o_orderstatus""",
+    "q101_store_append" ->
+      s"""WITH base AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes
+           FROM documents WHERE doc_id % 4 <> 3),
+         bc AS (SELECT doc_id, n_bytes,
+           CAST(sum(n_bytes) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum
+           FROM base),
+         bs AS (SELECT doc_id, n_bytes,
+           CAST((cum - n_bytes) // $shardBytes AS BIGINT) AS shard_id
+           FROM bc),
+         off AS (SELECT max(shard_id) + 1 AS o FROM bs),
+         nw AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes
+           FROM documents WHERE doc_id % 4 = 3),
+         nc AS (SELECT doc_id, n_bytes,
+           CAST(sum(n_bytes) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum
+           FROM nw),
+         ns AS (SELECT doc_id, n_bytes,
+           CAST((cum - n_bytes) // $shardBytes AS BIGINT)
+             + (SELECT o FROM off) AS shard_id
+           FROM nc),
+         allx AS (SELECT * FROM bs UNION ALL SELECT * FROM ns)
+         SELECT shard_id, count(*) AS n_docs,
+           CAST(sum(n_bytes) AS BIGINT) AS shard_bytes,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+           CAST(CASE WHEN min(doc_id) % 4 = 3 THEN 1 ELSE 0 END AS BIGINT)
+             AS batch
+         FROM allx GROUP BY 1 ORDER BY shard_id""",
     "q98_compacted_store" ->
       s"""WITH b AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes
            FROM documents),

@@ -70,4 +70,19 @@ class SourceSpec extends AnyFunSuite {
       s"range fetch must prune shards dynamically; plan:\n$plan")
     assert(fetched.count() === requests.count())
   }
+
+  test("appended shards land strictly after the base store's shards") {
+    // q101's append-only contract: a new batch may only CREATE shard
+    // partitions past the existing max — never land inside (or renumber)
+    // a base shard. If the offset math drifted, batches would interleave.
+    val inv = queries.SourceQueries.q101StoreAppend(spark, sf).collect()
+    def sid(r: org.apache.spark.sql.Row) =
+      r.getAs[Number]("shard_id").longValue()
+    val base = inv.filter(_.getAs[Long]("batch") == 0L).map(sid)
+    val appended = inv.filter(_.getAs[Long]("batch") == 1L).map(sid)
+    assert(base.nonEmpty && appended.nonEmpty)
+    assert(appended.min > base.max,
+      s"append interleaved with base: base=${base.toSeq}, new=${appended.toSeq}")
+    assert(inv.map(sid).distinct.length == inv.length, "duplicate shard ids")
+  }
 }
