@@ -153,6 +153,56 @@ object HashExpressions {
     acc
   }
 
+  /** Per-document repetition statistics in ONE compiled pass:
+    * `[n_tokens, n_distinct_tokens, top_bigram_count, top_trigram_count]`.
+    *
+    * The Gopher/RefinedWeb repetition filters (duplicate-token and
+    * top-n-gram fractions) are per-document aggregates; the relational
+    * spelling (explode → two groupBys) shuffles every token of the
+    * corpus to compute a statistic that never leaves its document. At
+    * 100 TB that shuffle dominates the job, so this stays map-side:
+    * one hash map per row, bounded by the document's token count.
+    * Semantics match the oracle's unnest + lead() spelling exactly —
+    * counts are integers, no ratio is computed here. */
+  def repStats(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    val arr = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { arr(i) = toks.getUTF8String(i); i += 1 }
+    val distinct = new java.util.HashSet[UTF8String](Math.max(16, n * 2))
+    i = 0
+    while (i < n) { distinct.add(arr(i)); i += 1 }
+    val sp = UTF8String.fromString(" ")
+    var topBi = 0L
+    if (n >= 2) {
+      val m = new java.util.HashMap[UTF8String, java.lang.Long](n * 2)
+      i = 0
+      while (i < n - 1) {
+        val k = UTF8String.concat(arr(i), sp, arr(i + 1))
+        val c = m.get(k)
+        val nc = if (c == null) 1L else c.longValue() + 1L
+        m.put(k, nc)
+        if (nc > topBi) topBi = nc
+        i += 1
+      }
+    }
+    var topTri = 0L
+    if (n >= 3) {
+      val m = new java.util.HashMap[UTF8String, java.lang.Long](n * 2)
+      i = 0
+      while (i < n - 2) {
+        val k = UTF8String.concat(arr(i), sp, arr(i + 1), sp, arr(i + 2))
+        val c = m.get(k)
+        val nc = if (c == null) 1L else c.longValue() + 1L
+        m.put(k, nc)
+        if (nc > topTri) topTri = nc
+        i += 1
+      }
+    }
+    new GenericArrayData(
+      Array[Any](n.toLong, distinct.size.toLong, topBi, topTri))
+  }
+
   // ---- expression nodes --------------------------------------------
 
   abstract class ArrayLongUnary extends UnaryExpression {
@@ -214,6 +264,16 @@ object HashExpressions {
       copy(child = newChild)
   }
 
+  case class RepStats(child: Expression) extends ArrayLongUnary {
+    override protected def nullSafeEval(input: Any): Any =
+      repStats(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.HashExpressions.repStats($c)")
+    override protected def withNewChildInternal(newChild: Expression): RepStats =
+      copy(child = newChild)
+  }
+
   case class Simhash32(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
     override def nullIntolerant: Boolean = true
@@ -256,5 +316,8 @@ object HashExpressions {
         MinhashSignature(args.head, intArg(args(1), "graft_minhash"))),
     (FunctionIdentifier("graft_simhash32"),
       new ExpressionInfo(classOf[Simhash32].getName, "graft_simhash32"),
-      (args: Seq[Expression]) => Simhash32(args.head)))
+      (args: Seq[Expression]) => Simhash32(args.head)),
+    (FunctionIdentifier("graft_rep_stats"),
+      new ExpressionInfo(classOf[RepStats].getName, "graft_rep_stats"),
+      (args: Seq[Expression]) => RepStats(args.head)))
 }

@@ -93,6 +93,12 @@ object TextFns {
         aggregate(slice(sig, b * r + 1, lit(r)), lit(0L),
           (acc, x) => (acc * 31 + x) % P).as("key")))
 
+  /** Per-document repetition stats `[n_tokens, n_distinct_tokens,
+    * top_bigram_count, top_trigram_count]` in one native pass — the
+    * map-side core of the Gopher-style repetition filters (see
+    * [[HashExpressions.repStats]]). */
+  def repStats(toks: Column): Column = call_function("graft_rep_stats", toks)
+
   /** 32-bit SimHash from (multiset of) token hashes: bit j is set iff
     * the net count of tokens with bit j set exceeds half. Bits are
     * folded MSB-first from j=0: simhash = fold(acc*2 + bit_j). Native. */

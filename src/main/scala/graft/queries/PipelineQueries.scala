@@ -295,7 +295,91 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // PII patterns shared verbatim by the Spark plan and the DuckDB
+  // oracle (interpolated into the SQL below): character classes +
+  // bounded repetition only, i.e. the java.util.regex ∩ RE2 subset
+  // where both engines produce identical matches (no backrefs, no
+  // lookaround, no leftmost-first vs leftmost-longest divergence for
+  // these shapes).
+  private[graft] val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val phoneRe = "555-[0-9]{4}-[0-9]{4}"
+  private[graft] val ipRe =
+    "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** q102: PII detection + redaction — the scrubbing pass a training
+    * pipeline runs before anything ships. The synthetic corpus carries
+    * no PII, so each document first embeds email / phone / IPv4 tokens
+    * derived deterministically from its own key columns (conditionally
+    * on doc_id residues, so zero-, one- and multi-hit documents all
+    * occur), then the operator counts and redacts them. Counts are
+    * taken on the raw text, redaction replaces email → ip → phone (the
+    * three patterns are mutually non-overlapping on any input: only
+    * emails contain '@', only IPs contain digit.digit, only phones
+    * contain '555-'). Pure map-side regex work — at 100 TB this is a
+    * single scan with no shuffle beyond the output sort. */
+  def q102PiiRedaction(s: SparkSession, dir: String): DataFrame = {
+    val idStr = col("doc_id").cast("string")
+    val full = concat(
+      substring(col("text"), 1, 80),
+      when(col("doc_id") % 3 =!= 0, concat(lit(" contact user"), idStr,
+        lit("@ex-"), col("source"), lit(".org"))).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0, concat(lit(" cc admin"), idStr,
+        lit("@ex-"), col("source"), lit(".net"))).otherwise(lit("")),
+      when(col("doc_id") % 2 === 0, concat(lit(" tel 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit("-1234"))).otherwise(lit("")),
+      when(col("doc_id") % 5 < 2, concat(lit(" from 10."),
+        (col("doc_id") % 256).cast("string"), lit(".0."),
+        ((col("doc_id") * 7) % 256).cast("string"))).otherwise(lit("")),
+      lit(" end"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), full.as("ftext"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("ftext"), lit(emailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("ftext"), lit(phoneRe), lit(0)))
+          .cast("long").as("n_phones"),
+        size(regexp_extract_all(col("ftext"), lit(ipRe), lit(0)))
+          .cast("long").as("n_ips"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("ftext"), emailRe, "<EMAIL>"),
+            ipRe, "<IP>"),
+          phoneRe, "<PHONE>").as("redacted"))
+      .withColumn("n_pii", col("n_emails") + col("n_phones") + col("n_ips"))
+      .select("doc_id", "n_emails", "n_phones", "n_ips", "n_pii", "redacted")
+      .orderBy("doc_id")
+  }
+
+  /** q103: Gopher/RefinedWeb-style repetition metrics — duplicate-token
+    * fraction and top-bigram/-trigram share per document, the filters
+    * that catch degenerate boilerplate and generation loops. The whole
+    * computation is ONE native expression pass per row
+    * ([[TextFns.repStats]]): the relational spelling would shuffle
+    * every token of the corpus to compute statistics that never leave
+    * their document (the oracle below pays exactly that — unnest + two
+    * lead() windows + three groupBys — which is the point of the
+    * native operator). Ratios ship as integer millis (floor div), so
+    * the hash compare is exact. */
+  def q103Repetition(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        graft.functions.TextFns.repStats(split(col("text"), " ")).as("r"))
+      .select(col("doc_id"),
+        element_at(col("r"), 1).as("n_tokens"),
+        element_at(col("r"), 2).as("n_distinct"),
+        element_at(col("r"), 3).as("top_bigram_n"),
+        element_at(col("r"), 4).as("top_trigram_n"))
+      .withColumn("dup_milli",
+        expr("(1000 * (n_tokens - n_distinct)) div greatest(n_tokens, 1)"))
+      .withColumn("top_bigram_milli",
+        expr("(1000 * top_bigram_n) div greatest(n_tokens - 1, 1)"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q102_pii_redaction" -> (q102PiiRedaction _),
+    "q103_repetition" -> (q103Repetition _),
     "q86_instrument_pipeline" -> (q86InstrumentPipeline _),
     "q88_person_dedup" -> (q88PersonDedup _),
     "q91_decontamination" -> (q91Decontamination _),
@@ -342,6 +426,66 @@ object PipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q102_pii_redaction" ->
+      s"""WITH full0 AS (SELECT doc_id,
+           substr(text, 1, 80)
+           || CASE WHEN doc_id % 3 <> 0 THEN ' contact user'
+                || CAST(doc_id AS VARCHAR) || '@ex-' || source || '.org'
+              ELSE '' END
+           || CASE WHEN doc_id % 7 = 0 THEN ' cc admin'
+                || CAST(doc_id AS VARCHAR) || '@ex-' || source || '.net'
+              ELSE '' END
+           || CASE WHEN doc_id % 2 = 0 THEN ' tel 555-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-1234'
+              ELSE '' END
+           || CASE WHEN doc_id % 5 < 2 THEN ' from 10.'
+                || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+                || CAST((doc_id * 7) % 256 AS VARCHAR)
+              ELSE '' END
+           || ' end' AS ftext
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(ftext, '$emailRe')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(ftext, '$phoneRe')) AS BIGINT)
+             AS n_phones,
+           CAST(len(regexp_extract_all(ftext, '$ipRe')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(ftext, '$emailRe'))
+              + len(regexp_extract_all(ftext, '$phoneRe'))
+              + len(regexp_extract_all(ftext, '$ipRe')) AS BIGINT) AS n_pii,
+           regexp_replace(regexp_replace(regexp_replace(ftext,
+             '$emailRe', '<EMAIL>', 'g'),
+             '$ipRe', '<IP>', 'g'),
+             '$phoneRe', '<PHONE>', 'g') AS redacted
+         FROM full0 ORDER BY doc_id""",
+    "q103_repetition" ->
+      """WITH t0 AS (SELECT doc_id,
+           unnest(list_transform(string_split(text, ' '),
+             (x, i) -> struct_pack(pos := i, tok := x))) AS u
+           FROM documents),
+         t AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM t0),
+         b AS (SELECT doc_id, tok,
+           lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt,
+           lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS nx2
+           FROM t),
+         wc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct
+           FROM t GROUP BY 1),
+         bg AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_n FROM
+           (SELECT doc_id, tok, nxt, count(*) AS c FROM b
+            WHERE nxt IS NOT NULL GROUP BY 1, 2, 3) GROUP BY 1),
+         tg AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_trigram_n FROM
+           (SELECT doc_id, tok, nxt, nx2, count(*) AS c FROM b
+            WHERE nx2 IS NOT NULL GROUP BY 1, 2, 3, 4) GROUP BY 1)
+         SELECT wc.doc_id, n_tokens, n_distinct,
+           CAST(COALESCE(top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+           CAST(COALESCE(top_trigram_n, 0) AS BIGINT) AS top_trigram_n,
+           (1000 * (n_tokens - n_distinct)) // greatest(n_tokens, 1)
+             AS dup_milli,
+           (1000 * CAST(COALESCE(top_bigram_n, 0) AS BIGINT))
+             // greatest(n_tokens - 1, 1) AS top_bigram_milli
+         FROM wc LEFT JOIN bg USING (doc_id) LEFT JOIN tg USING (doc_id)
+         ORDER BY doc_id""",
     "q86_instrument_pipeline" ->
       s"""WITH dim(name, code, w1, w2) AS (VALUES $instrumentsSql),
          toks AS (SELECT doc_id, ${TextFns.sqlTokens("text")} AS t FROM documents),

@@ -85,6 +85,70 @@ class HashSpec extends AnyFunSuite {
     assert(d.count() == 0)
   }
 
+  test("repStats hand cases") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a a a a"),   // "a a"×3 bigrams, "a a a"×2 trigrams
+      (2L, "a b a b a"), // bigrams "a b"/"b a" ×2 each, trigram "a b a"×2
+      (3L, "x"),         // no bigrams or trigrams
+      (4L, "x y"),       // one bigram, no trigram
+      (5L, "")).toDF("id", "t") // split("", " ") -> [""], one empty token
+    val r = df.select(col("id"), TextFns.repStats(split(col("t"), " ")).as("r"))
+      .collect().map(x => x.getLong(0) -> x.getSeq[Long](1).toSeq).toMap
+    assert(r(1L) == Seq(4L, 1L, 3L, 2L))
+    assert(r(2L) == Seq(5L, 2L, 2L, 2L))
+    assert(r(3L) == Seq(1L, 1L, 0L, 0L))
+    assert(r(4L) == Seq(2L, 2L, 1L, 0L))
+    assert(r(5L) == Seq(1L, 1L, 0L, 0L))
+  }
+
+  test("repStats native == relational spelling over the corpus") {
+    val base = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val t = base.select(col("doc_id"),
+      posexplode(col("toks")).as(Seq("pos", "tok")))
+    val wc = t.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"),
+      countDistinct("tok").as("n_distinct"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val b = t.withColumn("nxt", lead("tok", 1).over(w))
+      .withColumn("nx2", lead("tok", 2).over(w))
+    val bg = b.filter(col("nxt").isNotNull)
+      .groupBy("doc_id", "tok", "nxt").count()
+      .groupBy("doc_id").agg(max("count").as("top_bi"))
+    val tg = b.filter(col("nx2").isNotNull)
+      .groupBy("doc_id", "tok", "nxt", "nx2").count()
+      .groupBy("doc_id").agg(max("count").as("top_tri"))
+    val rel = wc.join(bg, Seq("doc_id"), "left")
+      .join(tg, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("top_bi", "top_tri"))
+    val diff = base
+      .select(col("doc_id"), TextFns.repStats(col("toks")).as("r"))
+      .join(rel, Seq("doc_id"))
+      .filter(element_at(col("r"), 1) =!= col("n_tokens") ||
+        element_at(col("r"), 2) =!= col("n_distinct") ||
+        element_at(col("r"), 3) =!= col("top_bi") ||
+        element_at(col("r"), 4) =!= col("top_tri"))
+    assert(diff.count() == 0)
+  }
+
+  test("pii redaction leaves no residual matches") {
+    import graft.queries.PipelineQueries
+    val red = PipelineQueries.q102PiiRedaction(spark, sf)
+    val residual = red.filter(
+      size(regexp_extract_all(col("redacted"),
+        lit(PipelineQueries.emailRe), lit(0))) > 0 ||
+      size(regexp_extract_all(col("redacted"),
+        lit(PipelineQueries.phoneRe), lit(0))) > 0 ||
+      size(regexp_extract_all(col("redacted"),
+        lit(PipelineQueries.ipRe), lit(0))) > 0)
+    assert(residual.count() == 0)
+    // every PII class occurs somewhere, and some docs carry none
+    val agg = red.agg(sum("n_emails"), sum("n_phones"), sum("n_ips"),
+      sum(when(col("n_pii") === 0, 1L).otherwise(0L))).collect()(0)
+    assert((0 to 3).forall(i => agg.getLong(i) > 0))
+  }
+
   test("empty-array edge cases match") {
     val empty = spark.range(1)
       .select(array().cast("array<string>").as("toks"),
