@@ -35,6 +35,24 @@ class CompositePlanSpec extends AnyFunSuite {
       s"bucket offsets must broadcast back, not shuffle:\n$plan")
   }
 
+  test("q102/q103: the scrub and repetition scans stay map-side") {
+    // both are per-document operators: the only exchange allowed in
+    // either plan is the output sort's range partitioning — any
+    // hash-partition exchange means per-token state leaked off the map
+    // side (the exact shuffle graft_rep_stats exists to avoid)
+    Seq(
+      "q102" -> queries.PipelineQueries.q102PiiRedaction(spark, sf),
+      "q103" -> queries.PipelineQueries.q103Repetition(spark, sf)
+    ).foreach { case (name, df) =>
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      val hashExchanges = plan.linesIterator
+        .count(l => l.contains("Exchange hashpartitioning"))
+      assert(hashExchanges == 0,
+        s"$name must not shuffle (map-side scan + sort only):\n$plan")
+    }
+  }
+
   test("q93: the composite reuses the shared frames (cached, not recomputed)") {
     // dupPairs is the memoized LSH frame every consumer shares; after
     // q93 runs, its plan must contain cache hits (InMemoryTableScan)
