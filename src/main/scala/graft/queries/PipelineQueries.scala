@@ -272,8 +272,14 @@ object PipelineQueries {
       .withColumn("is_near_dup", lit(true))
     val contam = q91Decontamination(s, dir)
       .select(col("doc_id"), col("contamination_milli"))
+    // repetition stage (q103's native map-side stats): a top-bigram
+    // share above 6% marks looping/degenerate text — ~14% of this
+    // corpus, a real discriminator at every tested SF
+    val rep = q103Repetition(s, dir)
+      .select(col("doc_id"), col("top_bigram_milli"))
     lang.join(qual, Seq("doc_id"))
       .join(boiler, Seq("doc_id"))
+      .join(rep, Seq("doc_id"))
       .join(exact, Seq("doc_id"))
       .join(nearDup, Seq("doc_id"), "left")
       .na.fill(false, Seq("is_near_dup"))
@@ -285,13 +291,14 @@ object PipelineQueries {
         when(col("predicted_lang") =!= "en", "lang"),
         when(col("quality") < 0.5, "quality"),
         when(col("coverage_milli") > 800, "boilerplate"),
+        when(col("top_bigram_milli") > 60, "repetition"),
         when(col("doc_id") =!= col("canonical_id"), "exact_dup"),
         when(col("is_near_dup"), "near_dup"),
         when(col("contamination_milli") >= 500, "contamination")))
       .withColumn("keep", col("drop_reasons") === "")
       .select("doc_id", "predicted_lang", "quality", "coverage_milli",
-        "canonical_id", "is_near_dup", "contamination_milli",
-        "drop_reasons", "keep")
+        "top_bigram_milli", "canonical_id", "is_near_dup",
+        "contamination_milli", "drop_reasons", "keep")
       .orderBy("doc_id")
   }
 
@@ -613,6 +620,23 @@ object PipelineQueries {
              min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
            FROM documents),
          ndup AS (SELECT DISTINCT doc2 AS doc_id FROM dup_pairs),
+         rep0 AS (SELECT doc_id,
+           unnest(list_transform(string_split(text, ' '),
+             (x, i) -> struct_pack(pos := i, tok := x))) AS u
+           FROM documents),
+         rept AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM rep0),
+         repb AS (SELECT doc_id, tok,
+           lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+           FROM rept),
+         repn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+           FROM rept GROUP BY 1),
+         repg AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bi FROM
+           (SELECT doc_id, tok, nxt, count(*) AS c FROM repb
+            WHERE nxt IS NOT NULL GROUP BY 1, 2, 3) GROUP BY 1),
+         rep AS (SELECT repn.doc_id,
+             (1000 * CAST(COALESCE(top_bi, 0) AS BIGINT))
+               // greatest(n_tokens - 1, 1) AS top_bigram_milli
+           FROM repn LEFT JOIN repg USING (doc_id)),
          sh5 AS (SELECT doc_id, unnest(${TextFns.sqlShingles("toks", 5)}) AS w
            FROM toks),
          bench5 AS (SELECT DISTINCT w FROM sh5 WHERE doc_id < 5),
@@ -624,13 +648,14 @@ object PipelineQueries {
                AS contamination_milli
            FROM per5 LEFT JOIN hit5 ON per5.doc_id = hit5.doc_id),
          verdict AS (SELECT l.doc_id, l.predicted_lang, q.quality,
-             b.coverage_milli, e.canonical_id,
+             b.coverage_milli, r2.top_bigram_milli, e.canonical_id,
              (ndup.doc_id IS NOT NULL) AS is_near_dup,
              coalesce(c.contamination_milli, 0) AS contamination_milli,
              concat_ws(',',
                CASE WHEN l.predicted_lang <> 'en' THEN 'lang' END,
                CASE WHEN q.quality < 0.5 THEN 'quality' END,
                CASE WHEN b.coverage_milli > 800 THEN 'boilerplate' END,
+               CASE WHEN r2.top_bigram_milli > 60 THEN 'repetition' END,
                CASE WHEN l.doc_id <> e.canonical_id THEN 'exact_dup' END,
                CASE WHEN ndup.doc_id IS NOT NULL THEN 'near_dup' END,
                CASE WHEN coalesce(c.contamination_milli, 0) >= 500
@@ -639,11 +664,13 @@ object PipelineQueries {
            FROM lang l
            JOIN qual q ON q.doc_id = l.doc_id
            JOIN boiler b ON b.doc_id = l.doc_id
+           JOIN rep r2 ON r2.doc_id = l.doc_id
            JOIN ex e ON e.doc_id = l.doc_id
            LEFT JOIN ndup ON ndup.doc_id = l.doc_id
            LEFT JOIN contam c ON c.doc_id = l.doc_id)
          SELECT doc_id, predicted_lang, quality, coverage_milli,
-           canonical_id, is_near_dup, contamination_milli, drop_reasons,
+           top_bigram_milli, canonical_id, is_near_dup,
+           contamination_milli, drop_reasons,
            drop_reasons = '' AS keep
          FROM verdict ORDER BY doc_id""")
 }
