@@ -384,9 +384,81 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Shingle width for q104's duplicated-span detection: 8 tokens, the
+    * smallest width at which shared spans are overwhelmingly true
+    * copies rather than idiomatic phrases (Lee et al. 2022 use 50 BPE
+    * tokens on web-scale corpora; this corpus's documents are two
+    * orders of magnitude shorter). */
+  private val spanK = 8
+
+  /** q104: corpus-level duplicated-SPAN detection — the exact-substring
+    * dedup mode of "Deduplicating Training Data Makes Language Models
+    * Better" (Lee et al. 2022), the one classic dedup mode q22-q28
+    * don't cover: instead of judging whole documents, find the exact
+    * token runs that occur more than once ANYWHERE in the corpus and
+    * report, per document, how much of it is duplicated text.
+    *
+    * The suffix-array formulation is inherently single-machine; the
+    * distributed shape used here is the standard shingle-postings
+    * equivalent: (1) one native-expression pass emits position-stamped
+    * k=8 shingle hashes ([[TextFns.shingleHashes]] — the shingle
+    * strings are never materialized); (2) a groupBy over the hash
+    * finds globally-duplicated shingles — partial aggregation absorbs
+    * hot shingles map-side, so a pathological common phrase costs its
+    * distinct value, not its occurrence count, in shuffle bytes;
+    * (3) a semi join marks the duplicated occurrences; (4) a per-doc
+    * gaps-and-islands window (same machinery as q50's sentence runs)
+    * merges overlapping/adjacent [pos, pos+k-1] intervals into maximal
+    * spans. Every shuffle is keyed (hash, then doc_id); nothing
+    * touches the driver; at 100 TB the postings shuffle IS the
+    * operator, exactly as in the published distributed
+    * implementations. Output is integer-only (milli fractions). */
+  def q104DupSpans(s: SparkSession, dir: String): DataFrame =
+    dupSpansOf(Tables.documents(s, dir).select("doc_id", "text"))
+
+  /** Core of q104 over any (doc_id, text) frame — split out so the
+    * spec can pin the interval-merge semantics on hand-built docs. */
+  private[graft] def dupSpansOf(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"),
+        size(col("t")).cast("long").as("n_tokens"))
+    val occ = toks
+      .select(col("doc_id"), col("n_tokens"),
+        posexplode(TextFns.shingleHashes(col("t"), spanK)))
+      .select(col("doc_id"), col("n_tokens"),
+        col("pos").cast("long").as("pos"), col("col").as("h"))
+    val dupH = occ.groupBy("h").count()
+      .filter(col("count") >= 2).select("h")
+    val marked = occ.join(dupH, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("n_tokens"), col("pos"),
+        (col("pos") + lit(spanK - 1)).as("endp"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val prevMax = max(col("endp"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = marked
+      .withColumn("is_new",
+        when(prevMax.isNull || col("pos") > prevMax + 1, 1L).otherwise(0L))
+      .withColumn("span_id",
+        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "span_id")
+      .agg(min("pos").as("sp"), max("endp").as("ep"))
+    val perDoc = spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("dup_spans"),
+        sum(col("ep") - col("sp") + 1).as("dup_tokens"),
+        max(col("ep") - col("sp") + 1).as("longest_span"))
+    toks.select("doc_id", "n_tokens")
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("dup_spans", "dup_tokens", "longest_span"))
+      .withColumn("dup_milli",
+        expr("(1000 * dup_tokens) div greatest(n_tokens, 1)"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q102_pii_redaction" -> (q102PiiRedaction _),
     "q103_repetition" -> (q103Repetition _),
+    "q104_dup_spans" -> (q104DupSpans _),
     "q86_instrument_pipeline" -> (q86InstrumentPipeline _),
     "q88_person_dedup" -> (q88PersonDedup _),
     "q91_decontamination" -> (q91Decontamination _),
@@ -493,6 +565,48 @@ object PipelineQueries {
              // greatest(n_tokens - 1, 1) AS top_bigram_milli
          FROM wc LEFT JOIN bg USING (doc_id) LEFT JOIN tg USING (doc_id)
          ORDER BY doc_id""",
+    "q104_dup_spans" ->
+      s"""WITH toks AS (SELECT doc_id, ${TextFns.sqlTokens("text")} AS t
+           FROM documents),
+         shh AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+           ${TextFns.sqlShingleHashes("t", 8)} AS hs FROM toks),
+         occ0 AS (SELECT doc_id, n_tokens,
+           unnest(list_transform(hs,
+             (x, i) -> struct_pack(pos := CAST(i - 1 AS BIGINT), h := x)))
+             AS u
+           FROM shh),
+         occ AS (SELECT doc_id, n_tokens, u.pos AS pos, u.h AS h
+           FROM occ0),
+         duph AS (SELECT h FROM occ GROUP BY h HAVING count(*) >= 2),
+         mk AS (SELECT doc_id, n_tokens, pos, pos + 7 AS endp
+           FROM occ SEMI JOIN duph USING (h)),
+         isl AS (SELECT doc_id, pos, endp,
+           CASE WHEN max(endp) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  IS NULL
+                OR pos > max(endp) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+             THEN 1 ELSE 0 END AS is_new
+           FROM mk),
+         isl2 AS (SELECT doc_id, pos, endp,
+           sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+           FROM isl),
+         sp AS (SELECT doc_id, span_id, min(pos) AS sp, max(endp) AS ep
+           FROM isl2 GROUP BY 1, 2),
+         pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_spans,
+           CAST(sum(ep - sp + 1) AS BIGINT) AS dup_tokens,
+           CAST(max(ep - sp + 1) AS BIGINT) AS longest_span
+           FROM sp GROUP BY 1),
+         base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens
+           FROM toks)
+         SELECT base.doc_id, n_tokens,
+           CAST(COALESCE(dup_spans, 0) AS BIGINT) AS dup_spans,
+           CAST(COALESCE(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           CAST(COALESCE(longest_span, 0) AS BIGINT) AS longest_span,
+           (1000 * CAST(COALESCE(dup_tokens, 0) AS BIGINT))
+             // greatest(n_tokens, 1) AS dup_milli
+         FROM base LEFT JOIN pd USING (doc_id) ORDER BY doc_id""",
     "q86_instrument_pipeline" ->
       s"""WITH dim(name, code, w1, w2) AS (VALUES $instrumentsSql),
          toks AS (SELECT doc_id, ${TextFns.sqlTokens("text")} AS t FROM documents),

@@ -149,6 +149,28 @@ class HashSpec extends AnyFunSuite {
     assert((0 to 3).forall(i => agg.getLong(i) > 0))
   }
 
+  test("dup spans hand cases: overlap-merge, gap-split, zero-dup") {
+    import spark.implicits._
+    import graft.queries.PipelineQueries
+    val sh = (1 to 10).map("s" + _).mkString(" ")   // 10-token shared run
+    val run = (1 to 8).map("r" + _).mkString(" ")   // 8-token repeated run
+    val docs = Seq(
+      (1L, sh + " u1 u2 u3 u4"),                    // run at pos 0..9
+      (2L, "v1 v2 v3 v4 v5 " + sh),                 // same run at pos 5..14
+      (3L, (1 to 9).map("w" + _).mkString(" ")),    // nothing duplicated
+      (4L, run + " z1 z2 " + run))                  // doc-internal repeat
+      .toDF("doc_id", "text")
+    val r = PipelineQueries.dupSpansOf(docs).collect()
+      .map(x => x.getLong(0) -> x.toSeq.drop(1)).toMap
+    // doc 1/2: three overlapping k=8 occurrences merge to ONE 10-token
+    // span covering exactly the shared run
+    assert(r(1L) == Seq(14L, 1L, 10L, 10L, 714L))
+    assert(r(2L) == Seq(15L, 1L, 10L, 10L, 666L))
+    assert(r(3L) == Seq(9L, 0L, 0L, 0L, 0L))
+    // doc 4: the two copies are separated by a gap -> two 8-token spans
+    assert(r(4L) == Seq(18L, 2L, 16L, 8L, 888L))
+  }
+
   test("empty-array edge cases match") {
     val empty = spark.range(1)
       .select(array().cast("array<string>").as("toks"),
