@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet star-schema loaders over the driver-generated testdata
   * (TESTDATA.md). In the reference these were JDBC subqueries pushed to
@@ -26,17 +26,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
-  /** The events parquet stores TIMESTAMP(NANOS), which Spark's reader
-    * rejects; sessions set `spark.sql.legacy.parquet.nanosAsLong` so it
-    * arrives as a long, converted here to a micros timestamp (integer
-    * `div 1000` — exactly DuckDB's TIMESTAMP_NS → TIMESTAMP cast). */
+  /** The events `ts` column has shipped in two physical shapes:
+    * TIMESTAMP(NANOS), which Spark's reader rejects (sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong`, so it arrives as a long,
+    * converted here with integer `div 1000` — exactly DuckDB's
+    * TIMESTAMP_NS → TIMESTAMP cast), and TIMESTAMP(MICROS) with
+    * isAdjustedToUTC=false, which Spark 4 infers as TIMESTAMP_NTZ —
+    * a type `withWatermark` rejects. Sessions run with
+    * spark.sql.session.timeZone=UTC, so the NTZ → TIMESTAMP cast is
+    * value-preserving. */
   def events(s: SparkSession, d: String): DataFrame =
     normalizeTs(apply(s, d, "events"))
 
   def normalizeTs(df: DataFrame): DataFrame =
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

@@ -99,6 +99,38 @@ object DedupQueries {
       .orderBy("id1", "id2")
   }
 
+  /** Fuzzy-dedup survivorship — the end step of near-dup dedup at
+    * corpus scale: q36's components reduced to ONE surviving document
+    * per cluster (the longest text wins, ties to the smallest doc_id)
+    * plus the per-cluster size accounting a curation report needs.
+    *
+    * The survivor pick is a map-side-combinable `min(struct(-n_chars,
+    * doc_id))` aggregate over the component key — one hash aggregation
+    * after CC, no window and no second sort, so at 100 TB the cost
+    * beyond component assignment is a single shuffle of (component,
+    * doc stats) pairs. The oracle spells the same semantics with a
+    * row_number window, which is the O(n log n)-per-group shape this
+    * plan deliberately avoids. */
+  def q105Survivorship(s: SparkSession, dir: String): DataFrame = {
+    val comp = q36ConnectedComponents(s, dir)
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+    comp.join(docs, Seq("doc_id"))
+      .groupBy(col("component"))
+      .agg(
+        min(struct((-col("n_chars")).as("neg_chars"),
+          col("doc_id").as("id"))).as("best"),
+        count(lit(1)).as("n_members"),
+        sum("n_chars").as("total_chars"))
+      .select(
+        col("component"),
+        col("best.id").as("survivor_id"),
+        (-col("best.neg_chars")).as("survivor_chars"),
+        col("n_members"),
+        (col("n_members") - 1).as("n_dropped"),
+        col("total_chars"))
+      .orderBy("component")
+  }
+
   /** Cleaning bank (PersonCleanerStage analogue): normalized text,
     * embedded-id extraction, consistency check against the key. */
   def q38NameClean(s: SparkSession, dir: String): DataFrame =
@@ -115,20 +147,42 @@ object DedupQueries {
     "q36_connected_components" -> (q36ConnectedComponents _),
     "q37_blocked_dedup" -> (q37BlockedDedup _),
     "q38_name_clean" -> (q38NameClean _),
-    "q96_lab_dedup" -> (q96LabDedup _))
+    "q96_lab_dedup" -> (q96LabDedup _),
+    "q105_survivorship" -> (q105Survivorship _))
+
+  /** Recursive min-label reachability over the LSH dup-pair edges —
+    * DuckDB spelling of connected components, shared by the q36 and
+    * q105 oracles. Leaves a `comp(doc_id, component)` CTE in scope. */
+  private val componentCtes: String =
+    s"""${TextQueries.lshDupPairsCtes},
+       e2 AS (SELECT doc1 AS a, doc2 AS b FROM dup_pairs
+              UNION SELECT doc2, doc1 FROM dup_pairs),
+       n(x) AS (SELECT doc_id FROM documents),
+       reach(a, b) AS (
+         SELECT x, x FROM n
+         UNION
+         SELECT r.a, e2.b FROM reach r JOIN e2 ON r.b = e2.a),
+       comp AS (SELECT a AS doc_id, min(b) AS component
+         FROM reach GROUP BY a)"""
 
   val oracles: Map[String, String] = Map(
     "q36_connected_components" ->
-      s"""WITH RECURSIVE ${TextQueries.lshDupPairsCtes},
-         e2 AS (SELECT doc1 AS a, doc2 AS b FROM dup_pairs
-                UNION SELECT doc2, doc1 FROM dup_pairs),
-         n(x) AS (SELECT doc_id FROM documents),
-         reach(a, b) AS (
-           SELECT x, x FROM n
-           UNION
-           SELECT r.a, e2.b FROM reach r JOIN e2 ON r.b = e2.a)
-         SELECT a AS doc_id, min(b) AS component
-         FROM reach GROUP BY a ORDER BY doc_id""",
+      s"""WITH RECURSIVE $componentCtes
+         SELECT doc_id, component FROM comp ORDER BY doc_id""",
+    "q105_survivorship" ->
+      s"""WITH RECURSIVE $componentCtes,
+         j AS (SELECT comp.component, d.doc_id, d.n_chars
+           FROM comp JOIN documents d USING (doc_id)),
+         ranked AS (SELECT component, doc_id, n_chars,
+           row_number() OVER (PARTITION BY component
+             ORDER BY n_chars DESC, doc_id) AS rn,
+           count(*) OVER (PARTITION BY component) AS n_members,
+           sum(n_chars) OVER (PARTITION BY component) AS total_chars
+           FROM j)
+         SELECT component, doc_id AS survivor_id,
+           n_chars AS survivor_chars, n_members,
+           n_members - 1 AS n_dropped, total_chars
+         FROM ranked WHERE rn = 1 ORDER BY component""",
     "q37_blocked_dedup" ->
       """WITH c AS (SELECT c_custkey, c_nationkey, c_mktsegment,
            CAST(round(c_acctbal*100) AS BIGINT) AS bal_cents FROM customer)

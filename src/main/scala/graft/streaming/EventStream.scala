@@ -59,9 +59,15 @@ object EventStream {
     val monitored =
       if (java.nio.file.Files.isDirectory(srcPath)) path
       else {
+        // Key the staged copy on (path, size, mtime) so a regenerated
+        // source file (new inode, same path) gets a fresh staging dir
+        // instead of silently reusing a hard link to the old content.
+        val stamp = java.nio.file.Files.size(srcPath) ^
+          java.nio.file.Files.getLastModifiedTime(srcPath).toMillis
         val streamDir = java.nio.file.Paths.get(
           sys.props("java.io.tmpdir"), "graft-stream",
-          Integer.toHexString(dir.hashCode), "events")
+          Integer.toHexString(dir.hashCode) + "-" +
+            java.lang.Long.toHexString(stamp), "events")
         val target = streamDir.resolve("events.parquet")
         if (!java.nio.file.Files.exists(target)) {
           java.nio.file.Files.createDirectories(streamDir)
