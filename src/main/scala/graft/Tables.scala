@@ -43,6 +43,10 @@ object Tables {
       case LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType =>
+        // The NTZ → TIMESTAMP cast reinterprets the wall-clock value in
+        // the session zone; it is value-preserving only under UTC. Pin
+        // the invariant here rather than trusting every entrypoint.
+        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
         df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df
     }

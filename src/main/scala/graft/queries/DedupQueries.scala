@@ -177,7 +177,8 @@ object DedupQueries {
            row_number() OVER (PARTITION BY component
              ORDER BY n_chars DESC, doc_id) AS rn,
            count(*) OVER (PARTITION BY component) AS n_members,
-           sum(n_chars) OVER (PARTITION BY component) AS total_chars
+           CAST(sum(n_chars) OVER (PARTITION BY component)
+             AS BIGINT) AS total_chars
            FROM j)
          SELECT component, doc_id AS survivor_id,
            n_chars AS survivor_chars, n_members,

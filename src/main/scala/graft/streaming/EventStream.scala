@@ -62,14 +62,37 @@ object EventStream {
         // Key the staged copy on (path, size, mtime) so a regenerated
         // source file (new inode, same path) gets a fresh staging dir
         // instead of silently reusing a hard link to the old content.
-        val stamp = java.nio.file.Files.size(srcPath) ^
-          java.nio.file.Files.getLastModifiedTime(srcPath).toMillis
-        val streamDir = java.nio.file.Paths.get(
-          sys.props("java.io.tmpdir"), "graft-stream",
-          Integer.toHexString(dir.hashCode) + "-" +
-            java.lang.Long.toHexString(stamp), "events")
+        // Layout: graft-stream/<dirHash>/stage/<stamp>/events. Stale
+        // stamp siblings under stage/ are removed before staging, so a
+        // regenerated source doesn't leak tmp dirs (the dirHash root
+        // also hosts sink dirs like win_parquet — stage/ keeps the
+        // sweep away from them). Legacy flat-layout
+        // graft-stream/<dirHash>-<stamp> orphans are swept too.
+        val stamp = java.lang.Long.toHexString(
+          java.nio.file.Files.size(srcPath) ^
+            java.nio.file.Files.getLastModifiedTime(srcPath).toMillis)
+        val root = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), "graft-stream")
+        val dirHash = Integer.toHexString(dir.hashCode)
+        val stageRoot = root.resolve(dirHash).resolve("stage")
+        val streamDir = stageRoot.resolve(stamp).resolve("events")
         val target = streamDir.resolve("events.parquet")
+        def rmTree(p: java.nio.file.Path): Unit = {
+          val walk = java.nio.file.Files.walk(p)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(java.nio.file.Files.deleteIfExists(_))
+          finally walk.close()
+        }
+        def sweep(parent: java.nio.file.Path,
+                  stale: java.nio.file.Path => Boolean): Unit =
+          if (java.nio.file.Files.isDirectory(parent)) {
+            val ls = java.nio.file.Files.list(parent)
+            try ls.filter(p => stale(p)).forEach(rmTree(_))
+            finally ls.close()
+          }
         if (!java.nio.file.Files.exists(target)) {
+          sweep(stageRoot, _.getFileName.toString != stamp)
+          sweep(root, _.getFileName.toString.startsWith(dirHash + "-"))
           java.nio.file.Files.createDirectories(streamDir)
           try java.nio.file.Files.createLink(target, srcPath)
           catch { case _: Exception =>
