@@ -277,9 +277,17 @@ object PipelineQueries {
     // corpus, a real discriminator at every tested SF
     val rep = q103Repetition(s, dir)
       .select(col("doc_id"), col("top_bigram_milli"))
+    // duplicated-span stage (q104): corpus-level exact-substring
+    // coverage; >50% of a document's tokens inside globally-duplicated
+    // spans drops it. Distinct from near_dup (whole-doc MinHash): span
+    // coverage catches documents assembled from copied fragments that
+    // no single LSH pair flags — 13/500 keeps flip on this corpus.
+    val spans = q104DupSpans(s, dir)
+      .select(col("doc_id"), col("dup_milli").as("span_dup_milli"))
     lang.join(qual, Seq("doc_id"))
       .join(boiler, Seq("doc_id"))
       .join(rep, Seq("doc_id"))
+      .join(spans, Seq("doc_id"))
       .join(exact, Seq("doc_id"))
       .join(nearDup, Seq("doc_id"), "left")
       .na.fill(false, Seq("is_near_dup"))
@@ -292,13 +300,14 @@ object PipelineQueries {
         when(col("quality") < 0.5, "quality"),
         when(col("coverage_milli") > 800, "boilerplate"),
         when(col("top_bigram_milli") > 60, "repetition"),
+        when(col("span_dup_milli") > 500, "dup_spans"),
         when(col("doc_id") =!= col("canonical_id"), "exact_dup"),
         when(col("is_near_dup"), "near_dup"),
         when(col("contamination_milli") >= 500, "contamination")))
       .withColumn("keep", col("drop_reasons") === "")
       .select("doc_id", "predicted_lang", "quality", "coverage_milli",
-        "top_bigram_milli", "canonical_id", "is_near_dup",
-        "contamination_milli", "drop_reasons", "keep")
+        "top_bigram_milli", "span_dup_milli", "canonical_id",
+        "is_near_dup", "contamination_milli", "drop_reasons", "keep")
       .orderBy("doc_id")
   }
 
@@ -751,6 +760,37 @@ object PipelineQueries {
              (1000 * CAST(COALESCE(top_bi, 0) AS BIGINT))
                // greatest(n_tokens - 1, 1) AS top_bigram_milli
            FROM repn LEFT JOIN repg USING (doc_id)),
+         sp8 AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+           ${TextFns.sqlShingleHashes("toks", 8)} AS hs FROM toks),
+         spo0 AS (SELECT doc_id, unnest(list_transform(hs,
+             (x, i) -> struct_pack(pos := CAST(i - 1 AS BIGINT), h := x)))
+             AS u
+           FROM sp8),
+         spo AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM spo0),
+         spdup AS (SELECT h FROM spo GROUP BY h HAVING count(*) >= 2),
+         spmk AS (SELECT doc_id, pos, pos + 7 AS endp
+           FROM spo SEMI JOIN spdup USING (h)),
+         spisl AS (SELECT doc_id, pos, endp,
+           CASE WHEN max(endp) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  IS NULL
+                OR pos > max(endp) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+             THEN 1 ELSE 0 END AS is_new
+           FROM spmk),
+         spisl2 AS (SELECT doc_id, pos, endp,
+           sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+           FROM spisl),
+         spsp AS (SELECT doc_id, span_id, min(pos) AS sp, max(endp) AS ep
+           FROM spisl2 GROUP BY 1, 2),
+         sppd AS (SELECT doc_id, CAST(sum(ep - sp + 1) AS BIGINT)
+             AS dup_tokens
+           FROM spsp GROUP BY 1),
+         spans AS (SELECT sp8.doc_id,
+             (1000 * CAST(COALESCE(dup_tokens, 0) AS BIGINT))
+               // greatest(n_tokens, 1) AS span_dup_milli
+           FROM sp8 LEFT JOIN sppd USING (doc_id)),
          sh5 AS (SELECT doc_id, unnest(${TextFns.sqlShingles("toks", 5)}) AS w
            FROM toks),
          bench5 AS (SELECT DISTINCT w FROM sh5 WHERE doc_id < 5),
@@ -762,7 +802,8 @@ object PipelineQueries {
                AS contamination_milli
            FROM per5 LEFT JOIN hit5 ON per5.doc_id = hit5.doc_id),
          verdict AS (SELECT l.doc_id, l.predicted_lang, q.quality,
-             b.coverage_milli, r2.top_bigram_milli, e.canonical_id,
+             b.coverage_milli, r2.top_bigram_milli, s2.span_dup_milli,
+             e.canonical_id,
              (ndup.doc_id IS NOT NULL) AS is_near_dup,
              coalesce(c.contamination_milli, 0) AS contamination_milli,
              concat_ws(',',
@@ -770,6 +811,7 @@ object PipelineQueries {
                CASE WHEN q.quality < 0.5 THEN 'quality' END,
                CASE WHEN b.coverage_milli > 800 THEN 'boilerplate' END,
                CASE WHEN r2.top_bigram_milli > 60 THEN 'repetition' END,
+               CASE WHEN s2.span_dup_milli > 500 THEN 'dup_spans' END,
                CASE WHEN l.doc_id <> e.canonical_id THEN 'exact_dup' END,
                CASE WHEN ndup.doc_id IS NOT NULL THEN 'near_dup' END,
                CASE WHEN coalesce(c.contamination_milli, 0) >= 500
@@ -779,11 +821,12 @@ object PipelineQueries {
            JOIN qual q ON q.doc_id = l.doc_id
            JOIN boiler b ON b.doc_id = l.doc_id
            JOIN rep r2 ON r2.doc_id = l.doc_id
+           JOIN spans s2 ON s2.doc_id = l.doc_id
            JOIN ex e ON e.doc_id = l.doc_id
            LEFT JOIN ndup ON ndup.doc_id = l.doc_id
            LEFT JOIN contam c ON c.doc_id = l.doc_id)
          SELECT doc_id, predicted_lang, quality, coverage_milli,
-           top_bigram_milli, canonical_id, is_near_dup,
+           top_bigram_milli, span_dup_milli, canonical_id, is_near_dup,
            contamination_milli, drop_reasons,
            drop_reasons = '' AS keep
          FROM verdict ORDER BY doc_id""")
