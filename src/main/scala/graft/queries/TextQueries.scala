@@ -192,7 +192,67 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  // BM25 constants, computed ONCE in Scala and interpolated into the
+  // oracle SQL, so Spark and DuckDB evaluate bit-identical doubles
+  // (1.2 + 1 in double arithmetic is not necessarily the literal 2.2).
+  private val BmK1 = 1.2
+  private val BmB = 0.75
+  private val BmK1p1 = BmK1 + 1
+  private val BmOneMinusB = 1 - BmB
+  private val BmTopK = 10
+
+  /** q107: BM25 ranked retrieval — more-like-this search where every
+    * 100th document (doc_id % 100 = 1) is a query and the rest of the
+    * corpus is ranked by Okapi BM25 (k1=1.2, b=0.75). Complements the
+    * embedding-side search family (q30/q31/q70 cosine, q106 semantic
+    * dedup) with the lexical ranking an analytics engine owes its
+    * users.
+    *
+    * Scale shape: the corpus side is the (term → doc, tf) postings
+    * list — the same inverted index q13 builds — with df/idf from one
+    * map-side-combinable groupBy; the query side (distinct terms of
+    * the query docs) is broadcast, so scoring is a broadcast join
+    * against postings, shuffled once by (qdoc, doc) for the final sum.
+    * Per-term contributions are micro-quantized BEFORE the sum, so the
+    * distributed aggregation is exact integer arithmetic, insensitive
+    * to summation order. */
+  def q107Bm25(s: SparkSession, dir: String): DataFrame = {
+    val t = toks(s, dir)
+    val tf = t.select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = t.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_dl"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val qterms = t.filter(col("doc_id") % 100 === 1)
+      .select(col("doc_id").as("qdoc"),
+        explode(array_distinct(col("toks"))).as("term"))
+    val contrib = broadcast(qterms)
+      .join(tf, Seq("term"))
+      .filter(col("doc_id") =!= col("qdoc"))
+      .join(broadcast(df), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("tot_dl").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("c_micro", graft.functions.Exact.micro(
+        col("idf") * (col("tf") * lit(BmK1p1)) /
+          (col("tf") + lit(BmK1) *
+            (lit(BmOneMinusB) + lit(BmB) * col("dl") / col("avgdl")))))
+    val scored = contrib
+      .groupBy("qdoc", "doc_id")
+      .agg(sum("c_micro").as("score_micro"),
+        count(lit(1)).as("n_terms"))
+    scored.withColumn("rnk", row_number().over(
+        Window.partitionBy("qdoc")
+          .orderBy(col("score_micro").desc, col("doc_id"))))
+      .filter(col("rnk") <= BmTopK)
+      .select("qdoc", "doc_id", "score_micro", "n_terms", "rnk")
+      .orderBy("qdoc", "rnk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q107_bm25" -> (q107Bm25 _),
     "q97_highlight" -> (q97Highlight _),
     "q21_token_stats" -> (q21TokenStats _),
     "q22_exact_dedup" -> (q22ExactDedup _),
@@ -251,6 +311,41 @@ object TextQueries {
     s"CAST(round(($e)*1e6) AS BIGINT)/1e6"
 
   val oracles: Map[String, String] = Map(
+    "q107_bm25" ->
+      s"""WITH $toksCte,
+         t AS (SELECT doc_id, toks FROM toks WHERE len(toks) > 0),
+         tfw AS (SELECT doc_id, unnest(toks) AS term FROM t),
+         tfc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM tfw GROUP BY 1, 2),
+         dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+         stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(dl) AS BIGINT) AS tot_dl FROM dl),
+         dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+           FROM tfc GROUP BY 1),
+         qt AS (SELECT doc_id AS qdoc, unnest(list_distinct(toks)) AS term
+           FROM t WHERE doc_id % 100 = 1),
+         sc AS (SELECT qt.qdoc, tfc.doc_id,
+             CAST(round(
+               ln(1.0 + (stats.n_docs - dfc.df + 0.5) / (dfc.df + 0.5))
+               * (tfc.tf * $BmK1p1)
+               / (tfc.tf + $BmK1 * ($BmOneMinusB
+                   + $BmB * dl.dl / (CAST(stats.tot_dl AS DOUBLE)
+                     / stats.n_docs)))
+               * 1e6) AS BIGINT) AS c_micro
+           FROM qt
+           JOIN tfc USING (term)
+           JOIN dfc USING (term)
+           JOIN dl ON dl.doc_id = tfc.doc_id
+           CROSS JOIN stats
+           WHERE tfc.doc_id <> qt.qdoc),
+         agg AS (SELECT qdoc, doc_id,
+             CAST(sum(c_micro) AS BIGINT) AS score_micro,
+             CAST(count(*) AS BIGINT) AS n_terms
+           FROM sc GROUP BY 1, 2),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY qdoc
+             ORDER BY score_micro DESC, doc_id) AS rnk FROM agg)
+         SELECT qdoc, doc_id, score_micro, n_terms, rnk
+         FROM rk WHERE rnk <= $BmTopK ORDER BY qdoc, rnk""",
     "q97_highlight" ->
       s"""WITH $toksCte,
          tf AS (SELECT doc_id, t AS tok, count(*) AS tf

@@ -152,7 +152,10 @@ object VectorQueries {
     * one broadcast of the 8-row centroid table + one shuffle of the
     * per-dim sums — no per-iteration corpus re-shuffle, the shape that
     * scales to a billion vectors. */
-  def q82Kmeans(s: SparkSession, dir: String): DataFrame = {
+  /** The two-iteration Lloyd assignment shared by q82 (cluster stats)
+    * and q106 (SemDeDup cells): returns `(vec_id, qe, cl)` with the
+    * same exact-integer arithmetic documented on [[q82Kmeans]]. */
+  private def kmeansAssignment(s: SparkSession, dir: String): DataFrame = {
     val KClusters = 8
     val q = Tables.embeddings(s, dir).select(col("vec_id"),
       transform(col("embedding"),
@@ -168,14 +171,19 @@ object VectorQueries {
           Window.partitionBy("vec_id").orderBy(col("d"), col("cl"))))
         .filter(col("rn") === 1).select("vec_id", "qe", "cl")
     }
-    def recompute(a: DataFrame): DataFrame =
-      a.select(col("cl"), posexplode(col("qe")).as(Seq("i", "v")))
-        .groupBy("cl", "i").agg(expr("sum(v) div count(1)").as("v"))
-        .groupBy("cl")
-        .agg(transform(array_sort(collect_list(struct(col("i"), col("v")))),
-          x => x.getField("v")).as("c"))
-    val a2 = assign(recompute(assign(c0)))
-    val c2 = recompute(a2)
+    assign(recomputeCentroids(assign(c0)))
+  }
+
+  private def recomputeCentroids(a: DataFrame): DataFrame =
+    a.select(col("cl"), posexplode(col("qe")).as(Seq("i", "v")))
+      .groupBy("cl", "i").agg(expr("sum(v) div count(1)").as("v"))
+      .groupBy("cl")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("v")))),
+        x => x.getField("v")).as("c"))
+
+  def q82Kmeans(s: SparkSession, dir: String): DataFrame = {
+    val a2 = kmeansAssignment(s, dir)
+    val c2 = recomputeCentroids(a2)
       .select(col("cl"), aggregate(col("c"), lit(0L),
         (acc, x) => acc + x * x).as("centroid_ssq"))
     a2.groupBy("cl")
@@ -185,7 +193,49 @@ object VectorQueries {
       .orderBy("cl")
   }
 
+  /** q106: SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): k-means the embedding space into cells, compare
+    * pairs ONLY within a cell, and greedily drop every vector that has
+    * an earlier (smaller vec_id) cell-mate above the cosine threshold.
+    * This is the embedding-space complement of q26 (MinHash surface
+    * dup) and q74 (LSH near-dup): it catches semantically-redundant
+    * documents whose wording shares nothing.
+    *
+    * Scale shape: the clustering is the partitioner. Assignment is a
+    * broadcast of the K-row centroid table (no corpus shuffle); the
+    * pair stage shuffles once, keyed by cell; within-cell work is
+    * O(m²) where SemDeDup's premise is that K grows with the corpus so
+    * m stays bounded (the paper uses K≈100k on web scale — cells of a
+    * few thousand). K=8 here mirrors q82 so the oracle replays the
+    * identical integer-exact Lloyd iterations. */
+  def q106SemDedup(s: SparkSession, dir: String): DataFrame = {
+    val asg = kmeansAssignment(s, dir).select("vec_id", "cl")
+    val m = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      .join(asg, Seq("vec_id"))
+    val cells = m.groupBy("cl").agg(count(lit(1)).as("n_cell"))
+    val best = m.select(col("cl"), col("vec_id").as("v1"),
+        col("embedding").as("e1"))
+      .join(m.select(col("cl"), col("vec_id").as("v2"),
+        col("embedding").as("e2")), Seq("cl"))
+      .filter(col("v1") < col("v2"))
+      .withColumn("cosine", r6(cosine(col("e1"), col("e2"))))
+      .filter(col("cosine") >= SemDupTau)
+      .groupBy(col("v2").as("vec_id"))
+      .agg(max("cosine").as("best_prior_cos"))
+    m.select("vec_id", "cl")
+      .join(cells, Seq("cl"))
+      .join(best, Seq("vec_id"), "left")
+      .withColumn("is_dup", col("best_prior_cos").isNotNull)
+      .na.fill(-1.0, Seq("best_prior_cos"))
+      .select("vec_id", "cl", "n_cell", "best_prior_cos", "is_dup")
+      .orderBy("vec_id")
+  }
+
+  private val SemDupTau = 0.35
+
   val queries: Map[String, Q] = Map(
+    "q106_semdedup" -> (q106SemDedup _),
     "q30_knn_brute" -> (q30KnnBrute _),
     "q31_knn_lsh" -> (q31KnnLsh _),
     "q32_label_centroids" -> (q32LabelCentroids _),
@@ -246,6 +296,27 @@ object VectorQueries {
      c$n AS (SELECT cl, list(v ORDER BY i) AS c FROM m$n GROUP BY cl)"""
 
   val oracles: Map[String, String] = Map(
+    "q106_semdedup" ->
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE)*1e6) AS BIGINT) + 1000000) AS qe
+         FROM embeddings),
+       c0 AS (SELECT vec_id AS cl, qe AS c FROM q WHERE vec_id < 8),
+       ${kmeansIterSql(1, "c0")},
+       ${kmeansIterSql(2, "c1")},
+       m AS (SELECT a2.vec_id, a2.cl, e.embedding
+         FROM a2 JOIN embeddings e USING (vec_id)),
+       cells AS (SELECT cl, CAST(count(*) AS BIGINT) AS n_cell
+         FROM m GROUP BY cl),
+       pr AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
+           ${r6Sql(sqlCosine("a.embedding", "b.embedding"))} AS cosine
+         FROM m a JOIN m b ON a.cl = b.cl AND a.vec_id < b.vec_id),
+       hits AS (SELECT v2 AS vec_id, max(cosine) AS best_prior_cos
+         FROM pr WHERE cosine >= $SemDupTau GROUP BY v2)
+       SELECT m.vec_id, m.cl, cells.n_cell,
+         coalesce(hits.best_prior_cos, -1.0) AS best_prior_cos,
+         hits.best_prior_cos IS NOT NULL AS is_dup
+       FROM m JOIN cells USING (cl) LEFT JOIN hits USING (vec_id)
+       ORDER BY m.vec_id""",
     "q82_kmeans" ->
       s"""WITH q AS (SELECT vec_id, list_transform(embedding,
            x -> CAST(round(CAST(x AS DOUBLE)*1e6) AS BIGINT) + 1000000) AS qe
