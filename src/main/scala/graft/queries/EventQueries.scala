@@ -86,7 +86,15 @@ object EventQueries {
       .orderBy("user_id", "purchase_id")
   }
 
+  /** The q93 curation pipeline's per-document (map-side) stages run as
+    * a streaming ingest — see [[graft.streaming.CurationStream]]. The
+    * oracle is the batch spelling of the same stages, so the row is a
+    * stream/batch parity check in the driver's own gate. */
+  def q108StreamCuration(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.CurationStream.curationOnce(s, dir)
+
   val queries: Map[String, Q] = Map(
+    "q108_stream_curation" -> (q108StreamCuration _),
     "q33_event_windows" -> (q33EventWindows _),
     "q34_event_sessions" -> (q34Sessionize _),
     "q35_stream_windows" -> (q35StreamWindows _),
@@ -125,6 +133,54 @@ object EventQueries {
          FROM g GROUP BY user_id, sess_id ORDER BY user_id, sess_id"""
 
   val oracles: Map[String, String] = Map(
+    "q108_stream_curation" ->
+      s"""WITH ${TextQueries.toksCte},
+         lscores AS (${TextQueries.langUnion}),
+         lranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+           ORDER BY hits DESC, lang) AS rn FROM lscores),
+         lang AS (SELECT doc_id, lang AS predicted_lang FROM lranked
+           WHERE rn = 1),
+         qbase AS (SELECT doc_id, len(toks) AS n_tokens,
+             length(text) AS text_len,
+             len(list_filter(toks, x ->
+               list_contains(['the', 'a', 'is', 'of', 'to'], x))) AS stop_hits,
+             length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha_chars
+           FROM toks WHERE len(toks) > 0),
+         qual AS (SELECT doc_id,
+           ${TextQueries.r6Sql(
+             "0.3 * least(1.0, n_tokens / 50.0) + 0.4 * (stop_hits / n_tokens)" +
+             " + 0.3 * (alpha_chars / text_len)")} AS quality
+           FROM qbase),
+         rep0 AS (SELECT doc_id,
+           unnest(list_transform(string_split(text, ' '),
+             (x, i) -> struct_pack(pos := i, tok := x))) AS u
+           FROM documents),
+         rept AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM rep0),
+         repb AS (SELECT doc_id, tok,
+           lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+           FROM rept),
+         repn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+           FROM rept GROUP BY 1),
+         repg AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bi FROM
+           (SELECT doc_id, tok, nxt, count(*) AS c FROM repb
+            WHERE nxt IS NOT NULL GROUP BY 1, 2, 3) GROUP BY 1),
+         rep AS (SELECT repn.doc_id,
+             (1000 * CAST(COALESCE(top_bi, 0) AS BIGINT))
+               // greatest(n_tokens - 1, 1) AS top_bigram_milli
+           FROM repn LEFT JOIN repg USING (doc_id)),
+         verdict AS (SELECT l.doc_id, l.predicted_lang, q.quality,
+             r2.top_bigram_milli,
+             concat_ws(',',
+               CASE WHEN l.predicted_lang <> 'en' THEN 'lang' END,
+               CASE WHEN q.quality < 0.5 THEN 'quality' END,
+               CASE WHEN r2.top_bigram_milli > 60 THEN 'repetition' END)
+               AS drop_reasons
+           FROM lang l
+           JOIN qual q ON q.doc_id = l.doc_id
+           JOIN rep r2 ON r2.doc_id = l.doc_id)
+         SELECT doc_id, predicted_lang, quality, top_bigram_milli,
+           drop_reasons, drop_reasons = '' AS keep
+         FROM verdict ORDER BY doc_id""",
     "q33_event_windows" ->
       s"""WITH $evCte
          SELECT date_trunc('hour', ts) AS wstart, event_type,

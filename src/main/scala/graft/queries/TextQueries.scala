@@ -20,7 +20,7 @@ object TextQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private[queries] val langSets: Seq[(String, Seq[String])] = Seq(
+  private[graft] val langSets: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "das", "und"),
     "en" -> Seq("the", "a", "is", "of", "to"),
     "es" -> Seq("el", "los", "las", "y"),

@@ -46,64 +46,10 @@ object EventStream {
     try body finally s.conf.set(key, prev)
   }
 
-  def eventsStream(s: SparkSession, dir: String): DataFrame = {
-    val path = s"$dir/events.parquet"
-    // The file stream source monitors a DIRECTORY (its production
-    // shape). A Spark-written table is already a directory of part
-    // files — monitor it in place. The driver testdata tables are
-    // single parquet FILES; those are staged into a per-sf directory
-    // with a hard link (fallback: copy) once. (Files.copy on a
-    // directory copies only the empty dir entry, so staging a
-    // directory-shaped table would silently yield an empty stream.)
-    val srcPath = java.nio.file.Paths.get(path)
-    val monitored =
-      if (java.nio.file.Files.isDirectory(srcPath)) path
-      else {
-        // Key the staged copy on (path, size, mtime) so a regenerated
-        // source file (new inode, same path) gets a fresh staging dir
-        // instead of silently reusing a hard link to the old content.
-        // Layout: graft-stream/<dirHash>/stage/<stamp>/events. Stale
-        // stamp siblings under stage/ are removed before staging, so a
-        // regenerated source doesn't leak tmp dirs (the dirHash root
-        // also hosts sink dirs like win_parquet — stage/ keeps the
-        // sweep away from them). Legacy flat-layout
-        // graft-stream/<dirHash>-<stamp> orphans are swept too.
-        val stamp = java.lang.Long.toHexString(
-          java.nio.file.Files.size(srcPath) ^
-            java.nio.file.Files.getLastModifiedTime(srcPath).toMillis)
-        val root = java.nio.file.Paths.get(
-          sys.props("java.io.tmpdir"), "graft-stream")
-        val dirHash = Integer.toHexString(dir.hashCode)
-        val stageRoot = root.resolve(dirHash).resolve("stage")
-        val streamDir = stageRoot.resolve(stamp).resolve("events")
-        val target = streamDir.resolve("events.parquet")
-        def rmTree(p: java.nio.file.Path): Unit = {
-          val walk = java.nio.file.Files.walk(p)
-          try walk.sorted(java.util.Comparator.reverseOrder())
-            .forEach(java.nio.file.Files.deleteIfExists(_))
-          finally walk.close()
-        }
-        def sweep(parent: java.nio.file.Path,
-                  stale: java.nio.file.Path => Boolean): Unit =
-          if (java.nio.file.Files.isDirectory(parent)) {
-            val ls = java.nio.file.Files.list(parent)
-            try ls.filter(p => stale(p)).forEach(rmTree(_))
-            finally ls.close()
-          }
-        if (!java.nio.file.Files.exists(target)) {
-          sweep(stageRoot, _.getFileName.toString != stamp)
-          sweep(root, _.getFileName.toString.startsWith(dirHash + "-"))
-          java.nio.file.Files.createDirectories(streamDir)
-          try java.nio.file.Files.createLink(target, srcPath)
-          catch { case _: Exception =>
-            java.nio.file.Files.copy(srcPath, target) }
-        }
-        streamDir.toString
-      }
+  def eventsStream(s: SparkSession, dir: String): DataFrame =
     graft.Tables.normalizeTs(
-      s.readStream.schema(s.read.parquet(path).schema)
-        .parquet(monitored))
-  }
+      s.readStream.schema(s.read.parquet(s"$dir/events.parquet").schema)
+        .parquet(StreamStage.monitoredPath(dir, "events")))
 
   def windowedAgg(events: DataFrame, width: String = "1 hour",
                   watermark: String = "1 hour"): DataFrame =
