@@ -68,6 +68,51 @@ object Multimodal {
       }(enc)
   }
 
+  val audioFrameSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("frame_idx", IntegerType),
+    StructField("n_samples", IntegerType),
+    StructField("energy_ssq", LongType),
+    StructField("peak", IntegerType),
+    StructField("n_zero_cross", IntegerType)))
+
+  /** Audio-path plumbing (the third modality beside image and video):
+    * the payload is treated as unsigned-8-bit mono PCM and reduced
+    * per fixed-size frame to the classic audio features — energy
+    * (sum of squared centered samples), peak amplitude, zero
+    * crossings. The "codec" is the stub in the loop (a deterministic
+    * bipolar waveform derived from byte value and position, since
+    * ASCII payloads are unipolar); a real PCM decoder replaces that
+    * ONE line. Batched per partition like [[extractFeatures]];
+    * integer-only output so the oracle compare is exact. */
+  def audioFrames(media: DataFrame, frameSize: Int = 256): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(audioFrameSchema)
+    media.select("doc_id", "payload")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val doc = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val nFrames = (bytes.length + frameSize - 1) / frameSize
+          (0 until nFrames).iterator.map { f =>
+            val start = f * frameSize
+            val end = math.min(start + frameSize, bytes.length)
+            var ssq = 0L; var peak = 0; var zc = 0
+            var prev = 0; var first = true
+            var i = start
+            while (i < end) {
+              // stub codec: centered sample from byte value + position
+              val c = (((bytes(i) & 0xff) * 31 + i * 7) % 256) - 128
+              ssq += c.toLong * c
+              if (math.abs(c) > peak) peak = math.abs(c)
+              if (!first && c * prev < 0) zc += 1
+              prev = c; first = false; i += 1
+            }
+            Row(doc, f, end - start, ssq, peak, zc)
+          }
+        }
+      }(enc)
+  }
+
   /** Block-mean downscale of a row-major grayscale image (the resize
     * step of the media path; same block partitioning rule as
     * [[blockhash256]], so a thumb's blocks match the hash's blocks).

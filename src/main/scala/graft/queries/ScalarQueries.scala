@@ -167,7 +167,21 @@ object ScalarQueries {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Audio frame features over the packed payloads (the audio-path
+    * plumbing, completing the image (q75/q90) / video (q83) / audio
+    * modality set): u8-PCM frames of 256 samples reduced to energy /
+    * peak / zero-crossings. The stub codec derives a bipolar waveform
+    * from byte value and position, so the oracle replays the identical
+    * arithmetic from ascii() + position — see
+    * [[graft.operators.Multimodal.audioFrames]]. */
+  def q109AudioFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioFrames(
+        Multimodal.packBinary(Tables.documents(s, dir), "doc_id", "text",
+          "audio/pcm-u8"))
+      .orderBy("doc_id", "frame_idx")
+
   val queries: Map[String, Q] = Map(
+    "q109_audio_frames" -> (q109AudioFrames _),
     "q39_json_extract" -> (q39JsonExtract _),
     "q40_code_extract" -> (q40CodeExtract _),
     "q41_band_join" -> (q41BandJoin _),
@@ -185,6 +199,28 @@ object ScalarQueries {
           FROM toks))"""
 
   val oracles: Map[String, String] = Map(
+    "q109_audio_frames" ->
+      """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n, text
+           FROM documents),
+         px AS (SELECT doc_id, text, unnest(range(0, n)) AS p FROM b),
+         smp AS (SELECT doc_id, CAST(p // 256 AS INTEGER) AS frame_idx, p,
+             ((ascii(substr(text, CAST(p + 1 AS INTEGER), 1)) * 31 + p * 7)
+               % 256) - 128 AS c
+           FROM px),
+         lagd AS (SELECT doc_id, frame_idx, p, c,
+             CASE WHEN p % 256 = 0 THEN NULL
+               ELSE lag(c) OVER (PARTITION BY doc_id ORDER BY p)
+             END AS prev_in
+           FROM smp)
+         SELECT doc_id, frame_idx,
+           CAST(count(*) AS INTEGER) AS n_samples,
+           CAST(sum(c * c) AS BIGINT) AS energy_ssq,
+           CAST(max(abs(c)) AS INTEGER) AS peak,
+           CAST(coalesce(sum(CASE WHEN prev_in IS NOT NULL
+             AND c * prev_in < 0 THEN 1 ELSE 0 END), 0) AS INTEGER)
+             AS n_zero_cross
+         FROM lagd GROUP BY doc_id, frame_idx
+         ORDER BY doc_id, frame_idx""",
     "q39_json_extract" ->
       """SELECT event_type, count(*) AS n_events,
          CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

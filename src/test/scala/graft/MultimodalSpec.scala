@@ -93,6 +93,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(sampled.map(_.getLong(1)).sorted.toSeq == Seq(0L, 2L, 4L))
   }
 
+  test("audioFrames matches an independently computed golden") {
+    import spark.implicits._
+    // 300 bytes → one full 256-sample frame + one 44-sample tail;
+    // golden values computed outside the JVM (python reimplementation
+    // of the stub codec arithmetic)
+    val text = ("the quick brown fox " * 20).take(300)
+    val docs = Seq((5L, text)).toDF("doc_id", "text")
+    val got = Multimodal.audioFrames(Multimodal.packBinary(docs, "doc_id", "text"))
+      .orderBy("frame_idx").collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getLong(3), r.getInt(4), r.getInt(5)))
+      .toSeq
+    assert(got == Seq(
+      (0, 256, 1389518L, 128, 124),
+      (1, 44, 241455L, 125, 22)))
+  }
+
   test("identical payloads produce identical blockhashes through the frame") {
     import spark.implicits._
     val text = "the quick brown fox jumps over the lazy dog " * 8
