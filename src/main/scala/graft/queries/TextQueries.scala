@@ -201,12 +201,17 @@ object TextQueries {
   private val BmOneMinusB = 1 - BmB
   private val BmTopK = 10
 
-  /** q107: BM25 ranked retrieval — more-like-this search where every
-    * 100th document (doc_id % 100 = 1) is a query and the rest of the
-    * corpus is ranked by Okapi BM25 (k1=1.2, b=0.75). Complements the
-    * embedding-side search family (q30/q31/q70 cosine, q106 semantic
-    * dedup) with the lexical ranking an analytics engine owes its
-    * users.
+  /** q107: BM25 ranked retrieval — more-like-this search where a FIXED
+    * batch of documents (doc_id % 100 = 1, doc_id < 1000 — at most 10
+    * queries at any scale) is ranked against the rest of the corpus by
+    * Okapi BM25 (k1=1.2, b=0.75). Complements the embedding-side
+    * search family (q30/q31/q70 cosine, q106 semantic dedup) with the
+    * lexical ranking an analytics engine owes its users. The query
+    * batch is deliberately NOT proportional to the corpus: a search
+    * workload is fixed while the corpus grows, so the scoring cost is
+    * linear in corpus size (measured: a corpus-proportional batch made
+    * the stage quadratic — 26× for 10× data; the capped batch is the
+    * recorded scale row in BASELINE.md).
     *
     * Scale shape: the corpus side is the (term → doc, tf) postings
     * list — the same inverted index q13 builds — with df/idf from one
@@ -223,7 +228,7 @@ object TextQueries {
     val dl = t.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_dl"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val qterms = t.filter(col("doc_id") % 100 === 1)
+    val qterms = t.filter(col("doc_id") % 100 === 1 && col("doc_id") < 1000)
       .select(col("doc_id").as("qdoc"),
         explode(array_distinct(col("toks"))).as("term"))
     val contrib = broadcast(qterms)
@@ -323,7 +328,7 @@ object TextQueries {
          dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df
            FROM tfc GROUP BY 1),
          qt AS (SELECT doc_id AS qdoc, unnest(list_distinct(toks)) AS term
-           FROM t WHERE doc_id % 100 = 1),
+           FROM t WHERE doc_id % 100 = 1 AND doc_id < 1000),
          sc AS (SELECT qt.qdoc, tfc.doc_id,
              CAST(round(
                ln(1.0 + (stats.n_docs - dfc.df + 0.5) / (dfc.df + 0.5))
