@@ -79,6 +79,55 @@ object TextDedup {
       .select("doc1", "doc2", "n_shared", "jaccard")
   }
 
+  /** Incremental near-dup: LSH pairs between an incoming BATCH and the
+    * EXISTING corpus only — the companion to append-only ingestion
+    * (q101): a new batch is deduplicated against the accumulated store
+    * without regenerating corpus-vs-corpus pairs. Same parameters and
+    * verify step as [[minhashDupPairs]], but the bucket join is
+    * batch-buckets ⋈ existing-buckets, so the cost per ingest is
+    * O(batch × bucket-overlap), not O(corpus²): at 100 TB the existing
+    * side's band keys live pre-computed in the store (they are a
+    * deterministic function of content), the batch side is small, and
+    * the join shuffles only the batch unless the existing buckets are
+    * hot — which the cap bounds, applied to the EXISTING side where
+    * boilerplate accumulates. */
+  def incrementalDupPairs(existing: DataFrame, batch: DataFrame,
+                          idCol: String, textCol: String,
+                          k: Int = 5, nHashes: Int = 12, bands: Int = 4,
+                          minJaccard: Double = 0.2,
+                          maxBucketSize: Long = 50): DataFrame = {
+    val r = nHashes / bands
+    def sideSets(df: DataFrame) = shingleSets(df, idCol, textCol, k)
+      .filter(size(col("hashes")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    def sideBuckets(sets: DataFrame) = sets
+      .select(col("doc_id"), explode(
+        TextFns.bandKeys(TextFns.minhashSignature(col("hashes"), nHashes),
+          bands, r)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val exSets = sideSets(existing)
+    val nwSets = sideSets(batch)
+    val exBuckets = sideBuckets(exSets)
+      .withColumn("bucket_n",
+        count(lit(1)).over(Window.partitionBy("band", "key")))
+      .filter(col("bucket_n") <= maxBucketSize)
+    val cand = sideBuckets(nwSets)
+      .select(col("band"), col("key"), col("doc_id").as("new_doc"))
+      .join(exBuckets.select(col("band"), col("key"),
+        col("doc_id").as("old_doc")), Seq("band", "key"))
+      .select("new_doc", "old_doc").distinct()
+    cand
+      .join(nwSets.select(col("doc_id").as("new_doc"), col("hashes").as("h1")),
+        Seq("new_doc"))
+      .join(exSets.select(col("doc_id").as("old_doc"), col("hashes").as("h2")),
+        Seq("old_doc"))
+      .withColumn("n_shared", size(array_intersect(col("h1"), col("h2"))))
+      .withColumn("jaccard", Exact.r6(
+        col("n_shared") / (size(col("h1")) + size(col("h2")) - col("n_shared"))))
+      .filter(col("jaccard") >= minJaccard)
+      .select("new_doc", "old_doc", "n_shared", "jaccard")
+  }
+
   /** Exact n-gram Jaccard over pairs sharing at least one shingle —
     * the brute-force (full-recall) near-dup path. Candidate pairs via
     * inverted index on shingle hash, like EntityMatching but set-

@@ -131,6 +131,20 @@ object DedupQueries {
       .orderBy("component")
   }
 
+  /** Incremental near-dup dedup — a 10% "incoming batch"
+    * (doc_id % 10 = 7) LSH-deduplicated against the other 90% (the
+    * accumulated store), the ingest-time companion to q101's
+    * append-only store writes. See
+    * [[graft.operators.TextDedup.incrementalDupPairs]]. */
+  def q110IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    graft.operators.TextDedup.incrementalDupPairs(
+        docs.filter(col("doc_id") % 10 =!= 7),
+        docs.filter(col("doc_id") % 10 === 7),
+        "doc_id", "text")
+      .orderBy("new_doc", "old_doc")
+  }
+
   /** Cleaning bank (PersonCleanerStage analogue): normalized text,
     * embedded-id extraction, consistency check against the key. */
   def q38NameClean(s: SparkSession, dir: String): DataFrame =
@@ -148,7 +162,8 @@ object DedupQueries {
     "q37_blocked_dedup" -> (q37BlockedDedup _),
     "q38_name_clean" -> (q38NameClean _),
     "q96_lab_dedup" -> (q96LabDedup _),
-    "q105_survivorship" -> (q105Survivorship _))
+    "q105_survivorship" -> (q105Survivorship _),
+    "q110_incremental_dedup" -> (q110IncrementalDedup _))
 
   /** Recursive min-label reachability over the LSH dup-pair edges —
     * DuckDB spelling of connected components, shared by the q36 and
@@ -220,5 +235,46 @@ object DedupQueries {
          CAST(nullif(regexp_extract(c_name, '([0-9]+)', 1), '') AS BIGINT) AS name_id,
          trim(regexp_replace(regexp_replace(lower(c_mktsegment), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS clean_segment,
          CAST(nullif(regexp_extract(c_name, '([0-9]+)', 1), '') AS BIGINT) = c_custkey AS id_consistent
-         FROM customer ORDER BY c_custkey""")
+         FROM customer ORDER BY c_custkey""",
+    // mirrors lshDupPairsCtes' parameters (k=5, 12 hashes, 4 bands of
+    // 3, cap 50, jaccard >= 0.2) but splits the corpus into the
+    // incoming batch and the existing store, joining ACROSS sides only
+    "q110_incremental_dedup" ->
+      s"""WITH toks AS (SELECT doc_id,
+           ${graft.functions.TextFns.sqlTokens("text")} AS toks FROM documents),
+         sets AS (SELECT doc_id, list_sort(list_distinct(
+           ${graft.functions.TextFns.sqlShingleHashes("toks", 5)})) AS hashes
+           FROM toks),
+         fsets AS (SELECT * FROM sets WHERE len(hashes) > 0),
+         nsets AS (SELECT * FROM fsets WHERE doc_id % 10 = 7),
+         esets AS (SELECT * FROM fsets WHERE doc_id % 10 <> 7),
+         nsigs AS (SELECT doc_id,
+           ${graft.functions.TextFns.sqlMinhashSignature("hashes", 12)} AS sig
+           FROM nsets),
+         esigs AS (SELECT doc_id,
+           ${graft.functions.TextFns.sqlMinhashSignature("hashes", 12)} AS sig
+           FROM esets),
+         nbuckets AS (SELECT doc_id, b AS band,
+           ${graft.functions.TextFns.sqlBandKey("list_slice(sig, b*3+1, b*3+3)")} AS key
+           FROM nsigs, range(0, 4) t(b)),
+         ebuckets0 AS (SELECT doc_id, b AS band,
+           ${graft.functions.TextFns.sqlBandKey("list_slice(sig, b*3+1, b*3+3)")} AS key
+           FROM esigs, range(0, 4) t(b)),
+         ebuckets AS (SELECT * FROM (SELECT *,
+             count(*) OVER (PARTITION BY band, key) AS bucket_n
+           FROM ebuckets0) WHERE bucket_n <= 50),
+         cand AS (SELECT DISTINCT n.doc_id AS new_doc, e.doc_id AS old_doc
+           FROM nbuckets n JOIN ebuckets e
+             ON n.band = e.band AND n.key = e.key),
+         joined AS (SELECT new_doc, old_doc,
+           len(list_intersect(h1.hashes, h2.hashes)) AS n_shared,
+           len(h1.hashes) AS n1, len(h2.hashes) AS n2
+           FROM cand
+           JOIN nsets h1 ON h1.doc_id = new_doc
+           JOIN esets h2 ON h2.doc_id = old_doc)
+         SELECT new_doc, old_doc, n_shared,
+           ${TextQueries.r6Sql("n_shared / (n1 + n2 - n_shared)")} AS jaccard
+         FROM joined
+         WHERE ${TextQueries.r6Sql("n_shared / (n1 + n2 - n_shared)")} >= 0.2
+         ORDER BY new_doc, old_doc""")
 }
