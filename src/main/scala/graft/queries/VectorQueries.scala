@@ -211,8 +211,12 @@ object VectorQueries {
     * identical integer-exact Lloyd iterations. */
   def q106SemDedup(s: SparkSession, dir: String): DataFrame = {
     val asg = kmeansAssignment(s, dir).select("vec_id", "cl")
+    // m feeds three consumers (cell sizes, both pair sides, final
+    // roll-up); persist so the Lloyd assignment runs once, not three
+    // times
     val m = Tables.embeddings(s, dir).select("vec_id", "embedding")
       .join(asg, Seq("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val cells = m.groupBy("cl").agg(count(lit(1)).as("n_cell"))
     val best = m.select(col("cl"), col("vec_id").as("v1"),
         col("embedding").as("e1"))
