@@ -311,6 +311,42 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** q111: curation quality report — the q93 verdicts rolled up with
+    * CUBE over (source, language): per-cell document counts, keep
+    * counts/rates and quality mass, plus every subtotal and the grand
+    * total in one pass (the report a data-quality dashboard reads).
+    * Quality sums are micro-quantized BEFORE aggregation so the
+    * distributed sum is exact integer arithmetic; grouping keys are
+    * coalesced to 'ALL' so the engines need no null-ordering
+    * agreement. CUBE costs one shuffle of 4× the group rows — group
+    * cardinality, not corpus cardinality. */
+  def q111CurationReport(s: SparkSession, dir: String): DataFrame = {
+    // the roll-up runs as SQL over a temp view: q93's plan already
+    // reads the documents scan, and Spark's ambiguous-self-join guard
+    // chases the Dataset-id metadata through every Column-API rename —
+    // the SQL analyzer resolves by name and has no such ambiguity
+    val v = q93CurationPipeline(s, dir)
+      .select("doc_id", "predicted_lang", "quality", "keep").as("v")
+    val src = Tables.documents(s, dir)
+      .select("doc_id", "source").as("src")
+    val joined = v.join(src, col("v.doc_id") === col("src.doc_id"))
+      .select(col("src.source").as("vsrc"),
+        col("v.predicted_lang").as("vlang"),
+        col("v.quality").as("vq"), col("v.keep").as("vkeep"))
+    val view = "graft_q111_input"
+    joined.createOrReplaceTempView(view)
+    s.sql(
+      s"""SELECT coalesce(vsrc, 'ALL') AS source_g,
+            coalesce(vlang, 'ALL') AS lang_g,
+            count(1) AS n_docs,
+            sum(CASE WHEN vkeep THEN 1L ELSE 0L END) AS n_kept,
+            (1000 * sum(CASE WHEN vkeep THEN 1L ELSE 0L END)) div count(1)
+              AS keep_milli,
+            sum(cast(round(vq * 1e6) AS BIGINT)) AS sum_quality_micro
+          FROM $view GROUP BY CUBE (vsrc, vlang)
+          ORDER BY source_g, lang_g""")
+  }
+
   // PII patterns shared verbatim by the Spark plan and the DuckDB
   // oracle (interpolated into the SQL below): character classes +
   // bounded repetition only, i.e. the java.util.regex ∩ RE2 subset
@@ -472,7 +508,8 @@ object PipelineQueries {
     "q88_person_dedup" -> (q88PersonDedup _),
     "q91_decontamination" -> (q91Decontamination _),
     "q92_token_shards" -> (q92TokenShards _),
-    "q93_curation_pipeline" -> (q93CurationPipeline _))
+    "q93_curation_pipeline" -> (q93CurationPipeline _),
+    "q111_curation_report" -> (q111CurationReport _))
 
   // ---- oracle SQL --------------------------------------------------
 
@@ -706,7 +743,27 @@ object PipelineQueries {
     // fragments its standalone oracle uses (lshDupPairsCtes provides
     // toks + dup_pairs; lang/quality/boilerplate/contamination are
     // restated with disambiguated names)
-    "q93_curation_pipeline" ->
+    "q93_curation_pipeline" -> q93OracleSql,
+    // the report wraps the full q93 verdict derivation as a subquery
+    // and CUBEs it with the source dim — grouping keys coalesced to
+    // 'ALL' so Spark and DuckDB need no null-ordering agreement
+    "q111_curation_report" ->
+      s"""WITH v AS ($q93OracleSql),
+         j AS (SELECT v.doc_id, v.predicted_lang, v.quality, v.keep,
+             d.source
+           FROM v JOIN documents d USING (doc_id))
+         SELECT coalesce(source, 'ALL') AS source_g,
+           coalesce(predicted_lang, 'ALL') AS lang_g,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           (1000 * CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT))
+             // count(*) AS keep_milli,
+           CAST(sum(CAST(round(quality * 1e6) AS BIGINT)) AS BIGINT)
+             AS sum_quality_micro
+         FROM j GROUP BY CUBE (source, predicted_lang)
+         ORDER BY source_g, lang_g""")
+
+  private lazy val q93OracleSql: String =
       s"""WITH ${TextQueries.lshDupPairsCtes},
          lscores AS (${TextQueries.langUnion}),
          lranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
@@ -829,5 +886,5 @@ object PipelineQueries {
            top_bigram_milli, span_dup_milli, canonical_id, is_near_dup,
            contamination_milli, drop_reasons,
            drop_reasons = '' AS keep
-         FROM verdict ORDER BY doc_id""")
+         FROM verdict ORDER BY doc_id"""
 }
