@@ -93,8 +93,39 @@ object EventQueries {
   def q108StreamCuration(s: SparkSession, dir: String): DataFrame =
     graft.streaming.CurationStream.curationOnce(s, dir)
 
+  /** q112: per-user event-value outliers — the data-QA pass an event
+    * pipeline runs before trusting aggregates. An event is flagged
+    * when it sits more than 3σ from its user's mean. The z-test is
+    * evaluated in INTEGER arithmetic on cents — |v·n − Σv|² > 9·(n·Σv²
+    * − (Σv)²) is the 3σ test with both sides multiplied by n², so
+    * there is no float division anywhere and the flag is hash-exact.
+    * One map-side-combinable groupBy for the per-user moments (the q18
+    * exact-integer-moments pattern), one broadcast-size join back —
+    * at 100 TB this is a shuffle of user-cardinality rows, not events.
+    * Users need ≥ 2 events to have a defined deviation (singletons are
+    * trivially their own mean). */
+  def q112EventOutliers(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        graft.functions.Exact.cents(col("value")).as("v"))
+    val stats = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"),
+        sum(col("v") * col("v")).as("ss"))
+      .filter(col("n") >= 2)
+    val dev = col("v") * col("n") - col("s")
+    val varNum = col("n") * col("ss") - col("s") * col("s")
+    ev.join(stats, Seq("user_id"))
+      .withColumn("dev_sq", dev * dev)
+      .withColumn("thresh", lit(9L) * varNum)
+      .filter(col("dev_sq") > col("thresh"))
+      .select(col("user_id"), col("event_id"), col("v").as("value_cents"),
+        col("n").as("n_user_events"), col("dev_sq"), col("thresh"))
+      .orderBy("user_id", "event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q108_stream_curation" -> (q108StreamCuration _),
+    "q112_event_outliers" -> (q112EventOutliers _),
     "q33_event_windows" -> (q33EventWindows _),
     "q34_event_sessions" -> (q34Sessionize _),
     "q35_stream_windows" -> (q35StreamWindows _),
@@ -133,6 +164,22 @@ object EventQueries {
          FROM g GROUP BY user_id, sess_id ORDER BY user_id, sess_id"""
 
   val oracles: Map[String, String] = Map(
+    "q112_event_outliers" ->
+      s"""WITH $evCte,
+         e AS (SELECT event_id, user_id,
+           CAST(round(value*100) AS BIGINT) AS v FROM ev),
+         st AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v) AS BIGINT) AS s,
+             CAST(sum(v*v) AS BIGINT) AS ss
+           FROM e GROUP BY user_id HAVING count(*) >= 2)
+         SELECT e.user_id, e.event_id, e.v AS value_cents,
+           st.n AS n_user_events,
+           (e.v * st.n - st.s) * (e.v * st.n - st.s) AS dev_sq,
+           9 * (st.n * st.ss - st.s * st.s) AS thresh
+         FROM e JOIN st USING (user_id)
+         WHERE (e.v * st.n - st.s) * (e.v * st.n - st.s)
+           > 9 * (st.n * st.ss - st.s * st.s)
+         ORDER BY e.user_id, e.event_id""",
     "q108_stream_curation" ->
       s"""WITH ${TextQueries.toksCte},
          lscores AS (${TextQueries.langUnion}),
