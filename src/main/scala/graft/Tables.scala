@@ -44,9 +44,15 @@ object Tables {
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType =>
         // The NTZ → TIMESTAMP cast reinterprets the wall-clock value in
-        // the session zone; it is value-preserving only under UTC. Pin
-        // the invariant here rather than trusting every entrypoint.
-        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+        // the session zone; it is value-preserving only under UTC.
+        // Every entrypoint (Verify/Bench/tools/specs) pins UTC in its
+        // session builder — fail loudly here rather than silently
+        // re-zoning a caller's deliberately non-UTC session (ADVICE r7).
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"events.ts is TIMESTAMP_NTZ; the cast to TIMESTAMP is only " +
+            s"value-preserving under spark.sql.session.timeZone=UTC " +
+            s"(session has '$tz') — set it in the session builder")
         df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df
     }

@@ -48,10 +48,12 @@ object TextDedup {
     val r = nHashes / bands
     // the sets frame feeds three branches of this plan (signatures +
     // both sides of the verify join); persist so the tokenize/shingle/
-    // hash scan runs once, not three times
-    val sets = shingleSets(docs, idCol, textCol, k)
-      .filter(size(col("hashes")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    // hash scan runs once, not three times (tracked so
+    // Shared.clear() can evict it in a long-lived session)
+    val sets = graft.queries.Shared.track(
+      shingleSets(docs, idCol, textCol, k)
+        .filter(size(col("hashes")) > 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
     val sigs = sets.select(
       col("doc_id"),
       TextFns.bandKeys(TextFns.minhashSignature(col("hashes"), nHashes), bands, r)
@@ -88,29 +90,35 @@ object TextDedup {
     * O(batch × bucket-overlap), not O(corpus²): at 100 TB the existing
     * side's band keys live pre-computed in the store (they are a
     * deterministic function of content), the batch side is small, and
-    * the join shuffles only the batch unless the existing buckets are
-    * hot — which the cap bounds, applied to the EXISTING side where
-    * boilerplate accumulates. */
+    * the join shuffles only the batch unless the buckets are hot —
+    * which the cap bounds on BOTH sides: the existing side is where
+    * boilerplate accumulates, and the batch-side mirror keeps a
+    * pathological batch (its own documents sharing a boilerplate
+    * band) from fanning out batch-hot × cap. */
   def incrementalDupPairs(existing: DataFrame, batch: DataFrame,
                           idCol: String, textCol: String,
                           k: Int = 5, nHashes: Int = 12, bands: Int = 4,
                           minJaccard: Double = 0.2,
                           maxBucketSize: Long = 50): DataFrame = {
     val r = nHashes / bands
-    def sideSets(df: DataFrame) = shingleSets(df, idCol, textCol, k)
-      .filter(size(col("hashes")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    def sideSets(df: DataFrame) = graft.queries.Shared.track(
+      shingleSets(df, idCol, textCol, k)
+        .filter(size(col("hashes")) > 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
+    // per-side bucket keys, dropping this side's hot buckets (the cap
+    // is applied independently per side — each side's count is over
+    // its own rows only, so the oracle replays it per-CTE)
     def sideBuckets(sets: DataFrame) = sets
       .select(col("doc_id"), explode(
         TextFns.bandKeys(TextFns.minhashSignature(col("hashes"), nHashes),
           bands, r)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val exSets = sideSets(existing)
-    val nwSets = sideSets(batch)
-    val exBuckets = sideBuckets(exSets)
       .withColumn("bucket_n",
         count(lit(1)).over(Window.partitionBy("band", "key")))
       .filter(col("bucket_n") <= maxBucketSize)
+    val exSets = sideSets(existing)
+    val nwSets = sideSets(batch)
+    val exBuckets = sideBuckets(exSets)
     val cand = sideBuckets(nwSets)
       .select(col("band"), col("key"), col("doc_id").as("new_doc"))
       .join(exBuckets.select(col("band"), col("key"),

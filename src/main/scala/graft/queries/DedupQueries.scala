@@ -145,6 +145,61 @@ object DedupQueries {
       .orderBy("new_doc", "old_doc")
   }
 
+  /** DOI-equality document dedup — the reference's
+    * `DocumentDeduplicatorApp` (`deduplication/dedup/
+    * DocumentDeduplicatorApp.scala:27-116`): document versions sharing
+    * a `lower(doi)` are canonicalized onto the preferred-importer
+    * ("wos") version that carries extracted full text; every other
+    * version of the group is marked obsolete, remembers its original
+    * document id, and is repointed to the canonical one. The
+    * reference runs three sequential driver-side UPDATEs; their fixed
+    * point (from an all-non-obsolete start) is one declarative rule:
+    *   - canonical of a DOI group = the MIN doc_id among its
+    *     fulltext-bearing wos versions (the wos-vs-wos branch
+    *     obsoletes every larger fulltext wos, so exactly the min
+    *     survives as an eligible dv1);
+    *   - a version is obsolete iff its group has such a canonical and
+    *     the version is either non-wos, or a wos with a larger id.
+    *
+    * Fixture (same style as q85's controlled DOI construction):
+    * versions = documents; DOI groups of ≤4 via `doc_id div 4`, ~1/7
+    * NULL DOIs (the `dv1.doi is not null` guard), importer = 'wos'
+    * for `doc_id % 3 = 0` else the real `source` column, fulltext =
+    * `n_chars >= 200` (the EXTRACTED_FULL_TEXT file-count predicate).
+    *
+    * Scale shape: one map-side-combinable `min` groupBy on the DOI key
+    * + one equi-join back — linear, shuffles only (doi, id) pairs,
+    * no window; at 100 TB the DOI-group table is tiny relative to the
+    * corpus and both shuffles key on `doi`, so the groupBy's
+    * partitioning is reused by the join. */
+  def q113DoiDedup(s: SparkSession, dir: String): DataFrame = {
+    val v = Tables.documents(s, dir).select(
+      col("doc_id"),
+      when(col("doc_id") % 7 === 3, lit(null).cast("string"))
+        .otherwise(lower(concat(lit("10.5291/ILL-DATA."),
+          expr("doc_id div 4").cast("string")))).as("doi"),
+      when(col("doc_id") % 3 === 0, lit("wos"))
+        .otherwise(col("source")).as("importer"),
+      (col("n_chars") >= 200).as("has_fulltext"))
+    val canon = v
+      .filter(col("doi").isNotNull && col("importer") === "wos" &&
+        col("has_fulltext"))
+      .groupBy("doi").agg(min("doc_id").as("wos_canonical"))
+    v.join(canon, Seq("doi"), "left")
+      .withColumn("obsolete", coalesce(
+        col("wos_canonical").isNotNull &&
+          (col("importer") =!= "wos" || col("wos_canonical") < col("doc_id")),
+        lit(false)))
+      .select(
+        col("doc_id"), col("doi"), col("importer"), col("has_fulltext"),
+        col("obsolete"),
+        when(col("obsolete"), col("wos_canonical"))
+          .otherwise(col("doc_id")).as("canonical_doc_id"),
+        when(col("obsolete"), col("doc_id"))
+          .otherwise(lit(null).cast("long")).as("original_doc_id"))
+      .orderBy("doc_id")
+  }
+
   /** Cleaning bank (PersonCleanerStage analogue): normalized text,
     * embedded-id extraction, consistency check against the key. */
   def q38NameClean(s: SparkSession, dir: String): DataFrame =
@@ -163,7 +218,8 @@ object DedupQueries {
     "q38_name_clean" -> (q38NameClean _),
     "q96_lab_dedup" -> (q96LabDedup _),
     "q105_survivorship" -> (q105Survivorship _),
-    "q110_incremental_dedup" -> (q110IncrementalDedup _))
+    "q110_incremental_dedup" -> (q110IncrementalDedup _),
+    "q113_doi_dedup" -> (q113DoiDedup _))
 
   /** Recursive min-label reachability over the LSH dup-pair edges —
     * DuckDB spelling of connected components, shared by the q36 and
@@ -236,9 +292,35 @@ object DedupQueries {
          trim(regexp_replace(regexp_replace(lower(c_mktsegment), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS clean_segment,
          CAST(nullif(regexp_extract(c_name, '([0-9]+)', 1), '') AS BIGINT) = c_custkey AS id_consistent
          FROM customer ORDER BY c_custkey""",
+    "q113_doi_dedup" ->
+      """WITH v AS (SELECT doc_id,
+           CASE WHEN doc_id % 7 = 3 THEN NULL
+                ELSE lower('10.5291/ILL-DATA.' ||
+                  CAST(doc_id // 4 AS VARCHAR)) END AS doi,
+           CASE WHEN doc_id % 3 = 0 THEN 'wos' ELSE source END AS importer,
+           n_chars >= 200 AS has_fulltext
+           FROM documents),
+         canon AS (SELECT doi, min(doc_id) AS wos_canonical FROM v
+           WHERE doi IS NOT NULL AND importer = 'wos' AND has_fulltext
+           GROUP BY doi)
+         SELECT v.doc_id, v.doi, v.importer, v.has_fulltext,
+           (canon.wos_canonical IS NOT NULL AND
+             (v.importer <> 'wos' OR canon.wos_canonical < v.doc_id))
+             AS obsolete,
+           CASE WHEN canon.wos_canonical IS NOT NULL AND
+                  (v.importer <> 'wos' OR canon.wos_canonical < v.doc_id)
+                THEN canon.wos_canonical ELSE v.doc_id
+             END AS canonical_doc_id,
+           CASE WHEN canon.wos_canonical IS NOT NULL AND
+                  (v.importer <> 'wos' OR canon.wos_canonical < v.doc_id)
+                THEN v.doc_id ELSE NULL
+             END AS original_doc_id
+         FROM v LEFT JOIN canon ON v.doi = canon.doi
+         ORDER BY v.doc_id""",
     // mirrors lshDupPairsCtes' parameters (k=5, 12 hashes, 4 bands of
-    // 3, cap 50, jaccard >= 0.2) but splits the corpus into the
-    // incoming batch and the existing store, joining ACROSS sides only
+    // 3, per-side hot-bucket cap 50, jaccard >= 0.2) but splits the
+    // corpus into the incoming batch and the existing store, joining
+    // ACROSS sides only
     "q110_incremental_dedup" ->
       s"""WITH toks AS (SELECT doc_id,
            ${graft.functions.TextFns.sqlTokens("text")} AS toks FROM documents),
@@ -254,9 +336,12 @@ object DedupQueries {
          esigs AS (SELECT doc_id,
            ${graft.functions.TextFns.sqlMinhashSignature("hashes", 12)} AS sig
            FROM esets),
-         nbuckets AS (SELECT doc_id, b AS band,
+         nbuckets0 AS (SELECT doc_id, b AS band,
            ${graft.functions.TextFns.sqlBandKey("list_slice(sig, b*3+1, b*3+3)")} AS key
            FROM nsigs, range(0, 4) t(b)),
+         nbuckets AS (SELECT * FROM (SELECT *,
+             count(*) OVER (PARTITION BY band, key) AS bucket_n
+           FROM nbuckets0) WHERE bucket_n <= 50),
          ebuckets0 AS (SELECT doc_id, b AS band,
            ${graft.functions.TextFns.sqlBandKey("list_slice(sig, b*3+1, b*3+3)")} AS key
            FROM esigs, range(0, 4) t(b)),

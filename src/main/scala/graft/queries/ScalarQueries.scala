@@ -199,6 +199,14 @@ object ScalarQueries {
           FROM toks))"""
 
   val oracles: Map[String, String] = Map(
+    // ASCII-corpus assumption (ADVICE r7): this oracle indexes
+    // CHARACTERS (ascii(substr(text, p+1, 1))) while p ranges over
+    // octet_length BYTES and the Spark side iterates UTF-8 bytes —
+    // parity holds because the synthetic corpus is pure ASCII (byte ==
+    // char), the same latent assumption as the q75/q90 image oracles.
+    // A multi-byte corpus would shift positions and NULL out
+    // past-the-end substr — it must fail loudly at the generator, not
+    // hash-mismatch here.
     "q109_audio_frames" ->
       """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n, text
            FROM documents),

@@ -154,13 +154,16 @@ object VectorQueries {
     * scales to a billion vectors. */
   /** The two-iteration Lloyd assignment shared by q82 (cluster stats)
     * and q106 (SemDeDup cells): returns `(vec_id, qe, cl)` with the
-    * same exact-integer arithmetic documented on [[q82Kmeans]]. */
-  private def kmeansAssignment(s: SparkSession, dir: String): DataFrame = {
-    val KClusters = 8
+    * same exact-integer arithmetic documented on [[q82Kmeans]].
+    * `kClusters` seeds from the `kClusters` smallest vec_ids — q82
+    * pins 8 (the demo clustering), q106 derives it from corpus size
+    * so cells stay bounded. */
+  private def kmeansAssignment(s: SparkSession, dir: String,
+                               kClusters: Int): DataFrame = {
     val q = Tables.embeddings(s, dir).select(col("vec_id"),
       transform(col("embedding"),
         x => round(x.cast("double") * 1e6).cast("long") + 1000000L).as("qe"))
-    val c0 = q.filter(col("vec_id") < KClusters)
+    val c0 = q.filter(col("vec_id") < kClusters)
       .select(col("vec_id").as("cl"), col("qe").as("c"))
     def assign(cents: DataFrame): DataFrame = {
       val d = q.crossJoin(broadcast(cents))
@@ -182,7 +185,7 @@ object VectorQueries {
         x => x.getField("v")).as("c"))
 
   def q82Kmeans(s: SparkSession, dir: String): DataFrame = {
-    val a2 = kmeansAssignment(s, dir)
+    val a2 = kmeansAssignment(s, dir, kClusters = 8)
     val c2 = recomputeCentroids(a2)
       .select(col("cl"), aggregate(col("c"), lit(0L),
         (acc, x) => acc + x * x).as("centroid_ssq"))
@@ -207,19 +210,40 @@ object VectorQueries {
     * pair stage shuffles once, keyed by cell; within-cell work is
     * O(m²) where SemDeDup's premise is that K grows with the corpus so
     * m stays bounded (the paper uses K≈100k on web scale — cells of a
-    * few thousand). K=8 here mirrors q82 so the oracle replays the
-    * identical integer-exact Lloyd iterations. */
+    * few thousand). Accordingly K is DERIVED from the corpus:
+    * K = max(8, ceil(n / TargetCell)), so mean cell size is pinned
+    * near [[TargetCell]] at every scale and the within-cell stage is
+    * O(n·TargetCell), linear in the corpus — never quadratic at a
+    * fixed K (at sf0.01, n=500 derives K=8, so the gate-scale result
+    * equals the historical K=8 run). Seeding stays deterministic (the
+    * K smallest vec_ids) and the oracle derives the identical K from
+    * the same count. Defense in depth for skewed clusterings: the
+    * "prior" side of the pair join keeps only the [[CellCap]] earliest
+    * members per cell (rank by vec_id), bounding any single cell's
+    * pairs at CellCap × m — the same guard shape as the hot-bucket
+    * caps in [[graft.operators.TextDedup]]. A vector dropped by a
+    * capped prior is still compared against the first CellCap members,
+    * which is SemDeDup's greedy earlier-survivor semantics truncated,
+    * and the cap never binds while cells stay near TargetCell. */
   def q106SemDedup(s: SparkSession, dir: String): DataFrame = {
-    val asg = kmeansAssignment(s, dir).select("vec_id", "cl")
+    // driver-side scalar (S9 shape, parquet-metadata count): the
+    // corpus size that sizes K
+    val k = semDedupK(Tables.embeddings(s, dir).count())
+    val asg = kmeansAssignment(s, dir, k).select("vec_id", "cl")
     // m feeds three consumers (cell sizes, both pair sides, final
     // roll-up); persist so the Lloyd assignment runs once, not three
-    // times
-    val m = Tables.embeddings(s, dir).select("vec_id", "embedding")
-      .join(asg, Seq("vec_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    // times (tracked so Shared.clear() can evict it between workloads)
+    val m = Shared.track(
+      Tables.embeddings(s, dir).select("vec_id", "embedding")
+        .join(asg, Seq("vec_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
     val cells = m.groupBy("cl").agg(count(lit(1)).as("n_cell"))
-    val best = m.select(col("cl"), col("vec_id").as("v1"),
+    val priors = m.select(col("cl"), col("vec_id").as("v1"),
         col("embedding").as("e1"))
+      .withColumn("prior_rank", row_number().over(
+        Window.partitionBy("cl").orderBy("v1")))
+      .filter(col("prior_rank") <= CellCap)
+    val best = priors
       .join(m.select(col("cl"), col("vec_id").as("v2"),
         col("embedding").as("e2")), Seq("cl"))
       .filter(col("v1") < col("v2"))
@@ -237,6 +261,17 @@ object VectorQueries {
   }
 
   private val SemDupTau = 0.35
+  /** Target mean SemDeDup cell size; K = max(8, ceil(n/TargetCell)). */
+  private val TargetCell = 64L
+  /** Within-cell prior-side cap (defense in depth for skewed cells). */
+  private val CellCap = 256
+
+  /** SemDeDup cell count for an `n`-vector corpus: grows linearly so
+    * mean cell size stays near [[TargetCell]] (integer ceil-div ==
+    * the oracle's `ceil(count(*)/64.0)`). Package-visible for the
+    * plan-contract spec. */
+  private[graft] def semDedupK(n: Long): Int =
+    math.max(8L, (n + TargetCell - 1) / TargetCell).toInt
 
   val queries: Map[String, Q] = Map(
     "q106_semdedup" -> (q106SemDedup _),
@@ -304,16 +339,23 @@ object VectorQueries {
       s"""WITH q AS (SELECT vec_id, list_transform(embedding,
            x -> CAST(round(CAST(x AS DOUBLE)*1e6) AS BIGINT) + 1000000) AS qe
          FROM embeddings),
-       c0 AS (SELECT vec_id AS cl, qe AS c FROM q WHERE vec_id < 8),
+       kk AS (SELECT greatest(8, CAST(ceil(count(*) / 64.0) AS BIGINT)) AS k
+         FROM embeddings),
+       c0 AS (SELECT vec_id AS cl, qe AS c FROM q
+         WHERE vec_id < (SELECT k FROM kk)),
        ${kmeansIterSql(1, "c0")},
        ${kmeansIterSql(2, "c1")},
        m AS (SELECT a2.vec_id, a2.cl, e.embedding
          FROM a2 JOIN embeddings e USING (vec_id)),
        cells AS (SELECT cl, CAST(count(*) AS BIGINT) AS n_cell
          FROM m GROUP BY cl),
+       priors AS (SELECT * FROM (SELECT vec_id, cl, embedding,
+           row_number() OVER (PARTITION BY cl ORDER BY vec_id)
+             AS prior_rank FROM m)
+         WHERE prior_rank <= 256),
        pr AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
            ${r6Sql(sqlCosine("a.embedding", "b.embedding"))} AS cosine
-         FROM m a JOIN m b ON a.cl = b.cl AND a.vec_id < b.vec_id),
+         FROM priors a JOIN m b ON a.cl = b.cl AND a.vec_id < b.vec_id),
        hits AS (SELECT v2 AS vec_id, max(cosine) AS best_prior_cos
          FROM pr WHERE cosine >= $SemDupTau GROUP BY v2)
        SELECT m.vec_id, m.cl, cells.n_cell,

@@ -41,10 +41,15 @@ object StreamStage {
         sweep(tableRoot, _.getFileName.toString != stamp)
         // transitional layouts left by earlier builds: flat
         // <dirHash>-<stamp> at the root, and bare-hex stamp dirs
-        // directly under stage/ (table dirs are non-hex names)
+        // directly under stage/. A live table dir must never match:
+        // exclude every known table name (ADVICE r7 — an 8-16-char
+        // all-hex table name like 'deadbeef' would otherwise have its
+        // staging swept whenever another table stages).
         sweep(root, _.getFileName.toString.startsWith(dirHash + "-"))
-        sweep(tableRoot.getParent,
-          _.getFileName.toString.matches("[0-9a-f]{8,16}"))
+        sweep(tableRoot.getParent, p => {
+          val n = p.getFileName.toString
+          n.matches("[0-9a-f]{8,16}") && !graft.Tables.names.contains(n)
+        })
         Files.createDirectories(streamDir)
         try Files.createLink(target, srcPath)
         catch { case _: Exception => Files.copy(srcPath, target) }

@@ -46,6 +46,41 @@ class NewQueryPlanSpec extends AnyFunSuite {
       s"q110's bucket join must be an equi join on (band, key):\n$plan")
   }
 
+  test("q106: K grows with the corpus; prior side capped in the plan") {
+    // the SemDeDup premise pinned as code: cells stay near TargetCell
+    // because K is corpus-derived, never a constant
+    assert(queries.VectorQueries.semDedupK(500L) === 8)
+    assert(queries.VectorQueries.semDedupK(5000L) === 79)
+    assert(queries.VectorQueries.semDedupK(500000L) === 7813)
+    assert(queries.VectorQueries.semDedupK(500000L) * 10 <=
+      queries.VectorQueries.semDedupK(5000000L) + 10)
+    // and the within-cell pair stage reads from the rank-capped prior
+    // side (defense in depth for skewed clusterings)
+    val df = queries.VectorQueries.q106SemDedup(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("prior_rank"),
+      s"q106's pair stage must read the capped prior side:\n$plan")
+  }
+
+  test("q110: a batch-hot bucket cannot fan out (batch-side cap)") {
+    // 60 batch docs sharing one boilerplate text all land in the same
+    // buckets (bucket_n = 60 > 50) — the batch-side cap must drop
+    // them even though the existing side holds a match; the lone
+    // distinct batch doc still pairs with its existing twin
+    import spark.implicits._
+    val hot = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val uniq = "quick brown fox jumps over the lazy dog near riverbank"
+    val existing = Seq((1L, hot), (2L, uniq), (3L, "unrelated words only here nothing shared with others at all"))
+      .toDF("doc_id", "text")
+    val batch = ((100L to 159L).map(i => (i, hot)) :+ (200L, uniq))
+      .toDF("doc_id", "text")
+    val out = operators.TextDedup
+      .incrementalDupPairs(existing, batch, "doc_id", "text")
+      .select("new_doc", "old_doc").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSet === Set((200L, 2L)),
+      s"batch-hot bucket must be capped; got ${out.mkString(", ")}")
+  }
+
   test("q108: the streaming verdict plan has no shuffle at all") {
     // batch-side check of the same verdict expression tree the stream
     // runs: stateless map-side columns only — any exchange before the
