@@ -47,10 +47,31 @@ object Bench {
       require(unknown.isEmpty,
         s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.mkString(", ")}")
     }
-    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_(n)) }
+    // SPARK_GRAFT_REVERSE=1 sweeps in reverse name order — the
+    // order-independence probe for the shared-cache accounting below
+    // (two sweeps in opposite order should agree per-query once the
+    // cache build is its own step)
+    val names = if (sys.env.get("SPARK_GRAFT_REVERSE").contains("1"))
+      sorted.reverse else sorted
+    // Full-suite sweeps pre-build the cross-query caches as an explicit
+    // `cache_build` step (VERDICT r7 item 6): the cost is real work and
+    // stays in the total, but per-query times become order-independent
+    // instead of loading the cold-cache build onto whichever of
+    // q13/q17/q19/q49 runs first. Subset probes (SPARK_GRAFT_ONLY)
+    // skip it so scale rows keep measuring the query as a user runs it.
+    val warmCaches = only.isEmpty
     val samples = (1 to runs).map { run =>
-      val times = names.map { case (name, fn) =>
+      val warmTime = if (warmCaches) {
+        val t0 = System.nanoTime()
+        val ok = try { queries.Shared.warm(spark, sfDir); true }
+          catch { case _: Throwable => false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] run $run cache_build ${dt}%.1f s")
+        Seq("cache_build" -> (dt, ok))
+      } else Nil
+      val times = warmTime ++ names.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val n = try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
@@ -65,7 +86,8 @@ object Bench {
     }
     // min over SUCCESSFUL sweeps only — a crashed sweep's short
     // duration must not masquerade as a timing; all-failed → -1
-    val results = names.map(_._1).map { name =>
+    val keys = (if (warmCaches) Seq("cache_build") else Nil) ++ sorted.map(_._1)
+    val results = keys.map { name =>
       val ok = samples.map(_(name)).collect { case (dt, true) => dt }
       name -> (if (ok.nonEmpty) ok.min else -1.0)
     }
@@ -111,6 +133,6 @@ object Bench {
     val failedShown = failed.take(10).map("\"" + _ + "\"") ++
       (if (failed.size > 10) Seq("\"+" + (failed.size - 10) + " more\"") else Nil)
     val failedJson = failedShown.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":${qmap(top)},"sf":"$sfDir","runs":$runs,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"detail":"BENCH_DETAIL.json"}""")
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":${qmap(top)},"sf":"$sfDir","runs":$runs,"n_queries":${sorted.size},"n_failed":${failed.size},"failed":$failedJson,"detail":"BENCH_DETAIL.json"}""")
   }
 }

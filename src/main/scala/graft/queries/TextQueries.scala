@@ -256,7 +256,95 @@ object TextQueries {
       .orderBy("qdoc", "rnk")
   }
 
+  /** 16-bit hash-threshold granularity for the q114 sampler: rates are
+    * expressed in 65536ths and compared against the first 4 md5 hex
+    * chars, the same portable string-compare sampler q80 uses. */
+  private val MixScale = 65536L
+
+  /** q114: deterministic source-mixture sampling — resample the corpus
+    * toward target per-source mixture weights under a global token
+    * budget (the static-mixture reweighting step of a training-data
+    * pipeline, cf. the sampling weights of Pile/DoReMi-style corpus
+    * construction). Each source gets budget = (total/2)·w/Σw tokens;
+    * its keep-rate is budget/src_tokens in 65536ths; a document is
+    * kept iff its salted md5 bucket falls under the rate — fully
+    * deterministic, reproducible across engines and runs, no RNG.
+    *
+    * Scale shape: one map-side-combinable groupBy(source) over the
+    * corpus (20 rows out), rates derived on the tiny per-source frame
+    * and broadcast back; the keep decision is a pure map-side filter.
+    * No corpus shuffle at all, so the plan is scan-bound at any scale. */
+  def q114MixtureSample(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("source"),
+        size(col("toks")).cast("long").as("n_tokens"))
+    // target mixture weight per source: deterministic 1..4 from the
+    // source id (a stand-in for curated quality weights)
+    val perSrc = d.groupBy("source").agg(sum("n_tokens").as("src_tokens"))
+      .withColumn("w", expr("CAST(substring(source, 4) AS BIGINT) % 4 + 1"))
+    val tot = perSrc.agg(sum("src_tokens").as("total_tokens"),
+      sum("w").as("sum_w"))
+    val rates = perSrc.crossJoin(broadcast(tot))
+      .withColumn("budget", expr("(total_tokens div 2) * w div sum_w"))
+      .withColumn("rate_u16",
+        least(lit(MixScale), expr(s"budget * $MixScale div src_tokens")))
+      .select("source", "src_tokens", "w", "rate_u16")
+    d.join(broadcast(rates), Seq("source"))
+      .withColumn("bucket_hex", substring(
+        md5(concat(lit("graft-mix:"), col("doc_id").cast("string"))), 1, 4))
+      .filter(col("rate_u16") >= MixScale ||
+        col("bucket_hex") < format_string("%04x", col("rate_u16")))
+      .select("doc_id", "source", "n_tokens", "w", "rate_u16", "bucket_hex")
+      .orderBy("doc_id")
+  }
+
+  /** q115: unigram LM quality score — the perplexity-filter shape of
+    * CCNet/Gopher with a unigram proxy for the LM: score(doc) = mean
+    * token negative log-likelihood under the corpus unigram
+    * distribution, micro-quantized per TERM before the weighted sum so
+    * the distributed aggregation is exact integer arithmetic. Documents
+    * in the band [[NllKeepLo]]..[[NllKeepHi]] are flagged keep:
+    * below = degenerate/repetitive (all stopwords), above =
+    * out-of-distribution junk — both tails are what a HQ-data filter
+    * drops.
+    *
+    * Scale shape: two map-side-combinable groupBys (per-(doc,term) tf,
+    * per-term counts) and a join on term. The per-term frame is
+    * Zipf-bounded (vocab grows ~sublinearly; prune-below-min-count
+    * makes it broadcastable at any scale); here it stays a regular join
+    * so AQE picks broadcast when it fits. */
+  def q115UnigramNll(s: SparkSession, dir: String): DataFrame = {
+    val t = toks(s, dir)
+    val tf = t.select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val cnt = tf.groupBy("term").agg(sum("tf").as("cnt"))
+    val tot = cnt.agg(sum("cnt").as("n_total"))
+    val nll = cnt.crossJoin(broadcast(tot))
+      .withColumn("nll_micro", graft.functions.Exact.micro(
+        log(col("n_total").cast("double") / col("cnt"))))
+      .select("term", "nll_micro")
+    tf.join(nll, Seq("term"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf") * col("nll_micro")).as("nll_sum_micro"),
+        sum("tf").as("n_tokens"))
+      .withColumn("avg_nll_micro", expr("nll_sum_micro div n_tokens"))
+      .withColumn("keep", col("avg_nll_micro").between(NllKeepLo, NllKeepHi))
+      .select("doc_id", "n_tokens", "nll_sum_micro", "avg_nll_micro", "keep")
+      .orderBy("doc_id")
+  }
+
+  // band calibrated to the synthetic corpus (5/95th pct ≈ 3.394/3.423
+  // nats at sf0.01) so the filter exercises BOTH tails: below = too
+  // stereotyped, above = out-of-distribution
+  private val NllKeepLo = 3395000L   // mean NLL ≥ 3.395 nats
+  private val NllKeepHi = 3410000L   // mean NLL ≤ 3.410 nats
+
   val queries: Map[String, Q] = Map(
+    "q114_mixture_sample" -> (q114MixtureSample _),
+    "q115_unigram_nll" -> (q115UnigramNll _),
     "q107_bm25" -> (q107Bm25 _),
     "q97_highlight" -> (q97Highlight _),
     "q21_token_stats" -> (q21TokenStats _),
@@ -316,6 +404,51 @@ object TextQueries {
     s"CAST(round(($e)*1e6) AS BIGINT)/1e6"
 
   val oracles: Map[String, String] = Map(
+    "q114_mixture_sample" ->
+      s"""WITH raw AS (SELECT doc_id, source, ${sqlTokens("text")} AS toks
+           FROM documents),
+         d AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens
+           FROM raw WHERE len(toks) > 0),
+         per_src AS (SELECT source,
+             CAST(sum(n_tokens) AS BIGINT) AS src_tokens,
+             CAST(substring(source, 4) AS BIGINT) % 4 + 1 AS w
+           FROM d GROUP BY source),
+         tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
+             CAST(sum(w) AS BIGINT) AS sum_w FROM per_src),
+         rates AS (SELECT source, src_tokens, w,
+             least($MixScale, ((total_tokens // 2) * w // sum_w)
+               * $MixScale // src_tokens) AS rate_u16
+           FROM per_src CROSS JOIN tot)
+         SELECT doc_id, d.source, n_tokens, w, rate_u16,
+           substring(md5('graft-mix:' || CAST(doc_id AS VARCHAR)), 1, 4)
+             AS bucket_hex
+         FROM d JOIN rates ON d.source = rates.source
+         WHERE rate_u16 >= $MixScale
+           OR substring(md5('graft-mix:' || CAST(doc_id AS VARCHAR)), 1, 4)
+             < printf('%04x', rate_u16)
+         ORDER BY doc_id""",
+    "q115_unigram_nll" ->
+      s"""WITH $toksCte,
+         t AS (SELECT doc_id, toks FROM toks WHERE len(toks) > 0),
+         tfw AS (SELECT doc_id, unnest(toks) AS term FROM t),
+         tfc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM tfw GROUP BY 1, 2),
+         cnt AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt
+           FROM tfc GROUP BY 1),
+         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM cnt),
+         nll AS (SELECT term,
+             CAST(round(ln(CAST(n_total AS DOUBLE) / cnt) * 1e6) AS BIGINT)
+               AS nll_micro
+           FROM cnt CROSS JOIN tot),
+         agg AS (SELECT doc_id,
+             CAST(sum(tf * nll_micro) AS BIGINT) AS nll_sum_micro,
+             CAST(sum(tf) AS BIGINT) AS n_tokens
+           FROM tfc JOIN nll USING (term) GROUP BY doc_id)
+         SELECT doc_id, n_tokens, nll_sum_micro,
+           nll_sum_micro // n_tokens AS avg_nll_micro,
+           nll_sum_micro // n_tokens BETWEEN $NllKeepLo AND $NllKeepHi
+             AS keep
+         FROM agg ORDER BY doc_id""",
     "q107_bm25" ->
       s"""WITH $toksCte,
          t AS (SELECT doc_id, toks FROM toks WHERE len(toks) > 0),

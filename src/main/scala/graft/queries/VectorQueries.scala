@@ -160,22 +160,34 @@ object VectorQueries {
     * so cells stay bounded. */
   private def kmeansAssignment(s: SparkSession, dir: String,
                                kClusters: Int): DataFrame = {
-    val q = Tables.embeddings(s, dir).select(col("vec_id"),
+    val q = quantized(Tables.embeddings(s, dir))
+    lloyd2(q, q.filter(col("vec_id") < kClusters)
+      .select(col("vec_id").as("cl"), col("qe").as("c")))
+  }
+
+  /** Exact-integer embedding quantization shared by every k-means leg:
+    * micro-units shifted non-negative, so distances are pure long
+    * arithmetic (identical in Spark and DuckDB). */
+  private def quantized(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
       transform(col("embedding"),
         x => round(x.cast("double") * 1e6).cast("long") + 1000000L).as("qe"))
-    val c0 = q.filter(col("vec_id") < kClusters)
-      .select(col("vec_id").as("cl"), col("qe").as("c"))
-    def assign(cents: DataFrame): DataFrame = {
-      val d = q.crossJoin(broadcast(cents))
-        .withColumn("d", aggregate(
-          zip_with(col("qe"), col("c"), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x))
-      d.withColumn("rn", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("d"), col("cl"))))
-        .filter(col("rn") === 1).select("vec_id", "qe", "cl")
-    }
-    assign(recomputeCentroids(assign(c0)))
-  }
+
+  /** Assign each vector of `q` to the nearest centroid (integer L2,
+    * ties to the smallest cl). */
+  private def lloydAssign(q: DataFrame, cents: DataFrame): DataFrame =
+    q.crossJoin(broadcast(cents))
+      .withColumn("d", aggregate(
+        zip_with(col("qe"), col("c"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("d"), col("cl"))))
+      .filter(col("rn") === 1).select("vec_id", "qe", "cl")
+
+  /** Two Lloyd iterations from seed centroids `c0` (the shape every
+    * oracle replays via `kmeansIterSql`). */
+  private def lloyd2(q: DataFrame, c0: DataFrame): DataFrame =
+    lloydAssign(q, recomputeCentroids(lloydAssign(q, c0)))
 
   private def recomputeCentroids(a: DataFrame): DataFrame =
     a.select(col("cl"), posexplode(col("qe")).as(Seq("i", "v")))
@@ -260,6 +272,44 @@ object VectorQueries {
       .orderBy("vec_id")
   }
 
+  /** q116: incremental ANN index append — the vector-side companion of
+    * q110's incremental near-dup: an IVF index built over the PRIOR
+    * corpus (deterministic two-iteration Lloyd, K derived from prior
+    * size exactly like q106) stays FROZEN while a new ingest batch
+    * (`vec_id % 10 = 7`, ~10%) is assigned to its nearest existing
+    * cell. At 100 TB this is the only viable index-maintenance shape:
+    * re-clustering the full corpus per ingest batch is a full-corpus
+    * job, while assigning a batch is one broadcast of the K-row
+    * centroid table and a map-side argmin — no shuffle of either the
+    * prior corpus or the batch beyond the final per-cell count.
+    * Output: each batch vector's cell, its integer L2 distance, and
+    * the batch's per-cell arrival counts (the signal a cell-split
+    * policy would watch). */
+  def q116IncrementalAnn(s: SparkSession, dir: String): DataFrame = {
+    val all = Tables.embeddings(s, dir)
+    val prior = quantized(all.filter(col("vec_id") % 10 =!= 7))
+    val batch = quantized(all.filter(col("vec_id") % 10 === 7))
+    // driver-side scalar (S9 shape): prior-corpus size derives K
+    val k = semDedupK(prior.count())
+    // seeds = the K smallest prior vec_ids (TakeOrdered — no global
+    // sort; `vec_id < K` would wrongly include batch ids)
+    val c0 = prior.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("cl"), col("qe").as("c"))
+    val cents = recomputeCentroids(lloyd2(prior, c0))
+    val asg = batch.crossJoin(broadcast(cents))
+      .withColumn("d", aggregate(
+        zip_with(col("qe"), col("c"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("d"), col("cl"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cl"), col("d").as("dist_q"))
+    val cellSizes = asg.groupBy("cl").agg(count(lit(1)).as("n_batch"))
+    asg.join(cellSizes, Seq("cl"))
+      .select("vec_id", "cl", "dist_q", "n_batch")
+      .orderBy("vec_id")
+  }
+
   private val SemDupTau = 0.35
   /** Target mean SemDeDup cell size; K = max(8, ceil(n/TargetCell)). */
   private val TargetCell = 64L
@@ -274,6 +324,7 @@ object VectorQueries {
     math.max(8L, (n + TargetCell - 1) / TargetCell).toInt
 
   val queries: Map[String, Q] = Map(
+    "q116_incremental_ann" -> (q116IncrementalAnn _),
     "q106_semdedup" -> (q106SemDedup _),
     "q30_knn_brute" -> (q30KnnBrute _),
     "q31_knn_lsh" -> (q31KnnLsh _),
@@ -335,6 +386,31 @@ object VectorQueries {
      c$n AS (SELECT cl, list(v ORDER BY i) AS c FROM m$n GROUP BY cl)"""
 
   val oracles: Map[String, String] = Map(
+    "q116_incremental_ann" ->
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE)*1e6) AS BIGINT) + 1000000) AS qe
+         FROM embeddings WHERE vec_id % 10 <> 7),
+       kk AS (SELECT greatest(8, CAST(ceil(count(*) / 64.0) AS BIGINT)) AS k
+         FROM q),
+       c0 AS (SELECT vec_id AS cl, qe AS c FROM q
+         ORDER BY vec_id LIMIT (SELECT k FROM kk)),
+       ${kmeansIterSql(1, "c0")},
+       ${kmeansIterSql(2, "c1")},
+       qb AS (SELECT vec_id, list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE)*1e6) AS BIGINT) + 1000000) AS qe
+         FROM embeddings WHERE vec_id % 10 = 7),
+       db AS (SELECT vec_id, cl,
+           CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+             i -> (qe[i]-c[i])*(qe[i]-c[i]))) AS BIGINT) AS d
+         FROM qb CROSS JOIN c2),
+       ab AS (SELECT vec_id, cl, d AS dist_q FROM
+         (SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY d, cl) AS rn FROM db)
+         WHERE rn = 1),
+       cs AS (SELECT cl, CAST(count(*) AS BIGINT) AS n_batch
+         FROM ab GROUP BY cl)
+       SELECT vec_id, ab.cl, dist_q, n_batch
+       FROM ab JOIN cs ON ab.cl = cs.cl ORDER BY vec_id""",
     "q106_semdedup" ->
       s"""WITH q AS (SELECT vec_id, list_transform(embedding,
            x -> CAST(round(CAST(x AS DOUBLE)*1e6) AS BIGINT) + 1000000) AS qe
