@@ -245,6 +245,45 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  private val seqLen = 256L   // tokens per packed training sequence
+
+  /** q117: sequence packing — lay documents end-to-end in doc_id order
+    * and cut fixed-[[seqLen]] training sequences across them (the
+    * "packed examples" layout every LM training job feeds on: no
+    * padding, documents split at sequence boundaries). Emits each
+    * document's global token offset, its first sequence, its offset
+    * within that sequence, and how many sequences it spans — the
+    * metadata a packed-shard writer needs to place every document.
+    *
+    * Scale shape: the global running offset is the same two-phase
+    * distributed cumsum as q92 — per-bucket subtotals (one tiny agg),
+    * prefix over the bucket frame (bounded, broadcast back), then a
+    * per-bucket window; no global sort, no single-partition window
+    * over the corpus. */
+  def q117SequencePack(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"),
+        expr(s"doc_id div $cumsumBucket").as("bucket"))
+      .filter(col("n_tokens") > 0)
+    val offsets = d.groupBy("bucket").agg(sum("n_tokens").as("bucket_total"))
+      .withColumn("offset", coalesce(
+        sum("bucket_total").over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "offset")
+    val wIn = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("start_tok",
+        sum("n_tokens").over(wIn) + col("offset") - col("n_tokens"))
+      .withColumn("seq_id", expr(s"start_tok div $seqLen"))
+      .withColumn("seq_off", expr(s"start_tok % $seqLen"))
+      .withColumn("spans",
+        expr(s"(start_tok + n_tokens - 1) div $seqLen") - col("seq_id") + lit(1L))
+      .select("doc_id", "n_tokens", "start_tok", "seq_id", "seq_off", "spans")
+      .orderBy("doc_id")
+  }
+
   /** q93: the end-to-end curation pass — the flagship composite of the
     * training-data side, mirroring how a user would chain this
     * engine's stages over a raw corpus: language ID (q23) → quality
@@ -508,6 +547,7 @@ object PipelineQueries {
     "q88_person_dedup" -> (q88PersonDedup _),
     "q91_decontamination" -> (q91Decontamination _),
     "q92_token_shards" -> (q92TokenShards _),
+    "q117_sequence_pack" -> (q117SequencePack _),
     "q93_curation_pipeline" -> (q93CurationPipeline _),
     "q111_curation_report" -> (q111CurationReport _))
 
@@ -727,6 +767,22 @@ object PipelineQueries {
              AS BIGINT) >= 500 AS flagged
          FROM per LEFT JOIN hit ON per.doc_id = hit.doc_id
          ORDER BY per.doc_id""",
+    "q117_sequence_pack" ->
+      s"""WITH toks AS (SELECT doc_id,
+           CAST(len(${TextFns.sqlTokens("text")}) AS BIGINT) AS n_tokens
+           FROM documents),
+         t AS (SELECT * FROM toks WHERE n_tokens > 0),
+         c AS (SELECT doc_id, n_tokens,
+           CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS start_tok
+           FROM t)
+         SELECT doc_id, n_tokens, start_tok,
+           start_tok // $seqLen AS seq_id,
+           start_tok % $seqLen AS seq_off,
+           (start_tok + n_tokens - 1) // $seqLen - start_tok // $seqLen + 1
+             AS spans
+         FROM c ORDER BY doc_id""",
     "q92_token_shards" ->
       s"""WITH toks AS (SELECT doc_id,
            CAST(len(${TextFns.sqlTokens("text")}) AS BIGINT) AS n_tokens

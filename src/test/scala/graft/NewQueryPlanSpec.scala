@@ -81,6 +81,44 @@ class NewQueryPlanSpec extends AnyFunSuite {
       s"batch-hot bucket must be capped; got ${out.mkString(", ")}")
   }
 
+  test("q114: rates broadcast back; the keep decision shuffles nothing") {
+    val df = queries.TextQueries.q114MixtureSample(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"q114 must not plan a non-broadcast cartesian:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q114's per-source rate table must broadcast back:\n$plan")
+    // the corpus must reach the rate join without being shuffled: a
+    // SortMergeJoin/ShuffledHashJoin here would exchange the corpus
+    // just to attach a 20-row dim (only the tiny per-source aggs and
+    // the output sort may exchange)
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"),
+      s"q114's rate join must not shuffle the corpus:\n$plan")
+  }
+
+  test("q115: per-term and per-doc aggs are partial; term join not cartesian") {
+    val df = queries.TextQueries.q115UnigramNll(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"q115 must not plan a non-broadcast cartesian:\n$plan")
+    assert(plan.contains("HashAggregate"),
+      s"q115's tf/count aggs must be hash aggregates:\n$plan")
+  }
+
+  test("q116: centroids broadcast; the batch is never shuffled for assignment") {
+    val df = queries.VectorQueries.q116IncrementalAnn(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"q116 must not plan a non-broadcast cartesian:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"q116's frozen-centroid assignment must broadcast:\n$plan")
+  }
+
   test("q108: the streaming verdict plan has no shuffle at all") {
     // batch-side check of the same verdict expression tree the stream
     // runs: stateless map-side columns only — any exchange before the
