@@ -74,10 +74,61 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Sequential squared L2 over two long arrays (the micro-quantized
+    * embeddings of the k-means legs). Pure long arithmetic, so the
+    * result is bit-identical to the `aggregate(zip_with(...))` HOF
+    * spelling and to DuckDB's `list_sum(list_transform(...))` — but
+    * one compiled loop instead of ~200 interpreted expression-tree
+    * walks per 64-dim pair. The k-means assignment evaluates this
+    * n×K times per Lloyd iteration, which made it the dominant cost
+    * of q106/q116 at sf1 once K became corpus-derived. */
+  def l2q(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"graft_l2q: array length mismatch (${n} vs ${b.numElements()})")
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val d = a.getLong(i) - b.getLong(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  case class L2Quantized(left: Expression, right: Expression)
+    extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      val ok = Seq(left, right).forall(_.dataType match {
+        case ArrayType(LongType, _) => true
+        case _ => false
+      })
+      if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_l2q expects array<bigint>, got " +
+          s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+    }
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      l2q(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.VectorExpressions.l2q($a, $b)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): L2Quantized =
+      copy(left = newLeft, right = newRight)
+  }
+
   val name = "graft_dot"
+  val l2Name = "graft_l2q"
 
   /** Column wrapper resolving through the registered function. */
   def dot(a: Column, b: Column): Column = call_function(name, a, b)
+
+  /** Column wrapper for the quantized squared-L2 distance. */
+  def l2q(a: Column, b: Column): Column = call_function(l2Name, a, b)
 
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier(name),
@@ -89,5 +140,12 @@ object VectorExpressions {
         require(args.length == 2,
           s"$name expects exactly 2 arguments, got ${args.length}")
         DotProduct(args.head, args(1))
+      }),
+    (FunctionIdentifier(l2Name),
+      new ExpressionInfo(classOf[L2Quantized].getName, l2Name),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"$l2Name expects exactly 2 arguments, got ${args.length}")
+        L2Quantized(args.head, args(1))
       }))
 }

@@ -174,15 +174,20 @@ object VectorQueries {
         x => round(x.cast("double") * 1e6).cast("long") + 1000000L).as("qe"))
 
   /** Assign each vector of `q` to the nearest centroid (integer L2,
-    * ties to the smallest cl). */
+    * ties to the smallest cl). The distance is the native codegen'd
+    * [[graft.functions.VectorExpressions.l2q]] — bit-identical to the
+    * HOF spelling (pure long arithmetic) but one compiled loop; the
+    * assignment runs it n×K times per iteration, the dominant cost of
+    * q106/q116 once K became corpus-derived. Per-vector argmin via
+    * min(struct) instead of a rank window: no sort, map-side partial
+    * aggregation over the broadcast-join output. */
   private def lloydAssign(q: DataFrame, cents: DataFrame): DataFrame =
     q.crossJoin(broadcast(cents))
-      .withColumn("d", aggregate(
-        zip_with(col("qe"), col("c"), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("d"), col("cl"))))
-      .filter(col("rn") === 1).select("vec_id", "qe", "cl")
+      .withColumn("d", graft.functions.VectorExpressions.l2q(col("qe"), col("c")))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d"), col("cl"))).as("best"),
+        first("qe").as("qe"))
+      .select(col("vec_id"), col("qe"), col("best.cl").as("cl"))
 
   /** Two Lloyd iterations from seed centroids `c0` (the shape every
     * oracle replays via `kmeansIterSql`). */
@@ -297,13 +302,11 @@ object VectorQueries {
       .select(col("vec_id").as("cl"), col("qe").as("c"))
     val cents = recomputeCentroids(lloyd2(prior, c0))
     val asg = batch.crossJoin(broadcast(cents))
-      .withColumn("d", aggregate(
-        zip_with(col("qe"), col("c"), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("d"), col("cl"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cl"), col("d").as("dist_q"))
+      .withColumn("d", graft.functions.VectorExpressions.l2q(col("qe"), col("c")))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d"), col("cl"))).as("best"))
+      .select(col("vec_id"), col("best.cl").as("cl"),
+        col("best.d").as("dist_q"))
     val cellSizes = asg.groupBy("cl").agg(count(lit(1)).as("n_batch"))
     asg.join(cellSizes, Seq("cl"))
       .select("vec_id", "cl", "dist_q", "n_batch")
@@ -316,12 +319,23 @@ object VectorQueries {
   /** Within-cell prior-side cap (defense in depth for skewed cells). */
   private val CellCap = 256
 
+  /** Centroid-count ceiling: beyond KMax·TargetCell (~4M) vectors the
+    * cell count pins at KMax — the paper's own web-scale regime (a
+    * FIXED K≈100k at 5B embeddings, cells in the tens of thousands) —
+    * and the pair stage stays bounded by [[CellCap]] while the Lloyd
+    * assignment stays O(n·KMax), linear in the corpus. Below the
+    * ceiling K grows with n so cells hold near [[TargetCell]]. Both
+    * regimes are one formula; every test scale sits far below the
+    * ceiling, so results are unchanged. */
+  private val KMax = 65536L
+
   /** SemDeDup cell count for an `n`-vector corpus: grows linearly so
     * mean cell size stays near [[TargetCell]] (integer ceil-div ==
-    * the oracle's `ceil(count(*)/64.0)`). Package-visible for the
-    * plan-contract spec. */
+    * the oracle's `ceil(count(*)/64.0)`), pinned at [[KMax]] above
+    * the linear-growth regime. Package-visible for the plan-contract
+    * spec. */
   private[graft] def semDedupK(n: Long): Int =
-    math.max(8L, (n + TargetCell - 1) / TargetCell).toInt
+    math.min(KMax, math.max(8L, (n + TargetCell - 1) / TargetCell)).toInt
 
   val queries: Map[String, Q] = Map(
     "q116_incremental_ann" -> (q116IncrementalAnn _),
@@ -390,7 +404,7 @@ object VectorQueries {
       s"""WITH q AS (SELECT vec_id, list_transform(embedding,
            x -> CAST(round(CAST(x AS DOUBLE)*1e6) AS BIGINT) + 1000000) AS qe
          FROM embeddings WHERE vec_id % 10 <> 7),
-       kk AS (SELECT greatest(8, CAST(ceil(count(*) / 64.0) AS BIGINT)) AS k
+       kk AS (SELECT least(65536, greatest(8, CAST(ceil(count(*) / 64.0) AS BIGINT))) AS k
          FROM q),
        c0 AS (SELECT vec_id AS cl, qe AS c FROM q
          ORDER BY vec_id LIMIT (SELECT k FROM kk)),
@@ -415,7 +429,7 @@ object VectorQueries {
       s"""WITH q AS (SELECT vec_id, list_transform(embedding,
            x -> CAST(round(CAST(x AS DOUBLE)*1e6) AS BIGINT) + 1000000) AS qe
          FROM embeddings),
-       kk AS (SELECT greatest(8, CAST(ceil(count(*) / 64.0) AS BIGINT)) AS k
+       kk AS (SELECT least(65536, greatest(8, CAST(ceil(count(*) / 64.0) AS BIGINT))) AS k
          FROM embeddings),
        c0 AS (SELECT vec_id AS cl, qe AS c FROM q
          WHERE vec_id < (SELECT k FROM kk)),

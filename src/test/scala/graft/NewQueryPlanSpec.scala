@@ -52,8 +52,13 @@ class NewQueryPlanSpec extends AnyFunSuite {
     assert(queries.VectorQueries.semDedupK(500L) === 8)
     assert(queries.VectorQueries.semDedupK(5000L) === 79)
     assert(queries.VectorQueries.semDedupK(500000L) === 7813)
-    assert(queries.VectorQueries.semDedupK(500000L) * 10 <=
-      queries.VectorQueries.semDedupK(5000000L) + 10)
+    assert(queries.VectorQueries.semDedupK(400000L) * 10 <=
+      queries.VectorQueries.semDedupK(4000000L) + 10)
+    // beyond the linear regime K pins at KMax (the paper's fixed-K
+    // web-scale regime): assignment stays O(n·KMax) and the CellCap
+    // bounds the pair stage as cells grow past TargetCell
+    assert(queries.VectorQueries.semDedupK(10000000L) === 65536)
+    assert(queries.VectorQueries.semDedupK(10000000000L) === 65536)
     // and the within-cell pair stage reads from the rank-capped prior
     // side (defense in depth for skewed clusterings)
     val df = queries.VectorQueries.q106SemDedup(spark, sf)
