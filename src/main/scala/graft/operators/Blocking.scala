@@ -27,7 +27,7 @@ object Blocking {
   def capBlocks(df: DataFrame, keys: Seq[String], cap: Long): DataFrame = {
     val in =
       if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
-        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         graft.queries.Shared.track(p)
         p
       } else df

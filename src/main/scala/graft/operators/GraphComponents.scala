@@ -31,7 +31,7 @@ object GraphComponents {
     val undirected = edges.select("src", "dst")
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .persist(StorageLevel.MEMORY_ONLY)
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     var labels = nodes.select(col("node"), col("node").as("comp"))
       .localCheckpoint()

@@ -104,7 +104,7 @@ object Normalisation {
     // so an unpersisted input pipeline would be recomputed per pass
     val in =
       if (df.storageLevel == StorageLevel.NONE) {
-        val p = df.persist(StorageLevel.MEMORY_ONLY)
+        val p = df.persist(StorageLevel.MEMORY_AND_DISK)
         graft.queries.Shared.track(p)
         p
       } else df

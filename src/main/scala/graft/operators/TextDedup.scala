@@ -53,7 +53,7 @@ object TextDedup {
     val sets = graft.queries.Shared.track(
       shingleSets(docs, idCol, textCol, k)
         .filter(size(col("hashes")) > 0)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val sigs = sets.select(
       col("doc_id"),
       TextFns.bandKeys(TextFns.minhashSignature(col("hashes"), nHashes), bands, r)
@@ -104,7 +104,7 @@ object TextDedup {
     def sideSets(df: DataFrame) = graft.queries.Shared.track(
       shingleSets(df, idCol, textCol, k)
         .filter(size(col("hashes")) > 0)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // per-side bucket keys, dropping this side's hot buckets (the cap
     // is applied independently per side — each side's count is over
     // its own rows only, so the oracle replays it per-CTE)

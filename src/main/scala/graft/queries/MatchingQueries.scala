@@ -65,8 +65,16 @@ object MatchingQueries {
     memoized(s, dir, "pivotedScores")(
       partScores(s, dir).unionByName(partSuppScores(s, dir))
         .groupBy("doc1", "doc2")
-        .pivot("score_type", Seq("part_overlap", "partsupp_overlap"))
-        .agg(max("score"))
+        // max(when(...)) instead of .pivot(): identical result for a
+        // known column set, but a codegen'd spillable HashAggregate
+        // instead of PivotFirst's ObjectHashAggregate — under the
+        // sf1/4g memory-pressure drill the pivot OOMed while this
+        // spelling (q17's) degrades by spilling (BASELINE.md)
+        .agg(
+          max(when(col("score_type") === "part_overlap", col("score")))
+            .as("part_overlap"),
+          max(when(col("score_type") === "partsupp_overlap", col("score")))
+            .as("partsupp_overlap"))
         .na.fill(0.0, Seq("part_overlap", "partsupp_overlap")))
 
   /** Weight-training input (q20/q72): pairs matched by BOTH types —

@@ -59,7 +59,7 @@ object Shared {
       val n = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
       val df = if (parts.isEmpty) build
         else build.repartition(n, parts.map(col): _*)
-      track(df.persist(StorageLevel.MEMORY_ONLY))
+      track(df.persist(StorageLevel.MEMORY_AND_DISK))
     })
 
   /** Build + force every expensive cross-query cache up-front

@@ -253,7 +253,7 @@ object VectorQueries {
     val m = Shared.track(
       Tables.embeddings(s, dir).select("vec_id", "embedding")
         .join(asg, Seq("vec_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val cells = m.groupBy("cl").agg(count(lit(1)).as("n_cell"))
     val priors = m.select(col("cl"), col("vec_id").as("v1"),
         col("embedding").as("e1"))
@@ -313,6 +313,33 @@ object VectorQueries {
       .orderBy("vec_id")
   }
 
+  /** q118: ANN recall evaluation — recall@K of both approximate search
+    * paths (q31 hyperplane-LSH, q70 probe-2 IVF) against the q30
+    * brute-force ground truth, per query point. "Measure, don't
+    * guess": the approximate indexes' quality is a number the pipeline
+    * watches, not an assertion. Exact integer output (hits, k,
+    * recall in milli-units).
+    *
+    * Scale shape: at evaluation scale the ground truth is computed on
+    * a sampled query batch (the `vec_id % 50` slice all three share);
+    * the joins are on (qid, vec_id) — K·|queries| rows per side, tiny
+    * relative to the corpus, shuffled once per method. */
+  def q118AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val truth = q30KnnBrute(s, dir).select("qid", "vec_id")
+    def recall(approx: DataFrame, method: String): DataFrame =
+      truth.join(approx.select(col("qid"), col("vec_id"))
+          .withColumn("hit", lit(1L)), Seq("qid", "vec_id"), "left")
+        .groupBy("qid")
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("hit"), lit(0L))).as("hits"))
+        .withColumn("method", lit(method))
+    recall(q31KnnLsh(s, dir), "lsh")
+      .unionByName(recall(q70IvfAnn(s, dir), "ivf"))
+      .withColumn("recall_milli", expr("hits * 1000 div k"))
+      .select("method", "qid", "k", "hits", "recall_milli")
+      .orderBy("method", "qid")
+  }
+
   private val SemDupTau = 0.35
   /** Target mean SemDeDup cell size; K = max(8, ceil(n/TargetCell)). */
   private val TargetCell = 64L
@@ -345,6 +372,7 @@ object VectorQueries {
     "q32_label_centroids" -> (q32LabelCentroids _),
     "q70_ivf_ann" -> (q70IvfAnn _),
     "q74_embedding_dups" -> (q74EmbeddingDups _),
+    "q118_ann_recall" -> (q118AnnRecall _),
     "q82_kmeans" -> (q82Kmeans _))
 
   // ---- oracle SQL --------------------------------------------------
@@ -500,7 +528,40 @@ object VectorQueries {
          SELECT v1, v2, cosine FROM scored
          WHERE cosine >= $MinDupCosine ORDER BY v1, v2""",
     "q70_ivf_ann" ->
-      s"""WITH comp AS (SELECT label, i AS pos,
+      s"""WITH $ivfCtes
+         SELECT qid, vec_id, cosine, rnk FROM ranked
+         WHERE rnk <= $K ORDER BY qid, rnk""",
+    "q118_ann_recall" ->
+      s"""WITH truth AS (SELECT qid, vec_id FROM
+           (WITH $bruteCtes SELECT qid, vec_id FROM ranked WHERE rnk <= $K)),
+         lsh AS (SELECT qid, vec_id FROM
+           (WITH $lshCtes SELECT qid, vec_id FROM ranked WHERE rnk <= $K)),
+         ivf AS (SELECT qid, vec_id FROM
+           (WITH $ivfCtes SELECT qid, vec_id FROM ranked WHERE rnk <= $K)),
+         rec AS (
+           SELECT 'lsh' AS method, t.qid,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS hits
+           FROM truth t LEFT JOIN lsh a
+             ON t.qid = a.qid AND t.vec_id = a.vec_id
+           GROUP BY t.qid
+           UNION ALL
+           SELECT 'ivf' AS method, t.qid,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS hits
+           FROM truth t LEFT JOIN ivf a
+             ON t.qid = a.qid AND t.vec_id = a.vec_id
+           GROUP BY t.qid)
+         SELECT method, qid, k, hits, hits * 1000 // k AS recall_milli
+         FROM rec ORDER BY method, qid""")
+
+  /** The q70 IVF search as a reusable CTE chain ending in
+    * `ranked(qid, vec_id, cosine, rnk)` — shared with the q118 recall
+    * evaluation. */
+  private lazy val ivfCtes =
+    s"""comp AS (SELECT label, i AS pos,
            ${r6Sql(s"CAST(sum(CAST(round(CAST(embedding[i+1] AS DOUBLE)*1e6) AS BIGINT)) AS BIGINT)/1e6 / count(*)")} AS c
            FROM embeddings, range(0, $Dim) t(i)
            GROUP BY label, i),
@@ -520,7 +581,5 @@ object VectorQueries {
            FROM probes p JOIN embeddings e ON e.label = p.label
            WHERE e.vec_id <> p.qid),
          ranked AS (SELECT *, row_number() OVER (PARTITION BY qid
-           ORDER BY cosine DESC, vec_id) AS rnk FROM scored)
-         SELECT qid, vec_id, cosine, rnk FROM ranked
-         WHERE rnk <= $K ORDER BY qid, rnk""")
+           ORDER BY cosine DESC, vec_id) AS rnk FROM scored)"""
 }
