@@ -31,11 +31,12 @@ object RecoveryDrill {
 
     // order-independent content hash: the resumed stream's parquet
     // part-file layout and row order differ from the batch run's, so
-    // compare sum(xxhash64(*)) + count, not file bytes
+    // compare bit_xor(xxhash64(*)) + count, not file bytes (xor, not
+    // sum — a sum of 64-bit hashes overflows under ANSI arithmetic)
     def contentHash(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
       val cols = df.columns.sorted.map(col)
       val r = df.select(
-        sum(xxhash64(cols: _*)).as("h"), count(lit(1)).as("n")).head()
+        bit_xor(xxhash64(cols: _*)).as("h"), count(lit(1)).as("n")).head()
       (r.getLong(0), r.getLong(1))
     }
 
