@@ -286,7 +286,62 @@ object NlpQueries {
       .orderBy("doc_id", "rnk", "phrase")
   }
 
+  private val BpeMerges = 4
+
+  /** q119: BPE merge learning — the first [[BpeMerges]] byte-pair-
+    * encoding merges of a tokenizer trained on the corpus (Sennrich et
+    * al. 2016: repeatedly merge the most frequent adjacent symbol
+    * pair, weighted by word frequency). Words are
+    * lowercase-alpha tokens; symbols are marker-wrapped (`<x>`) and
+    * space-joined so a merge is one literal `replace` — both engines'
+    * `replace` substitutes left-to-right non-overlapping, which IS
+    * BPE's greedy-left merge order. Ties break lexicographically.
+    * Output: one row per merge — the pair, its weighted count, and
+    * the corpus symbol total after the merge (the compression curve a
+    * vocab-size decision reads).
+    *
+    * Scale shape: everything runs on the WORD-FREQUENCY table, not
+    * the corpus — one map-side-combinable groupBy builds it, and the
+    * Zipf-bounded vocabulary is what the [[BpeMerges]] bounded driver
+    * iterations (one tiny argmax collect each, the q72 driver-loop
+    * shape) scan. The corpus itself is read once. */
+  def q119BpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vocab = Shared.memoized(s, dir, "bpeVocab")(
+      Tables.documents(s, dir)
+        .select(explode(TextFns.tokens(col("text"))).as("word"))
+        .filter(col("word").rlike("^[a-z]+$"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .withColumn("s", concat_ws(" ",
+          transform(split(col("word"), ""), c => concat(lit("<"), c, lit(">"))))))
+    var seg = vocab.select("freq", "s")
+    val out = Seq.newBuilder[(Long, String, String, Long, Long)]
+    for (r <- 1 to BpeMerges) {
+      val best = seg
+        .withColumn("els", split(col("s"), " "))
+        .filter(size(col("els")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, size(els) - 2), i -> struct(els[i] AS a, els[i + 1] AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()(0)
+      val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+      val merged = "<" + a.substring(1, a.length - 1) +
+        b.substring(1, b.length - 1) + ">"
+      seg = seg.withColumn("s", expr(s"replace(s, '$a $b', '$merged')"))
+      val syms = seg.select(sum(col("freq") * size(split(col("s"), " "))))
+        .head.getLong(0)
+      out += ((r.toLong, a.substring(1, a.length - 1),
+        b.substring(1, b.length - 1), cnt, syms))
+    }
+    out.result()
+      .toDF("merge_rank", "left_sym", "right_sym", "cnt", "syms_after")
+      .orderBy("merge_rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q119_bpe_merges" -> (q119BpeMerges _),
     "q84_formula_entities" -> (q84FormulaEntities _),
     "q85_doi_stitch" -> (q85DoiStitch _),
     "q87_word_spec" -> (q87WordSpec _),
@@ -304,7 +359,50 @@ object NlpQueries {
   private val wordFreqSql =
     wordFreq.map { case (w, f) => s"('$w', $f)" }.mkString(", ")
 
+  /** One unrolled BPE iteration: pair counts over `prev`, the argmax
+    * pair (ties lexicographic), the merged segmentation, and the
+    * post-merge corpus symbol total. Mirrors q119BpeMerges exactly. */
+  private def bpeIterSql(i: Int, prev: String): String =
+    s"""p$i AS (SELECT freq, pr[1] AS a, pr[2] AS b
+         FROM (SELECT freq, unnest(list_zip(els,
+             list_slice(els, 2, len(els)))) AS pr
+           FROM (SELECT freq, string_split(s, ' ') AS els FROM $prev))
+         WHERE pr[2] IS NOT NULL),
+       b$i AS (SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt,
+           '<' || substr(a, 2, len(a) - 2) || substr(b, 2, len(b) - 2)
+             || '>' AS m
+         FROM p$i GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 1),
+       seg$i AS (SELECT freq,
+           replace(s, (SELECT a || ' ' || b FROM b$i),
+             (SELECT m FROM b$i)) AS s
+         FROM $prev),
+       n$i AS (SELECT CAST(sum(freq * len(string_split(s, ' ')))
+           AS BIGINT) AS syms FROM seg$i)"""
+
+  private def bpeRankSql(i: Int): String =
+    s"""SELECT CAST($i AS BIGINT) AS merge_rank,
+        substr(a, 2, len(a) - 2) AS left_sym,
+        substr(b, 2, len(b) - 2) AS right_sym, cnt,
+        (SELECT syms FROM n$i) AS syms_after FROM b$i"""
+
   val oracles: Map[String, String] = Map(
+    "q119_bpe_merges" ->
+      s"""WITH vocab AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+           FROM (SELECT unnest(${TextFns.sqlTokens("text")}) AS word
+             FROM documents)
+           WHERE regexp_full_match(word, '[a-z]+') GROUP BY word),
+         seg0 AS (SELECT freq, array_to_string(
+             list_transform(string_split(word, ''), c -> '<' || c || '>'),
+             ' ') AS s
+           FROM vocab),
+         ${bpeIterSql(1, "seg0")},
+         ${bpeIterSql(2, "seg1")},
+         ${bpeIterSql(3, "seg2")},
+         ${bpeIterSql(4, "seg3")}
+         SELECT * FROM (
+           ${bpeRankSql(1)} UNION ALL ${bpeRankSql(2)} UNION ALL
+           ${bpeRankSql(3)} UNION ALL ${bpeRankSql(4)})
+         ORDER BY merge_rank""",
     "q84_formula_entities" ->
       s"""WITH words AS (SELECT doc_id,
            unnest(string_split_regex(text, '[\\s+|\\n]|–')) AS raw
