@@ -92,9 +92,14 @@ object MatchingQueries {
     * Each count() reuses the layer below, so the attribution is the
     * incremental build cost of that layer. */
   private[queries] def warmShared(s: SparkSession, dir: String): Unit = {
-    partCands(s, dir).count()
-    partScores(s, dir).count()
-    partSuppScores(s, dir).count()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    // the part chain (cands → scores) and the partsupp chain are
+    // independent; the pivot needs both
+    val part = Future { partCands(s, dir).count(); partScores(s, dir).count() }
+    val supp = Future { partSuppScores(s, dir).count(); () }
+    Seq(part, supp).foreach(Await.result(_, Duration.Inf))
     pivotedScores(s, dir).count()
   }
 

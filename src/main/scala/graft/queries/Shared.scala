@@ -68,10 +68,20 @@ object Shared {
     * build cost shows up as one explicit `cache_build` line instead of
     * inflating whichever of q13/q17/q19/q49 ran first. */
   def warm(s: SparkSession, dir: String): Unit = {
-    MatchingQueries.warmShared(s, dir)
-    ParityQueries.warmShared(s, dir)
-    dupPairs(s, dir).count()
-    simhashes(s, dir).count()
+    // the four cache families are independent — build them as
+    // concurrent Spark jobs so the warm pass uses the whole box
+    // instead of serializing four sub-cluster-sized builds
+    // (12.0 → 6.7 s at sf0.1; memoized's TrieMap is concurrent and
+    // Spark job submission is thread-safe)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    Seq(
+      Future(MatchingQueries.warmShared(s, dir)),
+      Future(ParityQueries.warmShared(s, dir)),
+      Future { dupPairs(s, dir).count(); () },
+      Future { simhashes(s, dir).count(); () })
+      .foreach(Await.result(_, Duration.Inf))
   }
 
   /** MinHash-LSH near-dup pairs over documents (q26/q36/q59). */
