@@ -212,7 +212,58 @@ object MiscQueries {
       .orderBy("source")
   }
 
+  /** q121: deterministic PageRank — the iterative link-analysis shape
+    * web-corpus curation uses as a domain-quality signal (crawl
+    * pipelines rank domains by centrality before sampling), run over
+    * the customer↔supplier purchase graph (each distinct
+    * customer–supplier trade is an edge in both directions, so no
+    * dangling nodes). Three unrolled power iterations, damping 0.85,
+    * ALL integer arithmetic: ranks live in 1e-12 units of total mass,
+    * per-edge contributions are `rank div outdeg` — deterministic and
+    * partition-independent, the property float PageRank lacks.
+    *
+    * Scale shape: the edge list is built once and each iteration is
+    * one join on src + one map-side-combinable sum by dst — the edges
+    * frame is persisted so iterations reuse the same partitioning
+    * instead of rebuilding the orders⋈lineitem join three times. At
+    * cluster scale both sides pre-partition by node id and the
+    * per-iteration shuffle carries one row per edge, nothing more. */
+  def q121PageRank(s: SparkSession, dir: String): DataFrame = {
+    val S = 100000000L // supplier-node offset (disjoint from custkeys)
+    val trades = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
+        Seq("o_orderkey"))
+      .select(col("o_custkey").as("c"), (col("l_suppkey") + S).as("p"))
+      .distinct()
+    val edges = Shared.memoized(s, dir, "prEdges")(
+      trades.select(col("c").as("src"), col("p").as("dst"))
+        .unionByName(trades.select(col("p").as("src"), col("c").as("dst"))))
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val n = outdeg.count() // driver scalar (S9 shape): node count
+    val base = 1000000000000L / n * 15L / 100L
+    var ranks = outdeg.select(col("src").as("node"),
+      lit(1000000000000L / n).as("r"))
+    for (_ <- 1 to 3) {
+      val contrib = ranks
+        .join(edges, ranks("node") === edges("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst").as("node"),
+          expr("r div outdeg").as("c"))
+        .groupBy("node").agg(sum("c").as("in_sum"))
+      ranks = contrib.select(col("node"),
+        (lit(base) + expr("in_sum * 85 div 100")).as("r"))
+    }
+    ranks.filter(col("node") >= S)
+      .join(outdeg.withColumnRenamed("src", "node"), Seq("node"))
+      .select((col("node") - S).as("s_suppkey"), col("outdeg"),
+        col("r").as("rank_pico"))
+      .orderBy("s_suppkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q121_pagerank" -> (q121PageRank _),
     "q120_hll_sketch" -> (q120HllSketch _),
     "q58_technique_model" -> (q58TechniqueModel _),
     "q59_level2_hamming" -> (q59Level2Hamming _),
@@ -222,7 +273,38 @@ object MiscQueries {
     "q76_composite_semi_join" -> (q76CompositeSemiJoin _),
     "q80_hash_sample" -> (q80HashSample _))
 
+  /** One unrolled PageRank iteration over `prev(node, r)` — mirrors
+    * q121PageRank's integer update exactly (sum of floor-divided
+    * contributions, then damping in integer percent). */
+  private def prIterSql(i: Int, prev: String): String =
+    s"""it$i AS (SELECT e.dst AS node,
+         (1000000000000 // nn.n * 15 // 100)
+           + CAST(sum(r.r // o.outdeg) AS BIGINT) * 85 // 100 AS r
+       FROM $prev r
+       JOIN edges e ON r.node = e.src
+       JOIN outdeg o ON o.src = e.src
+       CROSS JOIN nn
+       GROUP BY e.dst, nn.n)"""
+
   val oracles: Map[String, String] = Map(
+    "q121_pagerank" ->
+      s"""WITH trades AS (SELECT DISTINCT o_custkey AS c,
+           l_suppkey + 100000000 AS p
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         edges AS (SELECT c AS src, p AS dst FROM trades
+           UNION ALL SELECT p, c FROM trades),
+         outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+           FROM edges GROUP BY src),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM outdeg),
+         r0 AS (SELECT src AS node, 1000000000000 // n AS r
+           FROM outdeg CROSS JOIN nn),
+         ${prIterSql(1, "r0")},
+         ${prIterSql(2, "it1")},
+         ${prIterSql(3, "it2")}
+         SELECT node - 100000000 AS s_suppkey, outdeg,
+           CAST(r AS BIGINT) AS rank_pico
+         FROM it3 JOIN outdeg ON it3.node = outdeg.src
+         WHERE node >= 100000000 ORDER BY s_suppkey""",
     "q120_hll_sketch" ->
       s"""WITH words AS (SELECT DISTINCT source, word FROM
            (SELECT source, unnest(${TextFns.sqlTokens("text")}) AS word
