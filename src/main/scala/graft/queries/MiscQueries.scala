@@ -237,7 +237,10 @@ object MiscQueries {
         Seq("o_orderkey"))
       .select(col("o_custkey").as("c"), (col("l_suppkey") + S).as("p"))
       .distinct()
-    val edges = Shared.memoized(s, dir, "prEdges")(
+    // hash-partitioned by src before caching: every iteration joins on
+    // src, so the cached layout satisfies the join's distribution and
+    // only the tiny rank frame shuffles per iteration
+    val edges = Shared.memoized(s, dir, "prEdges", Seq("src"))(
       trades.select(col("c").as("src"), col("p").as("dst"))
         .unionByName(trades.select(col("p").as("src"), col("c").as("dst"))))
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
