@@ -212,7 +212,44 @@ object DedupQueries {
       .withColumn("id_consistent", col("name_id") === col("c_custkey"))
       .orderBy("c_custkey")
 
+  /** q123: split-leakage report — the eval-integrity check an LLM data
+    * pipeline runs before trusting a held-out set: hash-split the
+    * corpus into train/val (q80's portable md5 sampler, val = buckets
+    * < 0x20, ~12.5%), then count documents whose NEAR-DUPLICATE (q26
+    * LSH pairs) sits on the other side of the split. Exact dedup
+    * before splitting misses these; a val doc that near-duplicates a
+    * train doc inflates eval scores exactly like verbatim
+    * contamination. Output per split: size, cross-split-dup document
+    * count, and leakage in thousandths.
+    *
+    * Scale shape: the pair frame is the shared memoized LSH dup-pair
+    * table (built once per session); the split dim is a pure map-side
+    * md5 column; the report is two keyed joins over the PAIRS (not
+    * the corpus) plus one tiny groupBy. */
+  def q123SplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val split = Tables.documents(s, dir).select(col("doc_id"),
+      when(graft.operators.Sampling.bucket(col("doc_id"), "graft-split:")
+        < "20", "val").otherwise("train").as("split"))
+    val pairs = Shared.dupPairs(s, dir).select("doc1", "doc2")
+    val cross = pairs
+      .join(split.select(col("doc_id").as("doc1"), col("split").as("s1")),
+        Seq("doc1"))
+      .join(split.select(col("doc_id").as("doc2"), col("split").as("s2")),
+        Seq("doc2"))
+      .filter(col("s1") =!= col("s2"))
+    val leaked = cross.select(col("doc1").as("doc_id"), col("s1").as("split"))
+      .unionByName(cross.select(col("doc2").as("doc_id"), col("s2").as("split")))
+      .distinct()
+    split.groupBy("split").agg(count(lit(1)).as("n_docs"))
+      .join(leaked.groupBy("split").agg(count(lit(1)).as("n_leaked")),
+        Seq("split"), "left")
+      .na.fill(0L, Seq("n_leaked"))
+      .withColumn("leak_milli", expr("n_leaked * 1000 div n_docs"))
+      .orderBy("split")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q123_split_leakage" -> (q123SplitLeakage _),
     "q36_connected_components" -> (q36ConnectedComponents _),
     "q37_blocked_dedup" -> (q37BlockedDedup _),
     "q38_name_clean" -> (q38NameClean _),
@@ -237,6 +274,32 @@ object DedupQueries {
          FROM reach GROUP BY a)"""
 
   val oracles: Map[String, String] = Map(
+    "q123_split_leakage" ->
+      s"""WITH ${TextQueries.lshDupPairsCtes},
+         split AS (SELECT doc_id,
+             CASE WHEN substring(md5('graft-split:'
+                 || CAST(doc_id AS VARCHAR)), 1, 2) < '20'
+               THEN 'val' ELSE 'train' END AS split
+           FROM documents),
+         cross_pairs AS (SELECT p.doc1, p.doc2, a.split AS s1,
+             b.split AS s2
+           FROM dup_pairs p
+           JOIN split a ON a.doc_id = p.doc1
+           JOIN split b ON b.doc_id = p.doc2
+           WHERE a.split <> b.split),
+         leaked AS (SELECT DISTINCT doc_id, split FROM (
+           SELECT doc1 AS doc_id, s1 AS split FROM cross_pairs
+           UNION ALL SELECT doc2, s2 FROM cross_pairs)),
+         sizes AS (SELECT split, CAST(count(*) AS BIGINT) AS n_docs
+           FROM split GROUP BY split),
+         lk AS (SELECT split, CAST(count(*) AS BIGINT) AS n_leaked
+           FROM leaked GROUP BY split)
+         SELECT sizes.split, n_docs,
+           CAST(coalesce(n_leaked, 0) AS BIGINT) AS n_leaked,
+           CAST(coalesce(n_leaked, 0) AS BIGINT) * 1000 // n_docs
+             AS leak_milli
+         FROM sizes LEFT JOIN lk ON sizes.split = lk.split
+         ORDER BY sizes.split""",
     "q36_connected_components" ->
       s"""WITH RECURSIVE $componentCtes
          SELECT doc_id, component FROM comp ORDER BY doc_id""",

@@ -265,7 +265,47 @@ object MiscQueries {
       .orderBy("s_suppkey")
   }
 
+  /** q122: Count-Min sketch (Cormode & Muthukrishnan 2005) — the
+    * mergeable heavy-hitter counter: d=4 hash rows × w=256 buckets of
+    * summed token counts, point estimate = min over the 4 rows.
+    * Like q120's HLL the buckets come from deterministic md5 bits, so
+    * both engines build the identical sketch; unlike a exact
+    * frequency table the sketch is 1024 longs regardless of
+    * vocabulary, and shard sketches merge by cell-wise SUM — the
+    * monoid a 100 TB token-frequency monitor actually ships around.
+    * Output: the top-10 true-frequency tokens with exact vs estimated
+    * count and the relative overestimate (CMS never underestimates).
+    *
+    * Scale shape: one map-side-combinable token groupBy (the exact
+    * table doubles as the verification yardstick), a 4× explode of
+    * the Zipf-bounded vocab into cells, and a 1024-row sketch agg. */
+  def q122CmsSketch(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(s, dir)
+      .select(explode(TextFns.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val withB = tf
+      .select(col("token"), col("cnt"),
+        explode(array((0 to 3).map(lit(_)): _*)).as("j"))
+      .withColumn("h", md5(concat(lit("graft-cms:"), col("j"),
+        lit(":"), col("token"))))
+      .withColumn("bucket", expr(
+        """(instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16
+           + instr('0123456789abcdef', substring(h, 2, 1)) - 1"""))
+      .select("token", "cnt", "j", "bucket")
+    val cells = withB.groupBy("j", "bucket").agg(sum("cnt").as("cell"))
+    val top = tf.orderBy(col("cnt").desc, col("token")).limit(10)
+    top.join(withB.select("token", "j", "bucket"), Seq("token"))
+      .join(cells, Seq("j", "bucket"))
+      .groupBy("token", "cnt").agg(min("cell").as("est_cnt"))
+      .withColumn("overest_milli",
+        expr("(est_cnt - cnt) * 1000 div cnt"))
+      .select(col("token"), col("cnt").as("exact_cnt"),
+        col("est_cnt"), col("overest_milli"))
+      .orderBy("token")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q122_cms_sketch" -> (q122CmsSketch _),
     "q121_pagerank" -> (q121PageRank _),
     "q120_hll_sketch" -> (q120HllSketch _),
     "q58_technique_model" -> (q58TechniqueModel _),
@@ -290,6 +330,30 @@ object MiscQueries {
        GROUP BY e.dst, nn.n)"""
 
   val oracles: Map[String, String] = Map(
+    "q122_cms_sketch" ->
+      s"""WITH tf AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM
+           (SELECT unnest(${TextFns.sqlTokens("text")}) AS token
+            FROM documents) GROUP BY token),
+         withb AS (SELECT token, cnt, j,
+             (strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 16
+               + strpos('0123456789abcdef', substring(h, 2, 1)) - 1
+               AS bucket
+           FROM (SELECT token, cnt, j,
+               md5('graft-cms:' || CAST(j AS VARCHAR) || ':' || token) AS h
+             FROM tf, range(0, 4) t(j))),
+         cells AS (SELECT j, bucket, CAST(sum(cnt) AS BIGINT) AS cell
+           FROM withb GROUP BY j, bucket),
+         top AS (SELECT token, cnt FROM tf
+           ORDER BY cnt DESC, token LIMIT 10),
+         est AS (SELECT t.token, t.cnt,
+             CAST(min(c.cell) AS BIGINT) AS est_cnt
+           FROM top t
+           JOIN withb w ON w.token = t.token
+           JOIN cells c ON c.j = w.j AND c.bucket = w.bucket
+           GROUP BY t.token, t.cnt)
+         SELECT token, cnt AS exact_cnt, est_cnt,
+           (est_cnt - cnt) * 1000 // cnt AS overest_milli
+         FROM est ORDER BY token""",
     "q121_pagerank" ->
       s"""WITH trades AS (SELECT DISTINCT o_custkey AS c,
            l_suppkey + 100000000 AS p
