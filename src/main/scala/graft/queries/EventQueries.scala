@@ -123,9 +123,76 @@ object EventQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** q124: ordered conversion funnel (view → click → purchase) — the
+    * product-analytics staple: a user reaches step k only via an event
+    * STRICTLY AFTER their step-(k-1) arrival time, so out-of-order
+    * events (a purchase before any view) never count. Computed as a
+    * chain of per-user conditional first-arrival times: min(view ts),
+    * then min(click ts > that), then min(purchase ts > that) — each
+    * stage one map-side-combinable min-agg plus one user-keyed join,
+    * so at 100 TB the shuffles carry user-cardinality rows, never the
+    * event log, and no per-user event array is ever materialized (the
+    * collect_list spelling would). The closing lag() window runs over
+    * exactly 3 rows. */
+  def q124Funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+    def firstAfter(typ: String, prev: DataFrame, prevCol: String) =
+      ev.filter(col("event_type") === typ)
+        .join(prev, Seq("user_id"))
+        .filter(col("ts") > col(prevCol))
+        .groupBy("user_id").agg(min("ts").as("f" + typ))
+    val fv = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("fview"))
+    val fc = firstAfter("click", fv, "fview")
+    val fp = firstAfter("purchase", fc, "fclick")
+    val steps = fv.select(lit(1).as("step"), lit("view").as("step_name"),
+        col("user_id"))
+      .unionByName(fc.select(lit(2).as("step"), lit("click").as("step_name"),
+        col("user_id")))
+      .unionByName(fp.select(lit(3).as("step"),
+        lit("purchase").as("step_name"), col("user_id")))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("step")
+    steps.groupBy("step", "step_name").agg(count(lit(1)).as("n_users"))
+      .withColumn("prev_users", lag("n_users", 1).over(w))
+      .withColumn("conv_milli",
+        coalesce(expr("n_users * 1000 div prev_users"), lit(1000L)))
+      .drop("prev_users")
+      .orderBy("step")
+  }
+
+  /** q125: daily retention cohorts — users grouped by first-active day,
+    * activity counted per (cohort day, day offset): the curve a growth
+    * dashboard reads. The corpus-side work is one map-side-combinable
+    * distinct over (user, day) — the event log collapses to
+    * user-day granularity BEFORE any join — then the cohort assignment
+    * is a user-keyed min-agg + join, and the report groupBy is over
+    * cohort×offset cells (bounded by the date range squared), not
+    * events. Retention in thousandths keeps the output hash-exact. */
+  def q125Retention(s: SparkSession, dir: String): DataFrame = {
+    val active = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val cohort = active.groupBy("user_id").agg(min("day").as("cohort_day"))
+    val cells = active.join(cohort, Seq("user_id"))
+      .select(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .groupBy("cohort_day", "day_offset").agg(count(lit(1)).as("n_active"))
+    val sizes = cohort.groupBy("cohort_day")
+      .agg(count(lit(1)).as("cohort_size"))
+    cells.join(sizes, Seq("cohort_day"))
+      .withColumn("retention_milli",
+        expr("n_active * 1000 div cohort_size"))
+      .select("cohort_day", "day_offset", "n_active", "cohort_size",
+        "retention_milli")
+      .orderBy("cohort_day", "day_offset")
+  }
+
   val queries: Map[String, Q] = Map(
     "q108_stream_curation" -> (q108StreamCuration _),
     "q112_event_outliers" -> (q112EventOutliers _),
+    "q124_funnel" -> (q124Funnel _),
+    "q125_retention" -> (q125Retention _),
     "q33_event_windows" -> (q33EventWindows _),
     "q34_event_sessions" -> (q34Sessionize _),
     "q35_stream_windows" -> (q35StreamWindows _),
@@ -164,6 +231,45 @@ object EventQueries {
          FROM g GROUP BY user_id, sess_id ORDER BY user_id, sess_id"""
 
   val oracles: Map[String, String] = Map(
+    "q124_funnel" ->
+      s"""WITH $evCte,
+         fv AS (SELECT user_id, min(ts) AS fview FROM ev
+           WHERE event_type = 'view' GROUP BY 1),
+         fc AS (SELECT e.user_id, min(e.ts) AS fclick FROM ev e
+           JOIN fv USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > fv.fview GROUP BY 1),
+         fp AS (SELECT e.user_id, min(e.ts) AS fpurchase FROM ev e
+           JOIN fc USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > fc.fclick GROUP BY 1),
+         steps AS (
+           SELECT 1 AS step, 'view' AS step_name, user_id FROM fv
+           UNION ALL
+           SELECT 2, 'click', user_id FROM fc
+           UNION ALL
+           SELECT 3, 'purchase', user_id FROM fp),
+         agg AS (SELECT step, step_name, CAST(count(*) AS BIGINT) AS n_users
+           FROM steps GROUP BY 1, 2)
+         SELECT step, step_name, n_users,
+           CAST(coalesce(n_users * 1000 // lag(n_users) OVER (ORDER BY step),
+             1000) AS BIGINT) AS conv_milli
+         FROM agg ORDER BY step""",
+    "q125_retention" ->
+      s"""WITH $evCte,
+         a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM ev),
+         c AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY 1),
+         x AS (SELECT c.cohort_day,
+             CAST(date_diff('day', c.cohort_day, a.day) AS INTEGER)
+               AS day_offset
+           FROM a JOIN c USING (user_id)),
+         g AS (SELECT cohort_day, day_offset,
+             CAST(count(*) AS BIGINT) AS n_active
+           FROM x GROUP BY 1, 2),
+         cs AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size
+           FROM c GROUP BY 1)
+         SELECT g.cohort_day, g.day_offset, g.n_active, cs.cohort_size,
+           g.n_active * 1000 // cs.cohort_size AS retention_milli
+         FROM g JOIN cs USING (cohort_day)
+         ORDER BY cohort_day, day_offset""",
     "q112_event_outliers" ->
       s"""WITH $evCte,
          e AS (SELECT event_id, user_id,
