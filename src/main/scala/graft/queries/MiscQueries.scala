@@ -304,7 +304,137 @@ object MiscQueries {
       .orderBy("token")
   }
 
+  /** q126: Bloom-filter runtime join pruning — the small-side runtime
+    * filter a 100 TB engine pushes into the fact-table scan: urgent
+    * orders' keys hash into a 4096-bit Bloom array (k=3, positions =
+    * the first 3 hex digits of md5, so 16³ = 4096 exactly and both
+    * engines index the identical array), the big side drops every row
+    * whose 3 positions aren't all set BEFORE any shuffle, and the
+    * exact semi-join afterwards removes the false positives. Output is
+    * one summary row proving the contract: pass-set ⊇ true-set (no
+    * false negatives, ever), the measured false-positive rate, and a
+    * revenue total over the bloom-then-exact path that equals the
+    * plain semi-join's — the filter changed the plan, not the answer.
+    *
+    * Scale shape: the bit array is built from the DIM side (bounded
+    * collect, ≤4096 distinct positions — the q12 bounded-histogram
+    * precedent) and broadcast as a 4 KB string literal evaluated
+    * map-side in codegen; the fact table is never shuffled to be
+    * pruned. This is the manual spelling of what DPP/runtime filters
+    * do, with deterministic hashes so the oracle can replay it. */
+  def q126BloomPrune(s: SparkSession, dir: String): DataFrame = {
+    def posSql(j: Int, keyCol: String): String =
+      s"""((instr('0123456789abcdef', substring(md5(concat('graft-bloom:$j:',
+           CAST($keyCol AS STRING))), 1, 1)) - 1) * 256
+         + (instr('0123456789abcdef', substring(md5(concat('graft-bloom:$j:',
+           CAST($keyCol AS STRING))), 2, 1)) - 1) * 16
+         + instr('0123456789abcdef', substring(md5(concat('graft-bloom:$j:',
+           CAST($keyCol AS STRING))), 3, 1)) - 1)"""
+    val urgent = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val setBits = urgent
+      .select(explode(array((0 to 2).map(j => expr(posSql(j, "o_orderkey"))): _*))
+        .as("p"))
+      .distinct().collect().map(_.getInt(0)).toSet // bounded: ≤4096
+    val bitmap = (0 until 4096).map(i => if (setBits(i)) '1' else '0').mkString
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"),
+        graft.functions.Exact.cents(col("l_extendedprice") *
+          (lit(1.0) - col("l_discount"))).as("rev_cents"))
+    val tagged = li.withColumn("bloom_pass",
+      (0 to 2).map(j =>
+          expr(s"substring('$bitmap', ${posSql(j, "l_orderkey")} + 1, 1) = '1'"))
+        .reduce(_ && _))
+    val candidates = tagged.filter(col("bloom_pass"))
+    val matched = candidates
+      .join(urgent, candidates("l_orderkey") === urgent("o_orderkey"),
+        "left_semi")
+    matched.agg(
+        count(lit(1)).as("n_matched_rows"),
+        sum("rev_cents").as("urgent_rev_cents"))
+      .crossJoin(broadcast(tagged.agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("bloom_pass").cast("long")).as("n_bloom_pass"))))
+      .crossJoin(broadcast(urgent.agg(
+        count(lit(1)).as("n_urgent_orders"))))
+      .withColumn("false_pos_milli", expr(
+        "(n_bloom_pass - n_matched_rows) * 1000 div greatest(n_matched_rows, 1)"))
+      .select("n_urgent_orders", "n_rows", "n_bloom_pass", "n_matched_rows",
+        "false_pos_milli", "urgent_rev_cents")
+  }
+
+  /** q127: one-pass column profiling — the ANALYZE-style data-quality
+    * report an ingest pipeline runs on every new batch: per column,
+    * row count, null count, and exact distinct cardinality, emitted in
+    * long format (one row per column). A single aggregate computes all
+    * columns in one scan (Spark plans the multi-count-distinct via one
+    * Expand — ncols× the rows map-side, never ncols scans); at 100 TB
+    * the exact count-distincts would swap to approx_count_distinct
+    * (the q120 HLL is the mergeable version), but the SHAPE — one
+    * scan, long-format report — is the production one. */
+  def q127ColumnProfile(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val aggs = count(lit(1)).as("n_rows") +:
+      cols.flatMap(c => Seq(
+        sum(isnull(col(c)).cast("long")).as(s"nulls_$c"),
+        countDistinct(col(c)).as(s"dist_$c")))
+    val one = docs.agg(aggs.head, aggs.tail: _*)
+    one.select(col("n_rows"), explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(s"nulls_$c").as("n_nulls"),
+          col(s"dist_$c").as("n_distinct"))): _*)).as("m"))
+      .select(col("m.col_name"), col("n_rows"), col("m.n_nulls"),
+        col("m.n_distinct"))
+      .orderBy("col_name")
+  }
+
+  /** q128: mergeable quantile sketch — fixed-width histogram
+    * percentiles over order totals, the global-sort-free way a 100 TB
+    * engine answers "p99 of 10¹² values": each shard (here: order
+    * priority) builds a $100-wide bucket histogram map-side, shards
+    * merge by bucket-wise SUM (the same monoid as q120/q122), and the
+    * percentile reads the merged cumulative curve — the estimate is
+    * the bucket's upper edge, so its error is bounded by the bucket
+    * width, never the data size. Output per percentile: target rank,
+    * the estimate, the exact count at/below it (= the cumulative
+    * count, reported so the overshoot is measured, not asserted), and
+    * that overshoot in thousandths. The only non-map-side work is a
+    * window over the BUCKETS (bounded by value range / $100), not the
+    * rows. */
+  def q128QuantileSketch(s: SparkSession, dir: String): DataFrame = {
+    val W = 10000L // bucket width: $100 in cents
+    val cents = Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("shard"),
+        graft.functions.Exact.cents(col("o_totalprice")).as("v"))
+    val shardHists = cents
+      .groupBy(col("shard"), expr(s"v div $W").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val merged = shardHists.groupBy("b").agg(sum("cnt").as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("b")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = merged.withColumn("cum", sum("cnt").over(w))
+      .crossJoin(broadcast(merged.agg(sum("cnt").as("n"))))
+    val pcts = s.range(1).select(explode(
+      array(lit(500), lit(900), lit(990))).as("pct"))
+    pcts.join(cum,
+        col("cum") >= expr("(pct * n + 999) div 1000"))
+      .groupBy("pct", "n")
+      .agg(min(struct(col("b"), col("cum"))).as("sel"))
+      .withColumn("target_rank", expr("(pct * n + 999) div 1000"))
+      .withColumn("est_cents", expr(s"(sel.b + 1) * $W - 1"))
+      .withColumn("n_at_or_below", col("sel.cum"))
+      .withColumn("overshoot_milli", expr("sel.cum * 1000 div n - pct"))
+      .select("pct", "n", "target_rank", "est_cents", "n_at_or_below",
+        "overshoot_milli")
+      .orderBy("pct")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q126_bloom_prune" -> (q126BloomPrune _),
+    "q127_column_profile" -> (q127ColumnProfile _),
+    "q128_quantile_sketch" -> (q128QuantileSketch _),
     "q122_cms_sketch" -> (q122CmsSketch _),
     "q121_pagerank" -> (q121PageRank _),
     "q120_hll_sketch" -> (q120HllSketch _),
@@ -329,7 +459,88 @@ object MiscQueries {
        CROSS JOIN nn
        GROUP BY e.dst, nn.n)"""
 
+  /** DuckDB spelling of the q126 Bloom position for hash row `j` over
+    * key column `k` — first 3 md5 hex digits as a 0..4095 index,
+    * digit-for-digit the Spark expression. */
+  private def bloomPosSql(j: Int, k: String): String =
+    s"""((strpos('0123456789abcdef', substring(md5('graft-bloom:$j:'
+         || CAST($k AS VARCHAR)), 1, 1)) - 1) * 256
+       + (strpos('0123456789abcdef', substring(md5('graft-bloom:$j:'
+         || CAST($k AS VARCHAR)), 2, 1)) - 1) * 16
+       + strpos('0123456789abcdef', substring(md5('graft-bloom:$j:'
+         || CAST($k AS VARCHAR)), 3, 1)) - 1)"""
+
   val oracles: Map[String, String] = Map(
+    "q126_bloom_prune" ->
+      s"""WITH urgent AS (SELECT o_orderkey FROM orders
+           WHERE o_orderpriority = '1-URGENT'),
+         upos AS (SELECT DISTINCT CASE j
+             WHEN 0 THEN ${bloomPosSql(0, "o_orderkey")}
+             WHEN 1 THEN ${bloomPosSql(1, "o_orderkey")}
+             ELSE ${bloomPosSql(2, "o_orderkey")} END AS p
+           FROM urgent, range(0, 3) t(j)),
+         li AS (SELECT l_orderkey,
+             CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+               AS rev_cents
+           FROM lineitem),
+         keys AS (SELECT DISTINCT l_orderkey FROM li),
+         kp AS (SELECT l_orderkey, j, CASE j
+             WHEN 0 THEN ${bloomPosSql(0, "l_orderkey")}
+             WHEN 1 THEN ${bloomPosSql(1, "l_orderkey")}
+             ELSE ${bloomPosSql(2, "l_orderkey")} END AS p
+           FROM keys, range(0, 3) t(j)),
+         kpass AS (SELECT l_orderkey FROM kp
+           WHERE p IN (SELECT p FROM upos)
+           GROUP BY l_orderkey HAVING count(*) = 3),
+         stats AS (SELECT
+             (SELECT CAST(count(*) AS BIGINT) FROM urgent)
+               AS n_urgent_orders,
+             (SELECT CAST(count(*) AS BIGINT) FROM li) AS n_rows,
+             (SELECT CAST(count(*) AS BIGINT) FROM li
+               WHERE l_orderkey IN (SELECT l_orderkey FROM kpass))
+               AS n_bloom_pass,
+             (SELECT CAST(count(*) AS BIGINT) FROM li
+               WHERE l_orderkey IN (SELECT o_orderkey FROM urgent))
+               AS n_matched_rows,
+             (SELECT CAST(sum(rev_cents) AS BIGINT) FROM li
+               WHERE l_orderkey IN (SELECT o_orderkey FROM urgent))
+               AS urgent_rev_cents)
+         SELECT n_urgent_orders, n_rows, n_bloom_pass, n_matched_rows,
+           (n_bloom_pass - n_matched_rows) * 1000
+             // greatest(n_matched_rows, 1) AS false_pos_milli,
+           urgent_rev_cents
+         FROM stats""",
+    "q127_column_profile" -> {
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      cols.map(c =>
+        s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nulls,
+           CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct
+           FROM documents""").mkString("", " UNION ALL ",
+        " ORDER BY col_name")
+    },
+    "q128_quantile_sketch" ->
+      """WITH cents AS (SELECT o_orderpriority AS shard,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+         sh AS (SELECT shard, v // 10000 AS b,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM cents GROUP BY 1, 2),
+         m AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS cnt FROM sh GROUP BY 1),
+         c AS (SELECT b, cnt, CAST(sum(cnt) OVER
+             (ORDER BY b ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM m),
+         nn AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM m),
+         pcts AS (SELECT unnest([500, 900, 990]) AS pct),
+         sel AS (SELECT pct, nn.n, min(c.b) AS est_b
+           FROM pcts, nn, c
+           WHERE c.cum >= (pct * nn.n + 999) // 1000
+           GROUP BY 1, 2)
+         SELECT sel.pct, sel.n, (sel.pct * sel.n + 999) // 1000
+             AS target_rank,
+           (sel.est_b + 1) * 10000 - 1 AS est_cents,
+           c.cum AS n_at_or_below,
+           c.cum * 1000 // sel.n - sel.pct AS overshoot_milli
+         FROM sel JOIN c ON c.b = sel.est_b ORDER BY sel.pct""",
     "q122_cms_sketch" ->
       s"""WITH tf AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM
            (SELECT unnest(${TextFns.sqlTokens("text")}) AS token
