@@ -248,7 +248,39 @@ object DedupQueries {
       .orderBy("split")
   }
 
+  /** q129: triangle counting over the near-dup graph — the cluster-
+    * cohesion signal a dedup pipeline reads before trusting its
+    * components: a component rich in triangles is a genuine clone
+    * cluster; a triangle-free chain of pairwise matches is usually
+    * LSH transitivity noise (A~B~C with A≁C). Every edge is oriented
+    * doc1 < doc2, so each triangle a<b<c is found exactly once by
+    * joining (a,b)⋈(b,c) and semi-joining the closing edge (a,c).
+    * Output: per-document triangle membership count.
+    *
+    * Scale shape: the edge list is the shared memoized LSH dup-pair
+    * frame — already fan-out-bounded by the hot-bucket cap, which is
+    * what keeps the (a,b)⋈(b,c) wedge join from exploding (the
+    * classic refinement, orienting edges low-degree → high-degree,
+    * exists for graphs with unbounded hubs; the dedup graph's hubs
+    * are capped upstream). Both joins are keyed shuffles over EDGES,
+    * never documents. */
+  def q129Triangles(s: SparkSession, dir: String): DataFrame = {
+    val e = Shared.dupPairs(s, dir)
+      .select(col("doc1").as("a"), col("doc2").as("b"))
+    val wedgeRight = e.select(col("a").as("b"), col("b").as("c"))
+    val closing = e.select(col("a").as("a3"), col("b").as("c3"))
+    val tri = e.join(wedgeRight, Seq("b"))
+      .join(closing, col("a") === col("a3") && col("c") === col("c3"),
+        "left_semi")
+    tri.select(col("a").as("doc_id"))
+      .unionByName(tri.select(col("b").as("doc_id")))
+      .unionByName(tri.select(col("c").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q129_triangles" -> (q129Triangles _),
     "q123_split_leakage" -> (q123SplitLeakage _),
     "q36_connected_components" -> (q36ConnectedComponents _),
     "q37_blocked_dedup" -> (q37BlockedDedup _),
@@ -274,6 +306,18 @@ object DedupQueries {
          FROM reach GROUP BY a)"""
 
   val oracles: Map[String, String] = Map(
+    "q129_triangles" ->
+      s"""WITH ${TextQueries.lshDupPairsCtes},
+         e AS (SELECT doc1 AS a, doc2 AS b FROM dup_pairs),
+         tri AS (SELECT e1.a, e1.b, e2.b AS c
+           FROM e e1 JOIN e e2 ON e2.a = e1.b
+           WHERE EXISTS (SELECT 1 FROM e e3
+             WHERE e3.a = e1.a AND e3.b = e2.b)),
+         mem AS (SELECT a AS doc_id FROM tri
+           UNION ALL SELECT b FROM tri
+           UNION ALL SELECT c FROM tri)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+         FROM mem GROUP BY doc_id ORDER BY doc_id""",
     "q123_split_leakage" ->
       s"""WITH ${TextQueries.lshDupPairsCtes},
          split AS (SELECT doc_id,

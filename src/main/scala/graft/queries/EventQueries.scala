@@ -188,11 +188,37 @@ object EventQueries {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** q130: changelog compaction — the CDC latest-wins merge an ingest
+    * store runs to materialize current state from an event log (SCD
+    * type 1): per key, the payload of the newest change plus a change
+    * count. Computed as ONE map-side-combinable `max(struct(ts,
+    * event_id, payload…))` aggregation — the struct compares (ts,
+    * event_id) first, a unique total order, so the payload rides
+    * along for free. No window, no per-key sort, no shuffle of
+    * anything but the partial maxima: at 100 TB this is the shape
+    * that compacts a day of changes into a snapshot in a single pass
+    * (the window-row_number spelling the oracle uses would sort every
+    * key's history). */
+  def q130ChangelogCompact(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        graft.functions.Exact.cents(col("value")).as("v"))
+      .groupBy("user_id")
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+          col("v"))).as("last"),
+        count(lit(1)).as("n_changes"))
+      .select(col("user_id"), col("last.event_id").as("last_event_id"),
+        col("last.event_type").as("last_type"),
+        col("last.v").as("last_value_cents"),
+        col("last.ts").as("last_ts"), col("n_changes"))
+      .orderBy("user_id")
+
   val queries: Map[String, Q] = Map(
     "q108_stream_curation" -> (q108StreamCuration _),
     "q112_event_outliers" -> (q112EventOutliers _),
     "q124_funnel" -> (q124Funnel _),
     "q125_retention" -> (q125Retention _),
+    "q130_changelog_compact" -> (q130ChangelogCompact _),
     "q33_event_windows" -> (q33EventWindows _),
     "q34_event_sessions" -> (q34Sessionize _),
     "q35_stream_windows" -> (q35StreamWindows _),
@@ -231,6 +257,20 @@ object EventQueries {
          FROM g GROUP BY user_id, sess_id ORDER BY user_id, sess_id"""
 
   val oracles: Map[String, String] = Map(
+    "q130_changelog_compact" ->
+      s"""WITH $evCte,
+         r AS (SELECT user_id, ts, event_id, event_type,
+             CAST(round(value*100) AS BIGINT) AS v,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn
+           FROM ev),
+         n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_changes
+           FROM ev GROUP BY 1)
+         SELECT r.user_id, r.event_id AS last_event_id,
+           r.event_type AS last_type, r.v AS last_value_cents,
+           r.ts AS last_ts, n.n_changes
+         FROM r JOIN n USING (user_id) WHERE rn = 1
+         ORDER BY user_id""",
     "q124_funnel" ->
       s"""WITH $evCte,
          fv AS (SELECT user_id, min(ts) AS fview FROM ev

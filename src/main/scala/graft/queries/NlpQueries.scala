@@ -305,28 +305,39 @@ object NlpQueries {
     * Zipf-bounded vocabulary is what the [[BpeMerges]] bounded driver
     * iterations (one tiny argmax collect each, the q72 driver-loop
     * shape) scan. The corpus itself is read once. */
-  def q119BpeMerges(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val vocab = Shared.memoized(s, dir, "bpeVocab")(
+  /** The marker-wrapped word-frequency segmentation table BPE learning
+    * and encoding share (built once per session). */
+  private def bpeVocab(s: SparkSession, dir: String): DataFrame =
+    Shared.memoized(s, dir, "bpeVocab")(
       Tables.documents(s, dir)
         .select(explode(TextFns.tokens(col("text"))).as("word"))
         .filter(col("word").rlike("^[a-z]+$"))
         .groupBy("word").agg(count(lit(1)).as("freq"))
         .withColumn("s", concat_ws(" ",
           transform(split(col("word"), ""), c => concat(lit("<"), c, lit(">"))))))
-    var seg = vocab.select("freq", "s")
+
+  /** Most frequent adjacent symbol pair of `seg` (freq-weighted, ties
+    * lexicographic) — one bounded argmax collect, the q72 driver-loop
+    * shape. */
+  private def bpeBestPair(seg: DataFrame): (String, String, Long) = {
+    val best = seg
+      .withColumn("els", split(col("s"), " "))
+      .filter(size(col("els")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(0, size(els) - 2), i -> struct(els[i] AS a, els[i + 1] AS b))")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum("freq").as("cnt"))
+      .orderBy(col("cnt").desc, col("a"), col("b"))
+      .limit(1).collect()(0)
+    (best.getString(0), best.getString(1), best.getLong(2))
+  }
+
+  def q119BpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    var seg = bpeVocab(s, dir).select("freq", "s")
     val out = Seq.newBuilder[(Long, String, String, Long, Long)]
     for (r <- 1 to BpeMerges) {
-      val best = seg
-        .withColumn("els", split(col("s"), " "))
-        .filter(size(col("els")) >= 2)
-        .select(col("freq"), explode(expr(
-          "transform(sequence(0, size(els) - 2), i -> struct(els[i] AS a, els[i + 1] AS b))")).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum("freq").as("cnt"))
-        .orderBy(col("cnt").desc, col("a"), col("b"))
-        .limit(1).collect()(0)
-      val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+      val (a, b, cnt) = bpeBestPair(seg)
       val merged = "<" + a.substring(1, a.length - 1) +
         b.substring(1, b.length - 1) + ">"
       seg = seg.withColumn("s", expr(s"replace(s, '$a $b', '$merged')"))
@@ -340,8 +351,42 @@ object NlpQueries {
       .orderBy("merge_rank")
   }
 
+  /** q131: BPE encoding — apply the q119-learned merges to the corpus
+    * and report per-document token counts, the number a training
+    * pipeline budgets against. The merges are re-derived on the shared
+    * memoized vocab (4 bounded argmax collects) and then applied to
+    * the VOCAB, never the corpus: the corpus only explodes to words
+    * and joins the broadcast word → symbol-count table — at 100 TB
+    * the expensive replace-loop runs over the Zipf-bounded vocabulary
+    * while the corpus-side work is one map-side explode + broadcast
+    * join + combinable sum. Output per doc: alpha-word count, their
+    * character mass, the BPE token count, and tokens-per-1000-chars
+    * (the compression a vocab-size decision reads). */
+  def q131BpeEncode(s: SparkSession, dir: String): DataFrame = {
+    var seg = bpeVocab(s, dir).select("word", "freq", "s")
+    for (_ <- 1 to BpeMerges) {
+      val (a, b, _) = bpeBestPair(seg)
+      val merged = "<" + a.substring(1, a.length - 1) +
+        b.substring(1, b.length - 1) + ">"
+      seg = seg.withColumn("s", expr(s"replace(s, '$a $b', '$merged')"))
+    }
+    val wtok = seg.select(col("word"),
+      size(split(col("s"), " ")).cast("long").as("n_syms"),
+      length(col("word")).cast("long").as("n_chars_w"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .join(broadcast(wtok), Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_chars_w").as("n_chars"),
+        sum("n_syms").as("n_bpe_tokens"))
+      .withColumn("ratio_milli", expr("n_bpe_tokens * 1000 div n_chars"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q119_bpe_merges" -> (q119BpeMerges _),
+    "q131_bpe_encode" -> (q131BpeEncode _),
     "q84_formula_entities" -> (q84FormulaEntities _),
     "q85_doi_stitch" -> (q85DoiStitch _),
     "q87_word_spec" -> (q87WordSpec _),
@@ -385,7 +430,54 @@ object NlpQueries {
         substr(b, 2, len(b) - 2) AS right_sym, cnt,
         (SELECT syms FROM n$i) AS syms_after FROM b$i"""
 
+  /** One unrolled word-carrying BPE iteration for the q131 oracle —
+    * the same argmax as [[bpeIterSql]] but the segmentation keeps the
+    * `word` key so the final table can join back to the corpus. */
+  private def encIterSql(i: Int, prev: String): String =
+    s"""pe$i AS (SELECT freq, pr[1] AS a, pr[2] AS b
+         FROM (SELECT freq, unnest(list_zip(els,
+             list_slice(els, 2, len(els)))) AS pr
+           FROM (SELECT freq, string_split(s, ' ') AS els FROM $prev))
+         WHERE pr[2] IS NOT NULL),
+       be$i AS (SELECT a, b,
+           '<' || substr(a, 2, len(a) - 2) || substr(b, 2, len(b) - 2)
+             || '>' AS m
+         FROM (SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
+           FROM pe$i GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 1)),
+       segw$i AS (SELECT word, freq,
+           replace(s, (SELECT a || ' ' || b FROM be$i),
+             (SELECT m FROM be$i)) AS s
+         FROM $prev)"""
+
   val oracles: Map[String, String] = Map(
+    "q131_bpe_encode" ->
+      s"""WITH vocab AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+           FROM (SELECT unnest(${TextFns.sqlTokens("text")}) AS word
+             FROM documents)
+           WHERE regexp_full_match(word, '[a-z]+') GROUP BY word),
+         segw0 AS (SELECT word, freq, array_to_string(
+             list_transform(string_split(word, ''), c -> '<' || c || '>'),
+             ' ') AS s
+           FROM vocab),
+         ${encIterSql(1, "segw0")},
+         ${encIterSql(2, "segw1")},
+         ${encIterSql(3, "segw2")},
+         ${encIterSql(4, "segw3")},
+         wtok AS (SELECT word,
+             CAST(len(string_split(s, ' ')) AS BIGINT) AS n_syms,
+             CAST(len(word) AS BIGINT) AS n_chars_w
+           FROM segw4),
+         dw AS (SELECT doc_id, word FROM
+           (SELECT doc_id, unnest(${TextFns.sqlTokens("text")}) AS word
+            FROM documents)
+           WHERE regexp_full_match(word, '[a-z]+')),
+         per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(w.n_chars_w) AS BIGINT) AS n_chars,
+             CAST(sum(w.n_syms) AS BIGINT) AS n_bpe_tokens
+           FROM dw JOIN wtok w USING (word) GROUP BY doc_id)
+         SELECT doc_id, n_words, n_chars, n_bpe_tokens,
+           n_bpe_tokens * 1000 // n_chars AS ratio_milli
+         FROM per ORDER BY doc_id""",
     "q119_bpe_merges" ->
       s"""WITH vocab AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
            FROM (SELECT unnest(${TextFns.sqlTokens("text")}) AS word

@@ -364,9 +364,37 @@ object VectorQueries {
   private[graft] def semDedupK(n: Long): Int =
     math.min(KMax, math.max(8L, (n + TargetCell - 1) / TargetCell)).toInt
 
+  /** q132: hard-negative mining — the contrastive-training data prep
+    * that picks, per anchor vector, the most-similar corpus vectors
+    * with a DIFFERENT label (the negatives that actually teach the
+    * model something; random negatives are trivially easy). Anchor
+    * batch = the q30 query set with its labels, broadcast against the
+    * corpus scan with the label-inequality filter applied BEFORE the
+    * cosine — same plan skeleton as q30's brute top-k, top-2 per
+    * anchor. At 100 TB the corpus side swaps to the q70 IVF probe
+    * (cells are label-agnostic, the filter stays); the broadcast-
+    * anchor shape is unchanged. */
+  def q132HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val anchors = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+        col("label").as("qlabel"))
+    val scored = emb.crossJoin(broadcast(anchors))
+      .filter(col("label") =!= col("qlabel"))
+      .withColumn("cosine", r6(cosine(col("qemb"), col("embedding"))))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc,
+      col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 2)
+      .select(col("qid"), col("qlabel"), col("vec_id"),
+        col("label").as("neg_label"), col("cosine"), col("rnk"))
+      .orderBy("qid", "rnk")
+  }
+
   val queries: Map[String, Q] = Map(
     "q116_incremental_ann" -> (q116IncrementalAnn _),
     "q106_semdedup" -> (q106SemDedup _),
+    "q132_hard_negatives" -> (q132HardNegatives _),
     "q30_knn_brute" -> (q30KnnBrute _),
     "q31_knn_lsh" -> (q31KnnLsh _),
     "q32_label_centroids" -> (q32LabelCentroids _),
@@ -428,6 +456,17 @@ object VectorQueries {
      c$n AS (SELECT cl, list(v ORDER BY i) AS c FROM m$n GROUP BY cl)"""
 
   val oracles: Map[String, String] = Map(
+    "q132_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qemb,
+           label AS qlabel
+           FROM embeddings WHERE vec_id % 50 = 0),
+         scored AS (SELECT qid, qlabel, vec_id, label AS neg_label,
+           ${r6Sql(sqlCosine("qemb", "embedding"))} AS cosine
+           FROM embeddings CROSS JOIN q WHERE label <> qlabel),
+         ranked AS (SELECT *, row_number() OVER (PARTITION BY qid
+           ORDER BY cosine DESC, vec_id) AS rnk FROM scored)
+         SELECT qid, qlabel, vec_id, neg_label, cosine, rnk
+         FROM ranked WHERE rnk <= 2 ORDER BY qid, rnk""",
     "q116_incremental_ann" ->
       s"""WITH q AS (SELECT vec_id, list_transform(embedding,
            x -> CAST(round(CAST(x AS DOUBLE)*1e6) AS BIGINT) + 1000000) AS qe
