@@ -304,48 +304,71 @@ object MiscQueries {
       .orderBy("token")
   }
 
-  /** q126: Bloom-filter runtime join pruning — the small-side runtime
-    * filter a 100 TB engine pushes into the fact-table scan: urgent
-    * orders' keys hash into a 4096-bit Bloom array (k=3, positions =
-    * the first 3 hex digits of md5, so 16³ = 4096 exactly and both
-    * engines index the identical array), the big side drops every row
-    * whose 3 positions aren't all set BEFORE any shuffle, and the
-    * exact semi-join afterwards removes the false positives. Output is
-    * one summary row proving the contract: pass-set ⊇ true-set (no
-    * false negatives, ever), the measured false-positive rate, and a
-    * revenue total over the bloom-then-exact path that equals the
-    * plain semi-join's — the filter changed the plan, not the answer.
+  /** q126: blocked Bloom-filter runtime join pruning — the small-side
+    * runtime filter a 100 TB engine pushes into the fact-table scan,
+    * in the BLOCKED form production filters use (a fixed-size Bloom
+    * array per key-range block) so the false-positive rate stays
+    * constant as data grows: a monolithic m-bit array saturates once
+    * the key count passes ~m/10 (measured here: urgent orders
+    * saturated a single 4096-bit array at sf0.1 — all bits set, zero
+    * pruning), while blocks of 1024 keys hold ~205 urgent keys each
+    * at every scale factor, keeping the per-block load — and the FP
+    * rate (~0.3%) — scale-invariant. Each block's 4096 bits live in
+    * 64 longs; k=3 positions are the first 3 hex digits of md5, so
+    * both engines index the identical array. A fact row passes only
+    * if its block exists (free block-range pruning) and all 3 bits
+    * are set; the exact semi-join afterwards removes the false
+    * positives. Output: one summary row proving the contract —
+    * pass-set ⊇ true-set, the measured FP rate, and a revenue total
+    * over the bloom-then-exact path that a plain semi-join would
+    * also produce (the filter changed the plan, not the answer).
     *
-    * Scale shape: the bit array is built from the DIM side (bounded
-    * collect, ≤4096 distinct positions — the q12 bounded-histogram
-    * precedent) and broadcast as a 4 KB string literal evaluated
-    * map-side in codegen; the fact table is never shuffled to be
-    * pruned. This is the manual spelling of what DPP/runtime filters
+    * Scale shape: the filter is BUILT distributed (per-block
+    * groupBy on the dim side, no driver collect), shipped as a
+    * broadcast of ~4 KB per 1024-key block, and evaluated map-side:
+    * one md5 per hash row hoisted into a named column, then O(1)
+    * integer bit tests — the fact table is never shuffled to be
+    * pruned. Block bitmaps merge by bitwise OR (the same monoid
+    * family as q120/q122), so shard-built filters combine without a
+    * rescan. This is the manual spelling of what DPP/runtime filters
     * do, with deterministic hashes so the oracle can replay it. */
   def q126BloomPrune(s: SparkSession, dir: String): DataFrame = {
-    def posSql(j: Int, keyCol: String): String =
-      s"""((instr('0123456789abcdef', substring(md5(concat('graft-bloom:$j:',
-           CAST($keyCol AS STRING))), 1, 1)) - 1) * 256
-         + (instr('0123456789abcdef', substring(md5(concat('graft-bloom:$j:',
-           CAST($keyCol AS STRING))), 2, 1)) - 1) * 16
-         + instr('0123456789abcdef', substring(md5(concat('graft-bloom:$j:',
-           CAST($keyCol AS STRING))), 3, 1)) - 1)"""
+    val B = 1024L // keys per block; FP stays ~0.3% at every sf
+    def withPositions(df: DataFrame, keyCol: String): DataFrame =
+      (0 to 2).foldLeft(df.withColumn("block", expr(s"$keyCol div $B"))) {
+        (d, j) =>
+          d.withColumn(s"h$j",
+              md5(concat(lit(s"graft-bloom:$j:"), col(keyCol).cast("string"))))
+            .withColumn(s"p$j", expr(
+              s"""(instr('0123456789abcdef', substring(h$j, 1, 1)) - 1) * 256
+                 + (instr('0123456789abcdef', substring(h$j, 2, 1)) - 1) * 16
+                 + instr('0123456789abcdef', substring(h$j, 3, 1)) - 1"""))
+      }
     val urgent = Tables.orders(s, dir)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"))
-    val setBits = urgent
-      .select(explode(array((0 to 2).map(j => expr(posSql(j, "o_orderkey"))): _*))
-        .as("p"))
-      .distinct().collect().map(_.getInt(0)).toSet // bounded: ≤4096
-    val bitmap = (0 until 4096).map(i => if (setBits(i)) '1' else '0').mkString
+    val blocks = withPositions(urgent, "o_orderkey")
+      .select(col("block"),
+        explode(array(col("p0"), col("p1"), col("p2"))).as("p"))
+      .distinct()
+      .groupBy("block").agg(collect_set("p").as("ps"))
+      .withColumn("bits", expr(
+        """transform(sequence(0, 63), w -> aggregate(
+             filter(ps, p -> p div 64 = w), 0L,
+             (a, p) -> a | shiftleft(1L, CAST(p % 64 AS INT))))"""))
+      .select("block", "bits")
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey"),
         graft.functions.Exact.cents(col("l_extendedprice") *
           (lit(1.0) - col("l_discount"))).as("rev_cents"))
-    val tagged = li.withColumn("bloom_pass",
-      (0 to 2).map(j =>
-          expr(s"substring('$bitmap', ${posSql(j, "l_orderkey")} + 1, 1) = '1'"))
-        .reduce(_ && _))
+    def bitSet(p: String) = expr(
+      s"(shiftright(element_at(bits, CAST($p div 64 AS INT) + 1), " +
+        s"CAST($p % 64 AS INT)) & 1) = 1")
+    val tagged = withPositions(li, "l_orderkey")
+      .join(broadcast(blocks), Seq("block"), "left")
+      .withColumn("bloom_pass",
+        coalesce(bitSet("p0") && bitSet("p1") && bitSet("p2"), lit(false)))
+      .select("l_orderkey", "rev_cents", "bloom_pass")
     val candidates = tagged.filter(col("bloom_pass"))
     val matched = candidates
       .join(urgent, candidates("l_orderkey") === urgent("o_orderkey"),
@@ -474,7 +497,7 @@ object MiscQueries {
     "q126_bloom_prune" ->
       s"""WITH urgent AS (SELECT o_orderkey FROM orders
            WHERE o_orderpriority = '1-URGENT'),
-         upos AS (SELECT DISTINCT CASE j
+         upos AS (SELECT DISTINCT o_orderkey // 1024 AS block, CASE j
              WHEN 0 THEN ${bloomPosSql(0, "o_orderkey")}
              WHEN 1 THEN ${bloomPosSql(1, "o_orderkey")}
              ELSE ${bloomPosSql(2, "o_orderkey")} END AS p
@@ -484,13 +507,14 @@ object MiscQueries {
                AS rev_cents
            FROM lineitem),
          keys AS (SELECT DISTINCT l_orderkey FROM li),
-         kp AS (SELECT l_orderkey, j, CASE j
+         kp AS (SELECT l_orderkey, j, l_orderkey // 1024 AS block, CASE j
              WHEN 0 THEN ${bloomPosSql(0, "l_orderkey")}
              WHEN 1 THEN ${bloomPosSql(1, "l_orderkey")}
              ELSE ${bloomPosSql(2, "l_orderkey")} END AS p
            FROM keys, range(0, 3) t(j)),
          kpass AS (SELECT l_orderkey FROM kp
-           WHERE p IN (SELECT p FROM upos)
+           WHERE EXISTS (SELECT 1 FROM upos u
+             WHERE u.block = kp.block AND u.p = kp.p)
            GROUP BY l_orderkey HAVING count(*) = 3),
          stats AS (SELECT
              (SELECT CAST(count(*) AS BIGINT) FROM urgent)
