@@ -194,11 +194,13 @@ object EventQueries {
     * count. Computed as ONE map-side-combinable `max(struct(ts,
     * event_id, payload…))` aggregation — the struct compares (ts,
     * event_id) first, a unique total order, so the payload rides
-    * along for free. No window, no per-key sort, no shuffle of
-    * anything but the partial maxima: at 100 TB this is the shape
-    * that compacts a day of changes into a snapshot in a single pass
-    * (the window-row_number spelling the oracle uses would sort every
-    * key's history). */
+    * along for free. Struct max isn't hash-buffer-able, so Spark
+    * plans it as a partial SortAggregate: each map task sorts its
+    * own partition once (external, spillable), but the shuffle still
+    * carries only per-user partial maxima — at 100 TB that map-side
+    * combine is the difference from the window-row_number spelling
+    * the oracle uses, which must shuffle every key's full history
+    * before sorting it. No window, no join. */
   def q130ChangelogCompact(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),

@@ -124,6 +124,89 @@ class NewQueryPlanSpec extends AnyFunSuite {
       s"q116's frozen-centroid assignment must broadcast:\n$plan")
   }
 
+  test("q126: block bitmaps broadcast; fact side never shuffled to be pruned") {
+    val df = queries.MiscQueries.q126BloomPrune(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"q126 must not plan a non-broadcast cartesian:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q126's block-bitmap and semi joins must broadcast:\n$plan")
+    // the lineitem side must reach the bloom test and the semi join
+    // without a shuffle: a sort-merge join would exchange the fact
+    // table just to attach a 4 KB-per-block filter
+    assert(!plan.contains("SortMergeJoin"),
+      s"q126 must not shuffle the fact side:\n$plan")
+  }
+
+  test("q127: one scan, multi-distinct via Expand") {
+    val df = queries.MiscQueries.q127ColumnProfile(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"),
+      s"q127's multi-count-distinct must plan one Expand, not N scans:\n$plan")
+    // AQE's toString prints the final AND initial plans — count scans
+    // in the final section only
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(finalPlan).size === 1,
+      s"q127 must read the table exactly once:\n$plan")
+  }
+
+  test("q128: histogram merge is a hash agg; no corpus-sized cartesian") {
+    val df = queries.MiscQueries.q128QuantileSketch(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"q128 must not plan a non-broadcast cartesian:\n$plan")
+    assert(plan.contains("HashAggregate"),
+      s"q128's shard histograms must be partial hash aggregates:\n$plan")
+  }
+
+  test("q129: wedge and closing joins are equi joins") {
+    val df = queries.DedupQueries.q129Triangles(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q129's triangle joins must stay equi joins on edge keys:\n$plan")
+  }
+
+  test("q130: latest-wins is one combinable agg — no window, no join") {
+    val df = queries.EventQueries.q130ChangelogCompact(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"q130 must not shuffle full history through a window:\n$plan")
+    // struct max isn't hash-buffer-able, so Spark plans a
+    // SortAggregate — the contract that matters at scale is the
+    // map-side combine: a partial_max BEFORE the exchange, so the
+    // shuffle carries per-user partials, never the event log
+    assert(plan.contains("partial_max(struct"),
+      s"q130's max(struct) must combine map-side:\n$plan")
+    assert(!plan.contains("Join"),
+      s"q130 must not join at all:\n$plan")
+  }
+
+  test("q131: symbol-count table broadcasts; corpus not shuffled for it") {
+    val df = queries.NlpQueries.q131BpeEncode(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q131's word → n_syms table must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"q131 must not shuffle the corpus to attach the vocab:\n$plan")
+  }
+
+  test("q132: anchors broadcast against the corpus scan") {
+    val df = queries.VectorQueries.q132HardNegatives(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"q132 must not plan a non-broadcast cartesian:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"q132's anchor batch must broadcast:\n$plan")
+  }
+
   test("q108: the streaming verdict plan has no shuffle at all") {
     // batch-side check of the same verdict expression tree the stream
     // runs: stateless map-side columns only — any exchange before the
