@@ -215,7 +215,70 @@ object EventQueries {
         col("last.ts").as("last_ts"), col("n_changes"))
       .orderBy("user_id")
 
+  /** q133: linear multi-touch attribution — each purchase's value
+    * split equally across the user's views in the preceding 30
+    * minutes, the marketing-analytics companion to q79's last-touch
+    * as-of join. The split is exact integer arithmetic: every view
+    * gets `cents div n`, and the remainder goes to the EARLIEST view
+    * (deterministic tie), so credits sum back to the purchase exactly
+    * — the invariant a revenue report must keep. One user-keyed
+    * interval join (the q77 stream-stream shape in batch) + one
+    * window over each purchase's touch list (bounded by the 30-minute
+    * horizon, not the user's history). */
+  def q133Attribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"),
+        col("event_id").as("purchase_id"),
+        graft.functions.Exact.cents(col("value")).as("cents"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("vts"),
+        col("event_id").as("view_id"))
+    val pairs = purchases.join(views, Seq("user_id"))
+      .filter(col("vts") < col("pts") &&
+        col("vts") >= col("pts") - expr("INTERVAL 30 MINUTES"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("purchase_id")
+    val wo = w.orderBy(col("vts"), col("view_id"))
+    pairs
+      .withColumn("n_touches", count(lit(1)).over(w))
+      .withColumn("touch_rank", row_number().over(wo))
+      .withColumn("credit_cents",
+        expr("cents div n_touches") +
+          when(col("touch_rank") === 1, expr("cents % n_touches"))
+            .otherwise(lit(0L)))
+      .select(col("user_id"), col("purchase_id"), col("view_id"),
+        col("touch_rank"), col("n_touches"), col("credit_cents"))
+      .orderBy("user_id", "purchase_id", "touch_rank")
+  }
+
+  /** q135: event-type transition matrix — per-user journeys collapsed
+    * to (state → next state) bigram counts with transition
+    * probabilities in thousandths: the Markov-chain view of user
+    * behavior a journey-analytics dashboard reads. One window lead
+    * per user (user-keyed shuffle of the log, the same distribution
+    * q34's sessionizer uses), then the matrix is a 25-cell groupBy
+    * with map-side combine; probabilities are integer milli so the
+    * distributed sum hashes exactly. */
+  def q135Transitions(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val bi = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("src"))
+      .withColumn("dst", lead("src", 1).over(w))
+      .filter(col("dst").isNotNull)
+    val cells = bi.groupBy("src", "dst").agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy("src").agg(sum("n").as("n_src"))
+    cells.join(totals, Seq("src"))
+      .withColumn("prob_milli", expr("n * 1000 div n_src"))
+      .select("src", "dst", "n", "n_src", "prob_milli")
+      .orderBy("src", "dst")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q133_attribution" -> (q133Attribution _),
+    "q135_transitions" -> (q135Transitions _),
     "q108_stream_curation" -> (q108StreamCuration _),
     "q112_event_outliers" -> (q112EventOutliers _),
     "q124_funnel" -> (q124Funnel _),
@@ -259,6 +322,43 @@ object EventQueries {
          FROM g GROUP BY user_id, sess_id ORDER BY user_id, sess_id"""
 
   val oracles: Map[String, String] = Map(
+    "q133_attribution" ->
+      s"""WITH $evCte,
+         p AS (SELECT user_id, ts AS pts, event_id AS purchase_id,
+             CAST(round(value*100) AS BIGINT) AS cents
+           FROM ev WHERE event_type = 'purchase'),
+         v AS (SELECT user_id, ts AS vts, event_id AS view_id
+           FROM ev WHERE event_type = 'view'),
+         pairs AS (SELECT p.user_id, p.purchase_id, p.cents,
+             v.view_id, v.vts
+           FROM p JOIN v USING (user_id)
+           WHERE v.vts < p.pts
+             AND v.vts >= p.pts - INTERVAL 30 MINUTE),
+         ranked AS (SELECT *,
+             CAST(count(*) OVER (PARTITION BY purchase_id) AS BIGINT)
+               AS n_touches,
+             CAST(row_number() OVER (PARTITION BY purchase_id
+               ORDER BY vts, view_id) AS INTEGER) AS touch_rank
+           FROM pairs)
+         SELECT user_id, purchase_id, view_id, touch_rank, n_touches,
+           cents // n_touches + CASE WHEN touch_rank = 1
+             THEN cents % n_touches ELSE 0 END AS credit_cents
+         FROM ranked
+         ORDER BY user_id, purchase_id, touch_rank""",
+    "q135_transitions" ->
+      s"""WITH $evCte,
+         bi AS (SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS dst
+           FROM ev),
+         cells AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+           FROM bi WHERE dst IS NOT NULL GROUP BY 1, 2),
+         totals AS (SELECT src, CAST(sum(n) AS BIGINT) AS n_src
+           FROM cells GROUP BY 1)
+         SELECT c.src, c.dst, c.n, t.n_src,
+           c.n * 1000 // t.n_src AS prob_milli
+         FROM cells c JOIN totals t USING (src)
+         ORDER BY src, dst""",
     "q130_changelog_compact" ->
       s"""WITH $evCte,
          r AS (SELECT user_id, ts, event_id, event_type,

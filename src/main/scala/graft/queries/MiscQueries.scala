@@ -454,7 +454,34 @@ object MiscQueries {
       .orderBy("pct")
   }
 
+  /** q134: trailing 7-day rolling revenue — the RANGE-frame window
+    * (`rangeBetween(-6, 0)` over a day number) that a daily-metrics
+    * dashboard reads; unlike a ROWS frame it is correct across gaps
+    * (a missing day still ages out of the trailing week). The corpus
+    * collapses to one row per day FIRST (map-side-combinable
+    * groupBy), so the global window runs over the bounded date
+    * dimension, never the orders — the only single-partition stage
+    * is proportional to days, the same discipline as q128's
+    * bucket-window. */
+  def q134RollingRevenue(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .select(to_date(col("o_orderdate")).as("day"),
+        graft.functions.Exact.cents(col("o_totalprice")).as("cents"))
+      .groupBy("day").agg(sum("cents").as("day_cents"),
+        count(lit(1)).as("n_orders"))
+      .withColumn("dnum",
+        datediff(col("day"), lit("1990-01-01").cast("date")))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("dnum").rangeBetween(-6, 0)
+    daily.withColumn("rolling7_cents", sum("day_cents").over(w))
+      .withColumn("rolling7_orders", sum("n_orders").over(w))
+      .select("day", "day_cents", "n_orders", "rolling7_cents",
+        "rolling7_orders")
+      .orderBy("day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q134_rolling_revenue" -> (q134RollingRevenue _),
     "q126_bloom_prune" -> (q126BloomPrune _),
     "q127_column_profile" -> (q127ColumnProfile _),
     "q128_quantile_sketch" -> (q128QuantileSketch _),
@@ -494,6 +521,22 @@ object MiscQueries {
          || CAST($k AS VARCHAR)), 3, 1)) - 1)"""
 
   val oracles: Map[String, String] = Map(
+    "q134_rolling_revenue" ->
+      """WITH o AS (SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+         d AS (SELECT day, CAST(sum(cents) AS BIGINT) AS day_cents,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             date_diff('day', DATE '1990-01-01', day) AS dnum
+           FROM o GROUP BY day)
+         SELECT day, day_cents, n_orders,
+           CAST(sum(day_cents) OVER (ORDER BY dnum
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS rolling7_cents,
+           CAST(sum(n_orders) OVER (ORDER BY dnum
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS rolling7_orders
+         FROM d ORDER BY day""",
     "q126_bloom_prune" ->
       s"""WITH urgent AS (SELECT o_orderkey FROM orders
            WHERE o_orderpriority = '1-URGENT'),
