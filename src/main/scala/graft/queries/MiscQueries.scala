@@ -480,7 +480,43 @@ object MiscQueries {
       .orderBy("day")
   }
 
+  /** q137: per-group OLS regression — price-vs-quantity slope and
+    * intercept per brand from the closed-form normal equations,
+    * computed ENTIRELY from five combinable integer moments (n, Σx,
+    * Σy, Σxy, Σx²): aggregate-only ML, the shape that fits a million
+    * segment models in one groupBy at 100 TB (no per-group solver, no
+    * iteration — the same exact-integer-moments discipline as q18/
+    * q112). The numerator/denominator products are evaluated in
+    * DECIMAL(38,0) — n·Σxy overflows a long at sf1 — and the final
+    * slope/intercept are r6-rounded doubles of those exact integers,
+    * so both engines divide identical numbers. */
+  def q137GroupedOls(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"),
+        col("l_quantity").cast("long").as("x"),
+        graft.functions.Exact.cents(col("l_extendedprice")).as("y"))
+    li.groupBy("brand")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("num", expr(
+        "CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+      .withColumn("den", expr(
+        "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+      .withColumn("slope_cents_r6", graft.functions.Exact.r6(
+        expr("CAST(num AS DOUBLE) / CAST(den AS DOUBLE)")))
+      .withColumn("icept_cents_r6", graft.functions.Exact.r6(expr(
+        """CAST(CAST(sy AS DECIMAL(38,0)) * den - num * sx AS DOUBLE)
+           / CAST(CAST(n AS DECIMAL(38,0)) * den AS DOUBLE)""")))
+      .select("brand", "n", "sx", "sy", "slope_cents_r6", "icept_cents_r6")
+      .orderBy("brand")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q137_grouped_ols" -> (q137GroupedOls _),
     "q134_rolling_revenue" -> (q134RollingRevenue _),
     "q126_bloom_prune" -> (q126BloomPrune _),
     "q127_column_profile" -> (q127ColumnProfile _),
@@ -521,6 +557,27 @@ object MiscQueries {
          || CAST($k AS VARCHAR)), 3, 1)) - 1)"""
 
   val oracles: Map[String, String] = Map(
+    "q137_grouped_ols" ->
+      """WITH li AS (SELECT p.p_brand AS brand,
+           CAST(l_quantity AS BIGINT) AS x,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+         m AS (SELECT brand, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+           FROM li GROUP BY brand),
+         d AS (SELECT *,
+             CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+             CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den
+           FROM m)
+         SELECT brand, n, sx, sy,
+           CAST(round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1e6)
+             AS BIGINT) / 1e6 AS slope_cents_r6,
+           CAST(round(CAST(CAST(sy AS HUGEINT) * den - num * sx AS DOUBLE)
+             / CAST(CAST(n AS HUGEINT) * den AS DOUBLE) * 1e6)
+             AS BIGINT) / 1e6 AS icept_cents_r6
+         FROM d ORDER BY brand""",
     "q134_rolling_revenue" ->
       """WITH o AS (SELECT CAST(o_orderdate AS DATE) AS day,
            CAST(round(o_totalprice * 100) AS BIGINT) AS cents

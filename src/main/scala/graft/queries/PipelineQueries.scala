@@ -539,7 +539,44 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** q136: distribution-drift report (PSI) — the batch-over-batch
+    * monitor a production ingest runs before accepting new data: the
+    * corpus hash-splits into a reference and a current batch (q80's
+    * portable md5 sampler), both are histogrammed over fixed-width
+    * document-length buckets, and each bucket contributes a
+    * population-stability-index term (p_cur − p_ref)·ln(p_cur/p_ref)
+    * with +1 Laplace smoothing so an empty side stays finite. PSI
+    * > 0.2 is the conventional "investigate" line. The ln inputs are
+    * ratios of exact integer counts, so both engines feed identical
+    * doubles; terms are micro-quantized (the q120 ln precedent).
+    *
+    * Scale shape: ONE corpus scan — bucket and split are pure
+    * map-side columns, the histogram is a single combinable groupBy
+    * over ≤13×2 cells, totals broadcast back. Nothing else moves. */
+  def q136DriftPsi(s: SparkSession, dir: String): DataFrame = {
+    val NB = 13 // fixed-width n_chars buckets: div 50, capped at 12
+    val cells = Tables.documents(s, dir)
+      .select(expr("CAST(least(n_chars div 50, 12) AS INT)").as("bucket"),
+        when(graft.operators.Sampling.bucket(col("doc_id"), "graft-drift:")
+          < "80", lit("ref")).otherwise(lit("cur")).as("side"))
+      .groupBy("bucket")
+      .agg(sum(when(col("side") === "ref", 1L).otherwise(0L)).as("ref_n"),
+        sum(when(col("side") === "cur", 1L).otherwise(0L)).as("cur_n"))
+    val tot = cells.agg(sum("ref_n").as("ref_tot"), sum("cur_n").as("cur_tot"))
+    cells.crossJoin(broadcast(tot))
+      .withColumn("p_ref",
+        (col("ref_n") + 1) / (col("ref_tot") + lit(NB)))
+      .withColumn("p_cur",
+        (col("cur_n") + 1) / (col("cur_tot") + lit(NB)))
+      .withColumn("psi_micro",
+        round((col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref"))
+          * 1e6).cast("long"))
+      .select("bucket", "ref_n", "cur_n", "psi_micro")
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q136_drift_psi" -> (q136DriftPsi _),
     "q102_pii_redaction" -> (q102PiiRedaction _),
     "q103_repetition" -> (q103Repetition _),
     "q104_dup_spans" -> (q104DupSpans _),
@@ -591,6 +628,28 @@ object PipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q136_drift_psi" ->
+      """WITH cells AS (SELECT
+           CAST(least(n_chars // 50, 12) AS INTEGER) AS bucket,
+           CASE WHEN substring(md5('graft-drift:'
+               || CAST(doc_id AS VARCHAR)), 1, 2) < '80'
+             THEN 'ref' ELSE 'cur' END AS side
+           FROM documents),
+         h AS (SELECT bucket,
+             CAST(sum(CASE WHEN side = 'ref' THEN 1 ELSE 0 END) AS BIGINT)
+               AS ref_n,
+             CAST(sum(CASE WHEN side = 'cur' THEN 1 ELSE 0 END) AS BIGINT)
+               AS cur_n
+           FROM cells GROUP BY bucket),
+         t AS (SELECT CAST(sum(ref_n) AS BIGINT) AS ref_tot,
+             CAST(sum(cur_n) AS BIGINT) AS cur_tot FROM h)
+         SELECT bucket, ref_n, cur_n,
+           CAST(round((((cur_n + 1) / (cur_tot + 13.0))
+               - ((ref_n + 1) / (ref_tot + 13.0)))
+             * ln(((cur_n + 1) / (cur_tot + 13.0))
+               / ((ref_n + 1) / (ref_tot + 13.0))) * 1e6) AS BIGINT)
+             AS psi_micro
+         FROM h, t ORDER BY bucket""",
     "q102_pii_redaction" ->
       s"""WITH full0 AS (SELECT doc_id,
            substr(text, 1, 80)

@@ -350,7 +350,53 @@ object SourceQueries {
       .orderBy("o_year", "o_orderstatus")
   }
 
+  /** q138: Z-order layout audit — the multi-dimensional clustering
+    * math behind Delta/Iceberg OPTIMIZE ZORDER, as a measurable
+    * query: orders map to a 64-cell Z-curve over (order date octile,
+    * total-price octile) with bit interleaving done in plain integer
+    * arithmetic, each cell reporting the min/max per-dimension stats
+    * a file footer would carry, plus — for a concrete box query
+    * (year-1997 AND ≥ $50 k) — whether the cell's stats overlap the
+    * box and how many rows inside it actually match. The pruning
+    * claim becomes a number: non-overlapping cells are skipped
+    * entirely, and because the Z-curve keeps both dimensions local,
+    * the overlap set stays near the box's true volume where a
+    * single-column sort would leave every file overlapping on the
+    * second dimension.
+    *
+    * Scale shape: the cell id is a pure map-side expression; the
+    * audit is ONE combinable groupBy over 64 cells. The write path
+    * this audits is `repartitionByRange(col("z"))` + sortWithinPartitions
+    * — no shuffle beyond the range partitioner that any clustered
+    * write pays. */
+  def q138ZorderLayout(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(
+        datediff(to_date(col("o_orderdate")),
+          lit("1995-01-01").cast("date")).cast("long").as("dnum"),
+        graft.functions.Exact.cents(col("o_totalprice")).as("cents"))
+      .withColumn("da", expr("CAST(least(greatest(dnum, 0) div 301, 7) AS INT)"))
+      .withColumn("pb", expr("CAST(least(cents div 1320000, 7) AS INT)"))
+      .withColumn("z", expr(
+        """(da div 4) * 32 + (pb div 4) * 16 + ((da div 2) % 2) * 8
+           + ((pb div 2) % 2) * 4 + (da % 2) * 2 + (pb % 2)"""))
+    // box query: order date in 1997, total ≥ $50k
+    val boxed = o.withColumn("in_box", expr(
+      "dnum >= 730 AND dnum <= 1094 AND cents >= 5000000"))
+    boxed.groupBy("z")
+      .agg(count(lit(1)).as("n_rows"),
+        min("dnum").as("min_dnum"), max("dnum").as("max_dnum"),
+        min("cents").as("min_cents"), max("cents").as("max_cents"),
+        sum(col("in_box").cast("long")).as("n_match"))
+      .withColumn("overlaps_box", expr(
+        "max_dnum >= 730 AND min_dnum <= 1094 AND max_cents >= 5000000"))
+      .select("z", "n_rows", "min_dnum", "max_dnum", "min_cents",
+        "max_cents", "overlaps_box", "n_match")
+      .orderBy("z")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q138_zorder_layout" -> (q138ZorderLayout _),
     "q100_jdbc_source" -> (q100JdbcSource _),
     "q101_store_append" -> (q101StoreAppend _),
     "q98_compacted_store" -> (q98CompactedStore _),
@@ -362,6 +408,31 @@ object SourceQueries {
     "q65_partitioned_sink" -> (q65PartitionedSink _))
 
   val oracles: Map[String, String] = Map(
+    "q138_zorder_layout" ->
+      """WITH o AS (SELECT
+           date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+             AS dnum,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+         b AS (SELECT dnum, cents,
+             CAST(least(greatest(dnum, 0) // 301, 7) AS INTEGER) AS da,
+             CAST(least(cents // 1320000, 7) AS INTEGER) AS pb
+           FROM o),
+         zc AS (SELECT dnum, cents,
+             (da // 4) * 32 + (pb // 4) * 16 + ((da // 2) % 2) * 8
+               + ((pb // 2) % 2) * 4 + (da % 2) * 2 + (pb % 2) AS z,
+             CASE WHEN dnum >= 730 AND dnum <= 1094
+               AND cents >= 5000000 THEN 1 ELSE 0 END AS in_box
+           FROM b)
+         SELECT z, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(dnum) AS BIGINT) AS min_dnum,
+           CAST(max(dnum) AS BIGINT) AS max_dnum,
+           CAST(min(cents) AS BIGINT) AS min_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents,
+           max(dnum) >= 730 AND min(dnum) <= 1094
+             AND max(cents) >= 5000000 AS overlaps_box,
+           CAST(sum(in_box) AS BIGINT) AS n_match
+         FROM zc GROUP BY z ORDER BY z""",
     "q100_jdbc_source" ->
       """SELECT year(o_orderdate) AS o_year, o_orderstatus,
          count(*) AS n_orders,
