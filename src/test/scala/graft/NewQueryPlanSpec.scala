@@ -207,6 +207,62 @@ class NewQueryPlanSpec extends AnyFunSuite {
       s"q132's anchor batch must broadcast:\n$plan")
   }
 
+  test("q133: interval join stays an equi join on user; no cartesian") {
+    val df = queries.EventQueries.q133Attribution(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"q133's view-purchase pairing must join on user_id:\n$plan")
+  }
+
+  test("q134: the range window runs over the day dimension, post-agg") {
+    val df = queries.MiscQueries.q134RollingRevenue(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the orders scan must aggregate to days BEFORE the window: a
+    // Window directly over the scan would single-partition the corpus
+    assert(plan.contains("Window") && plan.contains("HashAggregate"),
+      s"q134 must aggregate to days then window:\n$plan")
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    assert(finalPlan.indexOf("Window") <
+      finalPlan.lastIndexOf("HashAggregate"),
+      s"q134's window must sit above the daily aggregate:\n$plan")
+  }
+
+  test("q136: one corpus scan; totals broadcast back") {
+    val df = queries.PipelineQueries.q136DriftPsi(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(finalPlan).size === 1,
+      s"q136 must read the corpus exactly once:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"q136's totals must come back via broadcast:\n$plan")
+  }
+
+  test("q137: brand dim broadcasts; moments are one combinable agg") {
+    val df = queries.MiscQueries.q137GroupedOls(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q137's part dim must broadcast:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"q137's moments must combine map-side:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"q137 must not shuffle lineitem for the dim:\n$plan")
+  }
+
+  test("q138: cell id is map-side; one combinable groupBy, no join") {
+    val df = queries.SourceQueries.q138ZorderLayout(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"q138 must not join at all:\n$plan")
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(finalPlan).size === 1,
+      s"q138 must read orders exactly once:\n$plan")
+  }
+
   test("q108: the streaming verdict plan has no shuffle at all") {
     // batch-side check of the same verdict expression tree the stream
     // runs: stateless map-side columns only — any exchange before the
