@@ -276,7 +276,48 @@ object EventQueries {
       .orderBy("src", "dst")
   }
 
+  /** q139: A/B experiment readout — users hash-assigned to arms (the
+    * q80 portable md5 sampler, so assignment is reproducible and
+    * consistent across every event a user emits), then per event
+    * type: arm sizes, mean values, and the Welch z statistic with a
+    * |z| > 1.96 significance flag — the experimentation table a
+    * product team reads. All moments (n, Σv, Σv²) are exact integer
+    * cents accumulated in ONE combinable groupBy over a single scan
+    * (sum-of-CASE per arm, the q136 two-sided histogram shape); the
+    * z-score is computed from those exact integers with an identical
+    * double formula in both engines and r6-quantized. At 100 TB:
+    * one map-side pass, a 5-row shuffle. */
+  def q139AbTest(s: SparkSession, dir: String): DataFrame = {
+    val zSql =
+      """(sa / na - sb / nb) / sqrt(
+           (na * ssa - sa * sa) / (na * (na - 1.0)) / na
+         + (nb * ssb - sb * sb) / (nb * (nb - 1.0)) / nb)"""
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"),
+        graft.functions.Exact.cents(col("value")).as("v"),
+        when(graft.operators.Sampling.bucket(col("user_id"), "graft-ab:")
+          < "80", lit("a")).otherwise(lit("b")).as("arm"))
+    ev.groupBy("event_type")
+      .agg(
+        sum(when(col("arm") === "a", 1L).otherwise(0L)).as("na"),
+        sum(when(col("arm") === "a", col("v")).otherwise(0L)).as("sa"),
+        sum(when(col("arm") === "a", col("v") * col("v")).otherwise(0L))
+          .as("ssa"),
+        sum(when(col("arm") === "b", 1L).otherwise(0L)).as("nb"),
+        sum(when(col("arm") === "b", col("v")).otherwise(0L)).as("sb"),
+        sum(when(col("arm") === "b", col("v") * col("v")).otherwise(0L))
+          .as("ssb"))
+      .withColumn("mean_a_r6", graft.functions.Exact.r6(expr("sa / na")))
+      .withColumn("mean_b_r6", graft.functions.Exact.r6(expr("sb / nb")))
+      .withColumn("z_r6", graft.functions.Exact.r6(expr(zSql)))
+      .withColumn("significant", expr("abs(z_r6) > 1.96"))
+      .select("event_type", "na", "nb", "mean_a_r6", "mean_b_r6",
+        "z_r6", "significant")
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q139_ab_test" -> (q139AbTest _),
     "q133_attribution" -> (q133Attribution _),
     "q135_transitions" -> (q135Transitions _),
     "q108_stream_curation" -> (q108StreamCuration _),
@@ -322,6 +363,38 @@ object EventQueries {
          FROM g GROUP BY user_id, sess_id ORDER BY user_id, sess_id"""
 
   val oracles: Map[String, String] = Map(
+    "q139_ab_test" ->
+      s"""WITH $evCte,
+         e AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS v,
+             CASE WHEN substring(md5('graft-ab:'
+                 || CAST(user_id AS VARCHAR)), 1, 2) < '80'
+               THEN 'a' ELSE 'b' END AS arm
+           FROM ev),
+         m AS (SELECT event_type,
+             CAST(sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+               AS na,
+             CAST(sum(CASE WHEN arm = 'a' THEN v ELSE 0 END) AS BIGINT)
+               AS sa,
+             CAST(sum(CASE WHEN arm = 'a' THEN v*v ELSE 0 END) AS BIGINT)
+               AS ssa,
+             CAST(sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+               AS nb,
+             CAST(sum(CASE WHEN arm = 'b' THEN v ELSE 0 END) AS BIGINT)
+               AS sb,
+             CAST(sum(CASE WHEN arm = 'b' THEN v*v ELSE 0 END) AS BIGINT)
+               AS ssb
+           FROM e GROUP BY 1),
+         r AS (SELECT event_type, na, nb,
+             CAST(round(sa / na * 1e6) AS BIGINT) / 1e6 AS mean_a_r6,
+             CAST(round(sb / nb * 1e6) AS BIGINT) / 1e6 AS mean_b_r6,
+             CAST(round(((sa / na - sb / nb) / sqrt(
+                 (na * ssa - sa * sa) / (na * (na - 1.0)) / na
+               + (nb * ssb - sb * sb) / (nb * (nb - 1.0)) / nb)) * 1e6)
+               AS BIGINT) / 1e6 AS z_r6
+           FROM m)
+         SELECT event_type, na, nb, mean_a_r6, mean_b_r6, z_r6,
+           abs(z_r6) > 1.96 AS significant
+         FROM r ORDER BY event_type""",
     "q133_attribution" ->
       s"""WITH $evCte,
          p AS (SELECT user_id, ts AS pts, event_id AS purchase_id,

@@ -395,7 +395,51 @@ object SourceQueries {
       .orderBy("z")
   }
 
+  /** q140: incremental materialized-view maintenance — the identity
+    * that lets an aggregate MV absorb a delta batch without touching
+    * the base: per-source partial aggregates (n_docs, token mass) are
+    * a monoid, so agg(base) ⊕ agg(delta) must equal agg(base ∪ delta)
+    * cell-for-cell. The query computes BOTH sides — the maintained
+    * path (two partial aggs merged by a sum-groupBy) and the direct
+    * recompute — and emits a per-source `matches_direct` flag, so the
+    * maintenance identity is verified as data, not asserted. The
+    * delta is the q80 hash-sampler's ~10% slice (reproducible).
+    *
+    * Scale shape: at 100 TB only the DELTA is scanned (the base-side
+    * partials are the stored MV; here they are recomputed only so the
+    * identity is checkable); the merge is a groupBy over MV cells,
+    * bounded by the source dimension. */
+  def q140MvMaintain(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFns
+    val docs = Tables.documents(s, dir)
+      .select(col("source"),
+        when(graft.operators.Sampling.bucket(col("doc_id"), "graft-mv:")
+          < "1a", lit("delta")).otherwise(lit("base")).as("part"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tok"))
+    val partials = docs.groupBy("source", "part")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+    val merged = partials.groupBy("source")
+      .agg(sum("n_docs").as("total_docs"), sum("n_tokens").as("total_tokens"),
+        sum(when(col("part") === "base", col("n_docs")).otherwise(0L))
+          .as("base_docs"),
+        sum(when(col("part") === "delta", col("n_docs")).otherwise(0L))
+          .as("delta_docs"))
+    val direct = Tables.documents(s, dir)
+      .select(col("source"), size(TextFns.tokens(col("text"))).cast("long")
+        .as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("d_docs"), sum("n_tok").as("d_tokens"))
+    merged.join(direct, Seq("source"))
+      .withColumn("matches_direct",
+        col("total_docs") === col("d_docs") &&
+          col("total_tokens") === col("d_tokens"))
+      .select("source", "base_docs", "delta_docs", "total_docs",
+        "total_tokens", "matches_direct")
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q140_mv_maintain" -> (q140MvMaintain _),
     "q138_zorder_layout" -> (q138ZorderLayout _),
     "q100_jdbc_source" -> (q100JdbcSource _),
     "q101_store_append" -> (q101StoreAppend _),
@@ -408,6 +452,32 @@ object SourceQueries {
     "q65_partitioned_sink" -> (q65PartitionedSink _))
 
   val oracles: Map[String, String] = Map(
+    "q140_mv_maintain" ->
+      s"""WITH d AS (SELECT source,
+           CASE WHEN substring(md5('graft-mv:'
+               || CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+             THEN 'delta' ELSE 'base' END AS part,
+           CAST(len(${graft.functions.TextFns.sqlTokens("text")}) AS BIGINT)
+             AS n_tok
+           FROM documents),
+         p AS (SELECT source, part, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens
+           FROM d GROUP BY 1, 2),
+         m AS (SELECT source,
+             CAST(sum(n_docs) AS BIGINT) AS total_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(sum(CASE WHEN part = 'base' THEN n_docs ELSE 0 END)
+               AS BIGINT) AS base_docs,
+             CAST(sum(CASE WHEN part = 'delta' THEN n_docs ELSE 0 END)
+               AS BIGINT) AS delta_docs
+           FROM p GROUP BY 1),
+         dr AS (SELECT source, CAST(count(*) AS BIGINT) AS d_docs,
+             CAST(sum(n_tok) AS BIGINT) AS d_tokens
+           FROM d GROUP BY 1)
+         SELECT m.source, base_docs, delta_docs, total_docs, total_tokens,
+           (total_docs = d_docs AND total_tokens = d_tokens)
+             AS matches_direct
+         FROM m JOIN dr ON dr.source = m.source ORDER BY m.source""",
     "q138_zorder_layout" ->
       """WITH o AS (SELECT
            date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
