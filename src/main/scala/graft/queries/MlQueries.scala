@@ -200,7 +200,64 @@ object MlQueries {
       .orderBy("lang")
   }
 
+  /** q141: nearest-centroid (Rocchio) text classifier — per-class
+    * TF-IDF centroids trained and applied as RELATIONAL algebra: the
+    * model is a (class, term, weight) table, scoring is a sparse
+    * matrix multiply spelled as postings ⋈ centroids on term + one
+    * combinable sum per (doc, class), argmax is a `min(struct(-cos,
+    * class))` agg — no vectors materialized, no UDF, the shape that
+    * classifies a 100 TB corpus with two keyed shuffles. IDF is
+    * micro-quantized per term (the q115 precedent) so every weight,
+    * centroid (floor-div by class size), dot product and ‖centroid‖²
+    * is exact integer arithmetic; only the final cosine is a scalar
+    * double division of those identical integers. Output: the lang
+    * confusion matrix (actual × predicted × count) — the
+    * model-quality readout. */
+  def q141CentroidClassifier(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+    val tf = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf_micro",
+        Exact.micro(log(col("n_docs").cast("double") / col("df"))))
+      .select("term", "idf_micro")
+    val w = tf.join(idf, Seq("term"))
+      .withColumn("w", col("tf") * col("idf_micro"))
+      .select("doc_id", "term", "w")
+    val langSizes = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val cent = w.join(docs, Seq("doc_id"))
+      .groupBy("lang", "term").agg(sum("w").as("sw"))
+      .join(langSizes, Seq("lang"))
+      .withColumn("c", expr("sw div n_lang"))
+      .select(col("lang").as("clang"), col("term"), col("c"))
+    // cosine normalization: the dot product and ‖centroid‖² are exact
+    // integers; the final score is one scalar division of identical
+    // integers in both engines (deterministic IEEE — floats only
+    // diverge across engines through order-dependent SUMS, which all
+    // happen in integer space here). Without it the argmax is biased
+    // to the largest-magnitude centroid.
+    val norms = cent.groupBy("clang")
+      .agg(sum(expr("c * c")).as("normsq"))
+    val pred = w.join(cent, Seq("term"))
+      .groupBy("doc_id", "clang").agg(sum(expr("w * c")).as("score"))
+      .join(broadcast(norms), Seq("clang"))
+      .withColumn("cosn",
+        col("score").cast("double") / sqrt(col("normsq").cast("double")))
+      .groupBy("doc_id")
+      .agg(min(struct((-col("cosn")).as("ns"), col("clang").as("pl")))
+        .as("m"))
+      .select(col("doc_id"), col("m.pl").as("predicted_lang"))
+    pred.join(docs, Seq("doc_id"))
+      .groupBy(col("lang").as("actual_lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("actual_lang", "predicted_lang")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q141_centroid_classifier" -> (q141CentroidClassifier _),
     "q55_stem_tokens" -> (q55StemTokens _),
     "q56_rf_classifier" -> (q56RfClassifier _),
     "q57_ml_minhash" -> (q57MlMinhash _),
@@ -236,6 +293,44 @@ object MlQueries {
     * candidate join + exact Jaccard distance), so every ML leg
     * hash-matches. Training runs stay spec-only in MlSpec. */
   val oracles: Map[String, String] = Map(
+    "q141_centroid_classifier" ->
+      s"""WITH ${TextQueries.toksCte},
+         tfw AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+         tfc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM tfw GROUP BY 1, 2),
+         nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         idf AS (SELECT term,
+             CAST(round(ln(CAST(n_docs AS DOUBLE) / df) * 1e6) AS BIGINT)
+               AS idf_micro
+           FROM (SELECT term, CAST(count(*) AS BIGINT) AS df
+             FROM tfc GROUP BY 1) CROSS JOIN nd),
+         w AS (SELECT doc_id, term, tf * idf_micro AS w
+           FROM tfc JOIN idf USING (term)),
+         ls AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang
+           FROM documents GROUP BY 1),
+         cent AS (SELECT d.lang AS clang, w.term,
+             CAST(sum(w.w) AS BIGINT) // ls.n_lang AS c
+           FROM w JOIN documents d USING (doc_id)
+           JOIN ls ON ls.lang = d.lang
+           GROUP BY d.lang, w.term, ls.n_lang),
+         nrm AS (SELECT clang, CAST(sum(c * c) AS BIGINT) AS normsq
+           FROM cent GROUP BY 1),
+         sc AS (SELECT w.doc_id, cent.clang,
+             CAST(sum(w.w * cent.c) AS BIGINT) AS score
+           FROM w JOIN cent ON cent.term = w.term
+           GROUP BY 1, 2),
+         scn AS (SELECT sc.doc_id, sc.clang,
+             CAST(sc.score AS DOUBLE) / sqrt(CAST(nrm.normsq AS DOUBLE))
+               AS cosn
+           FROM sc JOIN nrm USING (clang)),
+         pr AS (SELECT doc_id, clang AS predicted_lang FROM
+           (SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY cosn DESC, clang) AS rn FROM scn)
+           WHERE rn = 1)
+         SELECT d.lang AS actual_lang, pr.predicted_lang,
+           CAST(count(*) AS BIGINT) AS n_docs
+         FROM pr JOIN documents d USING (doc_id)
+         GROUP BY 1, 2 ORDER BY actual_lang, predicted_lang""",
     "q57_ml_minhash" ->
       s"""WITH toks AS (SELECT doc_id, ${TextFns.sqlTokens("text")} AS toks
            FROM documents),
