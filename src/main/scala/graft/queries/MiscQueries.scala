@@ -515,7 +515,45 @@ object MiscQueries {
       .orderBy("brand")
   }
 
+  /** q142: skyline (Pareto frontier) per order priority — the orders
+    * no other order of the same priority strictly dominates on
+    * (total price ↑, order recency ↑): the multi-objective "best
+    * trade-offs" report. The 2-D skyline reduces to a sort-free
+    * window identity: collapse to distinct price levels keeping each
+    * level's best date (one combinable groupBy), then a price-level
+    * is on the frontier iff its date beats the running max over all
+    * STRICTLY higher price levels — a RANGE-frame window
+    * (`rangeBetween(1, ∞)` on cents) over the collapsed levels, the
+    * q134 discipline: the window runs over price levels, not orders.
+    * Strict dominance: level ties already collapsed, so dominated ⇔
+    * a higher-priced level has an equal-or-later date.
+    *
+    * Scale shape: one groupBy (orders → levels) + one per-priority
+    * window over levels. At 100 TB with adversarially many distinct
+    * prices the window degrades to a per-priority sort of LEVELS —
+    * the standard grid-prune refinement (q138's cells, prune
+    * cell-dominated cells first) applies; real price domains are
+    * far coarser than row counts. */
+  def q142Skyline(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("priority"),
+        graft.functions.Exact.cents(col("o_totalprice")).as("cents"),
+        datediff(to_date(col("o_orderdate")),
+          lit("1990-01-01").cast("date")).cast("long").as("dnum"))
+    val levels = o.groupBy("priority", "cents")
+      .agg(max("dnum").as("best_dnum"), count(lit(1)).as("n_orders"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("priority").orderBy("cents")
+      .rangeBetween(1L, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    levels
+      .withColumn("dom_dnum", max("best_dnum").over(w))
+      .filter(col("dom_dnum").isNull || col("best_dnum") > col("dom_dnum"))
+      .select("priority", "cents", "best_dnum", "n_orders")
+      .orderBy("priority", "cents")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q142_skyline" -> (q142Skyline _),
     "q137_grouped_ols" -> (q137GroupedOls _),
     "q134_rolling_revenue" -> (q134RollingRevenue _),
     "q126_bloom_prune" -> (q126BloomPrune _),
@@ -557,6 +595,23 @@ object MiscQueries {
          || CAST($k AS VARCHAR)), 3, 1)) - 1)"""
 
   val oracles: Map[String, String] = Map(
+    "q142_skyline" ->
+      """WITH o AS (SELECT o_orderpriority AS priority,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+             AS dnum
+           FROM orders),
+         lv AS (SELECT priority, cents,
+             CAST(max(dnum) AS BIGINT) AS best_dnum,
+             CAST(count(*) AS BIGINT) AS n_orders
+           FROM o GROUP BY 1, 2),
+         d AS (SELECT *, max(best_dnum) OVER (PARTITION BY priority
+             ORDER BY cents RANGE BETWEEN 1 FOLLOWING
+               AND UNBOUNDED FOLLOWING) AS dom_dnum
+           FROM lv)
+         SELECT priority, cents, best_dnum, n_orders
+         FROM d WHERE dom_dnum IS NULL OR best_dnum > dom_dnum
+         ORDER BY priority, cents""",
     "q137_grouped_ols" ->
       """WITH li AS (SELECT p.p_brand AS brand,
            CAST(l_quantity AS BIGINT) AS x,
