@@ -316,8 +316,17 @@ object EventQueries {
       .orderBy("event_type")
   }
 
+  /** q143: q130's CDC snapshot maintained by a STREAM — complete-mode
+    * streaming `max(struct)` agg, the state store doing the merge each
+    * micro-batch (see [[graft.streaming.EventStream.compactOnce]]).
+    * The oracle is the batch q130 SQL, so the row is a stream/batch
+    * parity check like q35/q54/q108. */
+  def q143StreamCompact(s: SparkSession, dir: String): DataFrame =
+    EventStream.compactOnce(s, dir).orderBy("user_id")
+
   val queries: Map[String, Q] = Map(
     "q139_ab_test" -> (q139AbTest _),
+    "q143_stream_compact" -> (q143StreamCompact _),
     "q133_attribution" -> (q133Attribution _),
     "q135_transitions" -> (q135Transitions _),
     "q108_stream_curation" -> (q108StreamCuration _),
@@ -362,7 +371,24 @@ object EventQueries {
            $sumCents AS sum_value_cents
          FROM g GROUP BY user_id, sess_id ORDER BY user_id, sess_id"""
 
+  /** Shared by q130 (batch) and q143 (streaming) — the parity pair. */
+  private val compactSql =
+    s"""WITH $evCte,
+       r AS (SELECT user_id, ts, event_id, event_type,
+           CAST(round(value*100) AS BIGINT) AS v,
+           row_number() OVER (PARTITION BY user_id
+             ORDER BY ts DESC, event_id DESC) AS rn
+         FROM ev),
+       n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_changes
+         FROM ev GROUP BY 1)
+       SELECT r.user_id, r.event_id AS last_event_id,
+         r.event_type AS last_type, r.v AS last_value_cents,
+         r.ts AS last_ts, n.n_changes
+       FROM r JOIN n USING (user_id) WHERE rn = 1
+       ORDER BY user_id"""
+
   val oracles: Map[String, String] = Map(
+    "q143_stream_compact" -> compactSql,
     "q139_ab_test" ->
       s"""WITH $evCte,
          e AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS v,
@@ -432,20 +458,7 @@ object EventQueries {
            c.n * 1000 // t.n_src AS prob_milli
          FROM cells c JOIN totals t USING (src)
          ORDER BY src, dst""",
-    "q130_changelog_compact" ->
-      s"""WITH $evCte,
-         r AS (SELECT user_id, ts, event_id, event_type,
-             CAST(round(value*100) AS BIGINT) AS v,
-             row_number() OVER (PARTITION BY user_id
-               ORDER BY ts DESC, event_id DESC) AS rn
-           FROM ev),
-         n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_changes
-           FROM ev GROUP BY 1)
-         SELECT r.user_id, r.event_id AS last_event_id,
-           r.event_type AS last_type, r.v AS last_value_cents,
-           r.ts AS last_ts, n.n_changes
-         FROM r JOIN n USING (user_id) WHERE rn = 1
-         ORDER BY user_id""",
+    "q130_changelog_compact" -> compactSql,
     "q124_funnel" ->
       s"""WITH $evCte,
          fv AS (SELECT user_id, min(ts) AS fview FROM ev

@@ -77,6 +77,35 @@ object EventStream {
   }
   }
 
+  /** Streaming CDC compaction — q130's latest-wins snapshot maintained
+    * CONTINUOUSLY: the same `max(struct(ts, event_id, payload…))`
+    * aggregation run as a complete-mode streaming agg, so each trigger
+    * the memory sink holds the current per-key snapshot (a
+    * materialized view the stream keeps fresh — the q140 maintenance
+    * identity, but with the state store doing the merge). The batch
+    * q130 oracle verifies the drained snapshot bit-for-bit. */
+  def compactOnce(s: SparkSession, dir: String): DataFrame = { drainSized(s) {
+    val name = s"graft_stream_compact_${runIdx.incrementAndGet()}"
+    val q = eventsStream(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        Exact.cents(col("value")).as("v"))
+      .groupBy("user_id")
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+          col("v"))).as("last"),
+        count(lit(1)).as("n_changes"))
+      .select(col("user_id"), col("last.event_id").as("last_event_id"),
+        col("last.event_type").as("last_type"),
+        col("last.v").as("last_value_cents"),
+        col("last.ts").as("last_ts"), col("n_changes"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+  }
+
   // ---- stateful sessionization ------------------------------------
 
   final case class SessEv(user_id: Long, ts_us: Long, event_id: Long, cents: Long)
