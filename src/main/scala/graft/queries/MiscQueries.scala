@@ -314,8 +314,9 @@ object MiscQueries {
     * pruning), while blocks of 1024 keys hold ~205 urgent keys each
     * at every scale factor, keeping the per-block load — and the FP
     * rate (~0.3%) — scale-invariant. Each block's 4096 bits live in
-    * 64 longs; k=3 positions are the first 3 hex digits of md5, so
-    * both engines index the identical array. A fact row passes only
+    * 64 longs; the k=3 positions are hex digits 1-3, 4-6, 7-9 of ONE
+    * md5 (independent uniform 12-bit draws, a third of the hashing),
+    * so both engines index the identical array. A fact row passes only
     * if its block exists (free block-range pruning) and all 3 bits
     * are set; the exact semi-join afterwards removes the false
     * positives. Output: one summary row proving the contract —
@@ -334,15 +335,18 @@ object MiscQueries {
     * do, with deterministic hashes so the oracle can replay it. */
   def q126BloomPrune(s: SparkSession, dir: String): DataFrame = {
     val B = 1024L // keys per block; FP stays ~0.3% at every sf
+    // all 3 positions come from ONE md5: hex digits 1-3, 4-6, 7-9 —
+    // independent uniform 12-bit draws, a third of the hashing
     def withPositions(df: DataFrame, keyCol: String): DataFrame =
-      (0 to 2).foldLeft(df.withColumn("block", expr(s"$keyCol div $B"))) {
+      (0 to 2).foldLeft(
+        df.withColumn("block", expr(s"$keyCol div $B"))
+          .withColumn("h",
+            md5(concat(lit("graft-bloom:"), col(keyCol).cast("string"))))) {
         (d, j) =>
-          d.withColumn(s"h$j",
-              md5(concat(lit(s"graft-bloom:$j:"), col(keyCol).cast("string"))))
-            .withColumn(s"p$j", expr(
-              s"""(instr('0123456789abcdef', substring(h$j, 1, 1)) - 1) * 256
-                 + (instr('0123456789abcdef', substring(h$j, 2, 1)) - 1) * 16
-                 + instr('0123456789abcdef', substring(h$j, 3, 1)) - 1"""))
+          d.withColumn(s"p$j", expr(
+            s"""(instr('0123456789abcdef', substring(h, ${3*j+1}, 1)) - 1) * 256
+               + (instr('0123456789abcdef', substring(h, ${3*j+2}, 1)) - 1) * 16
+               + instr('0123456789abcdef', substring(h, ${3*j+3}, 1)) - 1"""))
       }
     val urgent = Tables.orders(s, dir)
       .filter(col("o_orderpriority") === "1-URGENT")
@@ -584,15 +588,15 @@ object MiscQueries {
        GROUP BY e.dst, nn.n)"""
 
   /** DuckDB spelling of the q126 Bloom position for hash row `j` over
-    * key column `k` — first 3 md5 hex digits as a 0..4095 index,
-    * digit-for-digit the Spark expression. */
+    * key column `k` — hex digits 3j+1..3j+3 of one md5 as a 0..4095
+    * index, digit-for-digit the Spark expression. */
   private def bloomPosSql(j: Int, k: String): String =
-    s"""((strpos('0123456789abcdef', substring(md5('graft-bloom:$j:'
-         || CAST($k AS VARCHAR)), 1, 1)) - 1) * 256
-       + (strpos('0123456789abcdef', substring(md5('graft-bloom:$j:'
-         || CAST($k AS VARCHAR)), 2, 1)) - 1) * 16
-       + strpos('0123456789abcdef', substring(md5('graft-bloom:$j:'
-         || CAST($k AS VARCHAR)), 3, 1)) - 1)"""
+    s"""((strpos('0123456789abcdef', substring(md5('graft-bloom:'
+         || CAST($k AS VARCHAR)), ${3 * j + 1}, 1)) - 1) * 256
+       + (strpos('0123456789abcdef', substring(md5('graft-bloom:'
+         || CAST($k AS VARCHAR)), ${3 * j + 2}, 1)) - 1) * 16
+       + strpos('0123456789abcdef', substring(md5('graft-bloom:'
+         || CAST($k AS VARCHAR)), ${3 * j + 3}, 1)) - 1)"""
 
   val oracles: Map[String, String] = Map(
     "q142_skyline" ->
