@@ -263,6 +263,39 @@ class NewQueryPlanSpec extends AnyFunSuite {
       s"q138 must read orders exactly once:\n$plan")
   }
 
+  test("q139: one scan, one combinable agg for both arms") {
+    val df = queries.EventQueries.q139AbTest(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(finalPlan).size === 1,
+      s"q139 must read events exactly once (both arms via CASE):\n$plan")
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      s"q139's moments must combine map-side:\n$plan")
+  }
+
+  test("q141: centroid norms broadcast; scoring joins stay equi joins") {
+    val df = queries.MlQueries.q141CentroidClassifier(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"q141 must not plan a non-broadcast cartesian:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"q141's n_docs/norms must broadcast:\n$plan")
+  }
+
+  test("q142: the dominance window runs over price LEVELS, post-agg") {
+    val df = queries.MiscQueries.q142Skyline(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    // the orders scan must collapse to levels BEFORE the window
+    assert(finalPlan.indexOf("Window") < finalPlan.lastIndexOf("HashAggregate"),
+      s"q142's window must sit above the level aggregate:\n$plan")
+    assert(!plan.contains("Join"), s"q142 must not join:\n$plan")
+  }
+
   test("q108: the streaming verdict plan has no shuffle at all") {
     // batch-side check of the same verdict expression tree the stream
     // runs: stateless map-side columns only — any exchange before the
