@@ -342,7 +342,32 @@ object TextQueries {
   private val NllKeepLo = 3395000L   // mean NLL ≥ 3.395 nats
   private val NllKeepHi = 3410000L   // mean NLL ≤ 3.410 nats
 
+  /** q144: overlapping document chunking — the RAG/embedding prep
+    * step that slices every document into fixed-size token windows
+    * (64 tokens, stride 48, 16-token overlap so no boundary context
+    * is lost), emitting one row per chunk with its token span and
+    * re-joined text. Pure map-side: `sequence` → `explode` →
+    * `slice`/`array_join`, all inside whole-stage codegen — no
+    * shuffle at all before the output sort; at 100 TB the chunker is
+    * a free rider on the ingest scan. Chunk counts use the closed
+    * form 1 + max(0, ⌈(n−64)/48⌉) in integer arithmetic. */
+  def q144Chunking(s: SparkSession, dir: String): DataFrame =
+    toks(s, dir)
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("nchunks",
+        expr("1 + greatest(0L, (n - 64 + 47) div 48)"))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(expr("sequence(0L, nchunks - 1)")).as("chunk_idx"))
+      .withColumn("start_tok", expr("chunk_idx * 48"))
+      .withColumn("chunk_toks",
+        expr("slice(toks, CAST(start_tok AS INT) + 1, 64)"))
+      .withColumn("n_toks", size(col("chunk_toks")).cast("long"))
+      .withColumn("chunk_text", array_join(col("chunk_toks"), " "))
+      .select("doc_id", "chunk_idx", "start_tok", "n_toks", "chunk_text")
+      .orderBy("doc_id", "chunk_idx")
+
   val queries: Map[String, Q] = Map(
+    "q144_chunking" -> (q144Chunking _),
     "q114_mixture_sample" -> (q114MixtureSample _),
     "q115_unigram_nll" -> (q115UnigramNll _),
     "q107_bm25" -> (q107Bm25 _),
@@ -404,6 +429,25 @@ object TextQueries {
     s"CAST(round(($e)*1e6) AS BIGINT)/1e6"
 
   val oracles: Map[String, String] = Map(
+    "q144_chunking" ->
+      s"""WITH $toksCte,
+         t AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+           FROM toks WHERE len(toks) > 0),
+         c AS (SELECT doc_id, toks, n,
+             1 + greatest(0, (n - 64 + 47) // 48) AS nchunks FROM t),
+         e AS (SELECT doc_id, toks, n,
+             CAST(unnest(range(0, nchunks)) AS BIGINT) AS chunk_idx
+           FROM c)
+         SELECT doc_id, chunk_idx, chunk_idx * 48 AS start_tok,
+           CAST(len(list_slice(toks,
+             CAST(chunk_idx * 48 + 1 AS INTEGER),
+             CAST(least(chunk_idx * 48 + 64, n) AS INTEGER))) AS BIGINT)
+             AS n_toks,
+           array_to_string(list_slice(toks,
+             CAST(chunk_idx * 48 + 1 AS INTEGER),
+             CAST(least(chunk_idx * 48 + 64, n) AS INTEGER)), ' ')
+             AS chunk_text
+         FROM e ORDER BY doc_id, chunk_idx""",
     "q114_mixture_sample" ->
       s"""WITH raw AS (SELECT doc_id, source, ${sqlTokens("text")} AS toks
            FROM documents),
