@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.functions.{HashExpressions, StemExpression, VectorExpressions}
+import graft.functions.{AggExpressions, HashExpressions, StemExpression, VectorExpressions}
 
 /** Session extension installing graft's native Catalyst functions
   * (currently `graft_stem`, the codegen'd Porter stemmer). Wire up
@@ -18,5 +18,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(StemExpression.registration)
     HashExpressions.registrations.foreach(ext.injectFunction)
     VectorExpressions.registrations.foreach(ext.injectFunction)
+    AggExpressions.registrations.foreach(ext.injectFunction)
   }
 }

@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Coalesce, CreateArray, Expression, ExpressionInfo, GetArrayItem, If, IsNull, Least, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Native MERGEABLE aggregates, registered through
+  * [[graft.GraftExtensions]] next to the scalar expressions.
+  *
+  * [[MinhashMergeAgg]] is the aggregate half of the MinHash algebra:
+  * a scalar `graft_minhash` signature is the element-wise min of the
+  * permuted shingle hashes of ONE document; the signature of a UNION
+  * of documents is the element-wise min of their signatures. That
+  * union-by-min is exactly an aggregate monoid (commutative,
+  * associative, identity = all-MaxValue), so it is expressed as a
+  * `DeclarativeAggregate` over `n` primitive long buffer slots — no
+  * object buffer, no sort, map-side combinable, codegen-friendly —
+  * the same execution class as built-in `max`. The relational
+  * spelling (explode the signature, groupBy component, min) shuffles
+  * n rows per input row; this shuffles one n-slot buffer per group.
+  */
+object AggExpressions {
+
+  /** Element-wise min of `n`-component long-array signatures.
+    * Null inputs are skipped; null components (empty shingle sets)
+    * act as the identity. */
+  case class MinhashMergeAgg(child: Expression, n: Int)
+      extends DeclarativeAggregate with UnaryLike[Expression] {
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+    override def prettyName: String = "graft_minhash_agg"
+
+    private lazy val slots: Seq[AttributeReference] =
+      (0 until n).map(i =>
+        AttributeReference(s"mh$i", LongType, nullable = false)())
+
+    override lazy val aggBufferAttributes: Seq[AttributeReference] = slots
+
+    override lazy val initialValues: Seq[Expression] =
+      Seq.fill(n)(Literal(Long.MaxValue))
+
+    override lazy val updateExpressions: Seq[Expression] =
+      slots.zipWithIndex.map { case (b, i) =>
+        If(IsNull(child), b,
+          Least(Seq(b, Coalesce(Seq(
+            GetArrayItem(child, Literal(i)), Literal(Long.MaxValue))))))
+      }
+
+    override lazy val mergeExpressions: Seq[Expression] =
+      slots.map(b => Least(Seq(b.left, b.right)))
+
+    override lazy val evaluateExpression: Expression = CreateArray(slots)
+
+    override protected def withNewChildInternal(newChild: Expression): MinhashMergeAgg =
+      copy(child = newChild)
+  }
+
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal int, got $other")
+  }
+
+  /** Registrations for [[graft.GraftExtensions]]. */
+  val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_minhash_agg"),
+      new ExpressionInfo(classOf[MinhashMergeAgg].getName, "graft_minhash_agg"),
+      (es: Seq[Expression]) =>
+        MinhashMergeAgg(es.head, intArg(es(1), "graft_minhash_agg"))))
+}

@@ -366,7 +366,43 @@ object TextQueries {
       .select("doc_id", "chunk_idx", "start_tok", "n_toks", "chunk_text")
       .orderBy("doc_id", "chunk_idx")
 
+  /** q145: cross-source similarity via MERGED MinHash signatures — the
+    * dedup-ops report that tells you WHICH corpus sources overlap
+    * before you pay for pairwise dedup between them. Per-document
+    * signatures (the q25 scalar) collapse to one signature per SOURCE
+    * through the native `graft_minhash_agg` — a DeclarativeAggregate
+    * over 12 primitive long slots whose update/merge is element-wise
+    * min ([[graft.functions.AggExpressions]]): signatures form a
+    * monoid under element-wise min (sig(A ∪ B) = min(sig A, sig B)),
+    * so source signatures build map-side and merge associatively —
+    * at 100 TB each shard ships 12 longs per source, where the
+    * relational spelling (explode + groupBy component) shuffles 12
+    * rows per DOCUMENT. Pairwise source similarity is then estimated
+    * from signature agreement (matching components / 12, the
+    * standard MinHash Jaccard estimator) over a dimension-sized
+    * join. */
+  def q145SourceSimilarity(s: SparkSession, dir: String): DataFrame = {
+    val sigs = graft.operators.TextDedup
+      .shingleSets(Tables.documents(s, dir), "doc_id", "text", 5)
+      .join(Tables.documents(s, dir).select("doc_id", "source"), Seq("doc_id"))
+      .filter(size(col("hashes")) > 0)
+      .select(col("source"),
+        TextFns.minhashSignature(col("hashes"), 12).as("sig"))
+    val srcSigs = sigs.groupBy("source")
+      .agg(expr("graft_minhash_agg(sig, 12)").as("sig"))
+    val a = srcSigs.select(col("source").as("source1"), col("sig").as("sig1"))
+    val b = srcSigs.select(col("source").as("source2"), col("sig").as("sig2"))
+    a.join(b, col("source1") < col("source2"))
+      .withColumn("n_match", expr(
+        """aggregate(zip_with(sig1, sig2, (x, y) -> CAST(x = y AS LONG)),
+           0L, (acc, v) -> acc + v)"""))
+      .withColumn("jaccard_est_milli", expr("n_match * 1000 div 12"))
+      .select("source1", "source2", "n_match", "jaccard_est_milli")
+      .orderBy("source1", "source2")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q145_source_similarity" -> (q145SourceSimilarity _),
     "q144_chunking" -> (q144Chunking _),
     "q114_mixture_sample" -> (q114MixtureSample _),
     "q115_unigram_nll" -> (q115UnigramNll _),
@@ -429,6 +465,28 @@ object TextQueries {
     s"CAST(round(($e)*1e6) AS BIGINT)/1e6"
 
   val oracles: Map[String, String] = Map(
+    "q145_source_similarity" ->
+      s"""WITH $toksCte,
+         sets AS (SELECT doc_id,
+             list_sort(list_distinct(${TextFns.sqlShingleHashes("toks", 5)}))
+               AS hashes
+           FROM toks),
+         fsets AS (SELECT * FROM sets WHERE len(hashes) > 0),
+         sigs AS (SELECT d.source,
+             ${TextFns.sqlMinhashSignature("hashes", 12)} AS sig
+           FROM fsets JOIN documents d USING (doc_id)),
+         comp AS (SELECT source, i,
+             CAST(min(sig[CAST(i + 1 AS INTEGER)]) AS BIGINT) AS m
+           FROM sigs, range(0, 12) t(i) GROUP BY 1, 2),
+         pairs AS (SELECT a.source AS source1, b.source AS source2,
+             CAST(sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_match
+           FROM comp a JOIN comp b
+             ON a.i = b.i AND a.source < b.source
+           GROUP BY 1, 2)
+         SELECT source1, source2, n_match,
+           n_match * 1000 // 12 AS jaccard_est_milli
+         FROM pairs ORDER BY source1, source2""",
     "q144_chunking" ->
       s"""WITH $toksCte,
          t AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n

@@ -55,6 +55,40 @@ class HashSpec extends AnyFunSuite {
     assert(diff.count() == 0)
   }
 
+  test("graft_minhash_agg == relational explode/min; monoid laws; map-side combine") {
+    val sigs = toks
+      .select(col("doc_id"), array_sort(array_distinct(
+        TextFns.shingleHashes(col("toks"), 5))).as("hashes"))
+      .filter(size(col("hashes")) > 0)
+      .select(col("doc_id"),
+        (col("doc_id") % 7).as("g"),
+        TextFns.minhashSignature(col("hashes"), 12).as("sig"))
+    // native aggregate vs the relational spelling (explode components,
+    // groupBy, min) — must agree on every group
+    val native = sigs.groupBy("g")
+      .agg(expr("graft_minhash_agg(sig, 12)").as("msig"))
+    val relational = sigs
+      .select(col("g"), posexplode(col("sig")).as(Seq("i", "v")))
+      .groupBy("g", "i").agg(min("v").as("m"))
+      .groupBy("g").agg(expr(
+        "transform(array_sort(collect_list(struct(i, m))), s -> s.m)")
+        .as("msig"))
+    val joined = native.join(relational.withColumnRenamed("msig", "rsig"), "g")
+    assert(joined.filter(col("msig") =!= col("rsig")).count() === 0)
+    // monoid: aggregating the per-group signatures again must equal
+    // aggregating all documents directly (associativity of the merge)
+    val direct = sigs.agg(expr("graft_minhash_agg(sig, 12)").as("msig"))
+      .head.getSeq[Long](0)
+    val merged = native.agg(expr("graft_minhash_agg(msig, 12)").as("msig"))
+      .head.getSeq[Long](0)
+    assert(direct === merged)
+    // plan: partial aggregation before the exchange (the whole point)
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_graft_minhash_agg") ||
+      plan.contains("HashAggregate"),
+      s"graft_minhash_agg must plan as a combinable hash agg:\n$plan")
+  }
+
   test("simhash32 native == HOF") {
     val diff = toks.select(TextFns.tokenHashes(col("toks")).as("hs"))
       .select(
