@@ -526,11 +526,17 @@ object MiscQueries {
     * window identity: collapse to distinct price levels keeping each
     * level's best date (one combinable groupBy), then a price-level
     * is on the frontier iff its date beats the running max over all
-    * STRICTLY higher price levels — a RANGE-frame window
-    * (`rangeBetween(1, ∞)` on cents) over the collapsed levels, the
-    * q134 discipline: the window runs over price levels, not orders.
-    * Strict dominance: level ties already collapsed, so dominated ⇔
-    * a higher-priced level has an equal-or-later date.
+    * STRICTLY higher price levels. Because levels are UNIQUE per
+    * (priority, cents), that suffix-max is an incremental ROWS frame
+    * over descending cents (`rows unbounded preceding → 1 preceding`)
+    * — O(levels); the equivalent RANGE BETWEEN 1 FOLLOWING AND
+    * UNBOUNDED FOLLOWING spelling plans as Spark's
+    * UnboundedFollowingWindowFunctionFrame, which RECOMPUTES the
+    * aggregate per row — measured O(n²): 74.6 s at sf1 vs sub-second
+    * for the ROWS spelling. The window still runs over price levels,
+    * not orders (the q134 discipline). Strict dominance: level ties
+    * already collapsed, so dominated ⇔ a higher-priced level has an
+    * equal-or-later date.
     *
     * Scale shape: one groupBy (orders → levels) + one per-priority
     * window over levels. At 100 TB with adversarially many distinct
@@ -547,8 +553,8 @@ object MiscQueries {
     val levels = o.groupBy("priority", "cents")
       .agg(max("dnum").as("best_dnum"), count(lit(1)).as("n_orders"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("priority").orderBy("cents")
-      .rangeBetween(1L, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      .partitionBy("priority").orderBy(col("cents").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     levels
       .withColumn("dom_dnum", max("best_dnum").over(w))
       .filter(col("dom_dnum").isNull || col("best_dnum") > col("dom_dnum"))
@@ -610,8 +616,8 @@ object MiscQueries {
              CAST(count(*) AS BIGINT) AS n_orders
            FROM o GROUP BY 1, 2),
          d AS (SELECT *, max(best_dnum) OVER (PARTITION BY priority
-             ORDER BY cents RANGE BETWEEN 1 FOLLOWING
-               AND UNBOUNDED FOLLOWING) AS dom_dnum
+             ORDER BY cents DESC ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING) AS dom_dnum
            FROM lv)
          SELECT priority, cents, best_dnum, n_orders
          FROM d WHERE dom_dnum IS NULL OR best_dnum > dom_dnum
