@@ -562,7 +562,39 @@ object MiscQueries {
       .orderBy("priority", "cents")
   }
 
+  /** q146: join-health report — the pre-join diagnostic a 100 TB
+    * engine runs before committing to an expensive join: per-side
+    * key cardinalities, key overlap and orphan counts, the EXACT
+    * join output size (Σ left×right multiplicity over common keys)
+    * and the hottest key's contribution — the numbers that decide
+    * broadcast vs shuffle vs salt before any fact-table bytes move.
+    * Two map-side-combinable per-key counts + one full-outer join of
+    * KEY-cardinality frames + one closing agg; the fact tables are
+    * read once each and never joined to each other. */
+  def q146JoinHealth(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.orders(s, dir)
+      .groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("lc"))
+    val r = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("rc"))
+    val both = col("lc").isNotNull && col("rc").isNotNull
+    l.join(r, Seq("k"), "full_outer")
+      .agg(
+        sum(coalesce(col("lc"), lit(0L))).as("rows_left"),
+        sum(coalesce(col("rc"), lit(0L))).as("rows_right"),
+        sum(when(col("lc").isNotNull, 1L).otherwise(0L)).as("keys_left"),
+        sum(when(col("rc").isNotNull, 1L).otherwise(0L)).as("keys_right"),
+        sum(when(both, 1L).otherwise(0L)).as("keys_common"),
+        sum(when(col("lc").isNotNull && col("rc").isNull, 1L).otherwise(0L))
+          .as("keys_left_only"),
+        sum(when(col("lc").isNull && col("rc").isNotNull, 1L).otherwise(0L))
+          .as("keys_right_only"),
+        sum(when(both, col("lc") * col("rc")).otherwise(0L)).as("join_rows"),
+        max(when(both, col("lc") * col("rc")).otherwise(0L))
+          .as("max_key_rows"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q146_join_health" -> (q146JoinHealth _),
     "q142_skyline" -> (q142Skyline _),
     "q137_grouped_ols" -> (q137GroupedOls _),
     "q134_rolling_revenue" -> (q134RollingRevenue _),
@@ -605,6 +637,30 @@ object MiscQueries {
          || CAST($k AS VARCHAR)), ${3 * j + 3}, 1)) - 1)"""
 
   val oracles: Map[String, String] = Map(
+    "q146_join_health" ->
+      """WITH l AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS lc
+           FROM orders GROUP BY 1),
+         r AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS rc
+           FROM lineitem GROUP BY 1),
+         m AS (SELECT l.lc, r.rc FROM l FULL OUTER JOIN r ON l.k = r.k)
+         SELECT
+           CAST(sum(coalesce(lc, 0)) AS BIGINT) AS rows_left,
+           CAST(sum(coalesce(rc, 0)) AS BIGINT) AS rows_right,
+           CAST(sum(CASE WHEN lc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS keys_left,
+           CAST(sum(CASE WHEN rc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS keys_right,
+           CAST(sum(CASE WHEN lc IS NOT NULL AND rc IS NOT NULL
+             THEN 1 ELSE 0 END) AS BIGINT) AS keys_common,
+           CAST(sum(CASE WHEN lc IS NOT NULL AND rc IS NULL
+             THEN 1 ELSE 0 END) AS BIGINT) AS keys_left_only,
+           CAST(sum(CASE WHEN lc IS NULL AND rc IS NOT NULL
+             THEN 1 ELSE 0 END) AS BIGINT) AS keys_right_only,
+           CAST(sum(CASE WHEN lc IS NOT NULL AND rc IS NOT NULL
+             THEN lc * rc ELSE 0 END) AS BIGINT) AS join_rows,
+           CAST(max(CASE WHEN lc IS NOT NULL AND rc IS NOT NULL
+             THEN lc * rc ELSE 0 END) AS BIGINT) AS max_key_rows
+         FROM m""",
     "q142_skyline" ->
       """WITH o AS (SELECT o_orderpriority AS priority,
            CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
