@@ -324,9 +324,32 @@ object EventQueries {
   def q143StreamCompact(s: SparkSession, dir: String): DataFrame =
     EventStream.compactOnce(s, dir).orderBy("user_id")
 
+  /** q148: exponentially time-decayed value per user — the
+    * feature-store staple (recent activity counts more: score =
+    * Σ v·e^(−λ·age)) with the float-sum hazard removed: the decay
+    * factor is micro-quantized PER EVENT (`round(e^(−0.05·age_days)
+    * ·1e6)` — exp of identical doubles in both engines, the q120 ln
+    * precedent), so the per-user aggregation is an exact integer sum
+    * in micro-cents — order-independent, map-side combinable, one
+    * groupBy. A raw double Σ v·e^(−λ·age) would hash-diverge under
+    * repartitioning; this never can. */
+  def q148DecayedValue(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"),
+        graft.functions.Exact.cents(col("value")).as("v"),
+        datediff(lit("2024-02-01").cast("date"), to_date(col("ts")))
+          .cast("long").as("age_days"))
+      .withColumn("decay_micro",
+        round(exp(col("age_days") * lit(-0.05)) * 1e6).cast("long"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("v * decay_micro")).as("score_micro_cents"))
+      .orderBy("user_id")
+
   val queries: Map[String, Q] = Map(
     "q139_ab_test" -> (q139AbTest _),
     "q143_stream_compact" -> (q143StreamCompact _),
+    "q148_decayed_value" -> (q148DecayedValue _),
     "q133_attribution" -> (q133Attribution _),
     "q135_transitions" -> (q135Transitions _),
     "q108_stream_curation" -> (q108StreamCuration _),
@@ -388,6 +411,19 @@ object EventQueries {
        ORDER BY user_id"""
 
   val oracles: Map[String, String] = Map(
+    "q148_decayed_value" ->
+      s"""WITH $evCte,
+         e AS (SELECT user_id, CAST(round(value*100) AS BIGINT) AS v,
+             CAST(date_diff('day', CAST(ts AS DATE), DATE '2024-02-01')
+               AS BIGINT) AS age_days
+           FROM ev),
+         d AS (SELECT user_id, v,
+             CAST(round(exp(age_days * -0.05) * 1e6) AS BIGINT)
+               AS decay_micro
+           FROM e)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(v * decay_micro) AS BIGINT) AS score_micro_cents
+         FROM d GROUP BY user_id ORDER BY user_id""",
     "q143_stream_compact" -> compactSql,
     "q139_ab_test" ->
       s"""WITH $evCte,

@@ -401,7 +401,45 @@ object TextQueries {
       .orderBy("source1", "source2")
   }
 
+  /** q147: distinctive terms per source — log-odds with a +1 prior
+    * (the "Fightin' Words" shape, Monroe et al. 2008): for each
+    * (source, term), δ = ln((a+1)/(A−a+1)) − ln((b+1)/(B−b+1)) where
+    * a/A are the term/total counts inside the source and b/B outside
+    * it — the corpus-comparison readout ("what characterizes this
+    * source") a curation team reads before reweighting a mixture.
+    * Every ln input is a ratio of exact integer counts (identical
+    * doubles both engines), δ is micro-quantized, and the top-3
+    * ranking per source runs over the VOCAB-sized frame, never the
+    * corpus. Two combinable groupBys + broadcast totals + one
+    * window over (source × vocab). */
+  def q147DistinctiveTerms(s: SparkSession, dir: String): DataFrame = {
+    val tf = toks(s, dir)
+      .select(explode(col("toks")).as("term"),
+        col("doc_id"))
+      .join(Tables.documents(s, dir).select("doc_id", "source"),
+        Seq("doc_id"))
+      .groupBy("source", "term").agg(count(lit(1)).as("a"))
+    val termTot = tf.groupBy("term").agg(sum("a").as("t"))
+    val srcTot = tf.groupBy("source").agg(sum("a").as("sA"))
+    val grand = tf.agg(sum("a").as("g"))
+    val scored = tf.join(broadcast(termTot), Seq("term"))
+      .join(broadcast(srcTot), Seq("source"))
+      .crossJoin(broadcast(grand))
+      .withColumn("b", col("t") - col("a"))
+      .withColumn("bB", col("g") - col("sA"))
+      .withColumn("delta_micro", graft.functions.Exact.micro(
+        log((col("a") + 1).cast("double") / (col("sA") - col("a") + 1)) -
+          log((col("b") + 1).cast("double") / (col("bB") - col("b") + 1))))
+    val w = Window.partitionBy("source")
+      .orderBy(col("delta_micro").desc, col("term"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("source", "term", "a", "delta_micro", "rnk")
+      .orderBy("source", "rnk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q147_distinctive_terms" -> (q147DistinctiveTerms _),
     "q145_source_similarity" -> (q145SourceSimilarity _),
     "q144_chunking" -> (q144Chunking _),
     "q114_mixture_sample" -> (q114MixtureSample _),
@@ -465,6 +503,26 @@ object TextQueries {
     s"CAST(round(($e)*1e6) AS BIGINT)/1e6"
 
   val oracles: Map[String, String] = Map(
+    "q147_distinctive_terms" ->
+      s"""WITH $toksCte,
+         tfw AS (SELECT t.doc_id, unnest(t.toks) AS term FROM toks t),
+         tf AS (SELECT d.source, w.term, CAST(count(*) AS BIGINT) AS a
+           FROM tfw w JOIN documents d USING (doc_id)
+           GROUP BY 1, 2),
+         tt AS (SELECT term, CAST(sum(a) AS BIGINT) AS t FROM tf GROUP BY 1),
+         st AS (SELECT source, CAST(sum(a) AS BIGINT) AS sa FROM tf GROUP BY 1),
+         g AS (SELECT CAST(sum(a) AS BIGINT) AS g FROM tf),
+         sc AS (SELECT tf.source, tf.term, tf.a,
+             CAST(round((ln(CAST(tf.a + 1 AS DOUBLE) / (st.sa - tf.a + 1))
+               - ln(CAST(tt.t - tf.a + 1 AS DOUBLE)
+                 / (g.g - st.sa - (tt.t - tf.a) + 1))) * 1e6) AS BIGINT)
+               AS delta_micro
+           FROM tf JOIN tt USING (term) JOIN st USING (source) CROSS JOIN g),
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
+             ORDER BY delta_micro DESC, term) AS INTEGER) AS rnk
+           FROM sc)
+         SELECT source, term, a, delta_micro, rnk
+         FROM r WHERE rnk <= 3 ORDER BY source, rnk""",
     "q145_source_similarity" ->
       s"""WITH $toksCte,
          sets AS (SELECT doc_id,
