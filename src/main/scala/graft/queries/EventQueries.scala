@@ -346,10 +346,46 @@ object EventQueries {
         sum(expr("v * decay_micro")).as("score_micro_cents"))
       .orderBy("user_id")
 
+  /** q149: RFM segmentation — the classic customer-value grid
+    * (Recency / Frequency / Monetary, each scored 1–4 against FIXED
+    * thresholds so the segmentation is data-independent and
+    * reproducible across batches): one per-user purchase roll-up
+    * (map-side-combinable min/count/sum), pure map-side scoring, and
+    * a 64-cell segment groupBy. Shuffles carry user-cardinality rows
+    * once, then segment cells. */
+  def q149RfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        graft.functions.Exact.cents(col("value")).as("v"),
+        datediff(lit("2024-02-01").cast("date"), to_date(col("ts")))
+          .cast("long").as("age_days"))
+      .groupBy("user_id")
+      .agg(min("age_days").as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum("v").as("monetary_cents"))
+    per
+      .withColumn("r_score", expr(
+        "CASE WHEN recency_days <= 3 THEN 4 WHEN recency_days <= 5 THEN 3" +
+          " WHEN recency_days <= 10 THEN 2 ELSE 1 END"))
+      .withColumn("f_score", expr(
+        "CASE WHEN frequency >= 20 THEN 4 WHEN frequency >= 13 THEN 3" +
+          " WHEN frequency >= 7 THEN 2 ELSE 1 END"))
+      .withColumn("m_score", expr(
+        "CASE WHEN monetary_cents >= 30000 THEN 4" +
+          " WHEN monetary_cents >= 15000 THEN 3" +
+          " WHEN monetary_cents >= 5000 THEN 2 ELSE 1 END"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_users"),
+        sum("monetary_cents").as("sum_monetary_cents"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
   val queries: Map[String, Q] = Map(
     "q139_ab_test" -> (q139AbTest _),
     "q143_stream_compact" -> (q143StreamCompact _),
     "q148_decayed_value" -> (q148DecayedValue _),
+    "q149_rfm_segments" -> (q149RfmSegments _),
     "q133_attribution" -> (q133Attribution _),
     "q135_transitions" -> (q135Transitions _),
     "q108_stream_curation" -> (q108StreamCuration _),
@@ -411,6 +447,29 @@ object EventQueries {
        ORDER BY user_id"""
 
   val oracles: Map[String, String] = Map(
+    "q149_rfm_segments" ->
+      s"""WITH $evCte,
+         per AS (SELECT user_id,
+             CAST(min(date_diff('day', CAST(ts AS DATE), DATE '2024-02-01'))
+               AS BIGINT) AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+           FROM ev WHERE event_type = 'purchase' GROUP BY user_id),
+         sc AS (SELECT *,
+             CASE WHEN recency_days <= 3 THEN 4
+               WHEN recency_days <= 5 THEN 3
+               WHEN recency_days <= 10 THEN 2 ELSE 1 END AS r_score,
+             CASE WHEN frequency >= 20 THEN 4 WHEN frequency >= 13 THEN 3
+               WHEN frequency >= 7 THEN 2 ELSE 1 END AS f_score,
+             CASE WHEN monetary_cents >= 30000 THEN 4
+               WHEN monetary_cents >= 15000 THEN 3
+               WHEN monetary_cents >= 5000 THEN 2 ELSE 1 END AS m_score
+           FROM per)
+         SELECT r_score, f_score, m_score,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(monetary_cents) AS BIGINT) AS sum_monetary_cents
+         FROM sc GROUP BY 1, 2, 3 ORDER BY r_score, f_score, m_score""",
     "q148_decayed_value" ->
       s"""WITH $evCte,
          e AS (SELECT user_id, CAST(round(value*100) AS BIGINT) AS v,

@@ -593,7 +593,49 @@ object MiscQueries {
           .as("max_key_rows"))
   }
 
+  /** q150: per-group ship-latency percentiles — p50/p90/p99 of
+    * (ship date − order date) PER PRIORITY, the SLA report, computed
+    * with the q128 histogram discipline but grouped: latencies are
+    * small integers (days), so the day itself is the bucket, the
+    * per-(priority, day) histogram is one combinable groupBy over
+    * the join, and each priority's cumulative curve is a window over
+    * its ≤ hundreds of day rows — the percentile is EXACT at day
+    * granularity, and nothing ever sorts the fact rows. The
+    * lineitem⋈orders join is the only fact-sized operation (keyed,
+    * AQE-broadcastable at small sf). */
+  def q150LatencyPercentiles(s: SparkSession, dir: String): DataFrame = {
+    val lat = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("ship"))
+      .join(Tables.orders(s, dir)
+        .select(col("o_orderkey").as("l_orderkey"),
+          to_date(col("o_orderdate")).as("odate"),
+          col("o_orderpriority").as("priority")),
+        Seq("l_orderkey"))
+      .select(col("priority"),
+        datediff(col("ship"), col("odate")).cast("long").as("d"))
+    val hist = lat.groupBy("priority", "d").agg(count(lit(1)).as("cnt"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy("priority").orderBy("d")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy("priority")
+    val cum = hist.withColumn("cum", sum("cnt").over(wc))
+      .withColumn("n", sum("cnt").over(wn))
+    val pcts = s.range(1).select(explode(
+      array(lit(500), lit(900), lit(990))).as("pct"))
+    pcts.join(cum, col("cum") >= expr("(pct * n + 999) div 1000"))
+      .groupBy("priority", "pct", "n")
+      .agg(min(struct(col("d"), col("cum"))).as("sel"))
+      .withColumn("target_rank", expr("(pct * n + 999) div 1000"))
+      .withColumn("latency_days", col("sel.d"))
+      .withColumn("n_at_or_below", col("sel.cum"))
+      .select("priority", "pct", "n", "target_rank", "latency_days",
+        "n_at_or_below")
+      .orderBy("priority", "pct")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q150_latency_percentiles" -> (q150LatencyPercentiles _),
     "q146_join_health" -> (q146JoinHealth _),
     "q142_skyline" -> (q142Skyline _),
     "q137_grouped_ols" -> (q137GroupedOls _),
@@ -637,6 +679,27 @@ object MiscQueries {
          || CAST($k AS VARCHAR)), ${3 * j + 3}, 1)) - 1)"""
 
   val oracles: Map[String, String] = Map(
+    "q150_latency_percentiles" ->
+      """WITH lat AS (SELECT o.o_orderpriority AS priority,
+           CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+             CAST(l.l_shipdate AS DATE)) AS BIGINT) AS d
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         h AS (SELECT priority, d, CAST(count(*) AS BIGINT) AS cnt
+           FROM lat GROUP BY 1, 2),
+         c AS (SELECT *, CAST(sum(cnt) OVER (PARTITION BY priority
+             ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(sum(cnt) OVER (PARTITION BY priority) AS BIGINT) AS n
+           FROM h),
+         pcts AS (SELECT unnest([500, 900, 990]) AS pct),
+         sel AS (SELECT c.priority, p.pct, c.n, min(c.d) AS sd
+           FROM pcts p, c
+           WHERE c.cum >= (p.pct * c.n + 999) // 1000
+           GROUP BY 1, 2, 3)
+         SELECT s.priority, s.pct, s.n,
+           (s.pct * s.n + 999) // 1000 AS target_rank,
+           s.sd AS latency_days, c.cum AS n_at_or_below
+         FROM sel s JOIN c ON c.priority = s.priority AND c.d = s.sd
+         ORDER BY s.priority, s.pct""",
     "q146_join_health" ->
       """WITH l AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS lc
            FROM orders GROUP BY 1),
