@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Coalesce, CreateArray, Expression, ExpressionInfo, GetArrayItem, If, IsNull, Least, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -29,6 +30,14 @@ object AggExpressions {
   case class MinhashMergeAgg(child: Expression, n: Int)
       extends DeclarativeAggregate with UnaryLike[Expression] {
 
+    // surface a clear analysis error for a non-array<bigint> child
+    // instead of a confusing GetArrayItem/Least resolution failure
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"graft_minhash_agg expects array<bigint>, got ${other.catalogString}")
+      }
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = false
     override def prettyName: String = "graft_minhash_agg"
@@ -68,6 +77,11 @@ object AggExpressions {
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_minhash_agg"),
       new ExpressionInfo(classOf[MinhashMergeAgg].getName, "graft_minhash_agg"),
-      (es: Seq[Expression]) =>
-        MinhashMergeAgg(es.head, intArg(es(1), "graft_minhash_agg"))))
+      (es: Seq[Expression]) => {
+        // arity checked here so a wrong call surfaces as an analysis
+        // error, not an IndexOutOfBoundsException from the builder
+        if (es.length != 2) throw new IllegalArgumentException(
+          s"graft_minhash_agg(sig, n) expects 2 arguments, got ${es.length}")
+        MinhashMergeAgg(es.head, intArg(es(1), "graft_minhash_agg"))
+      }))
 }

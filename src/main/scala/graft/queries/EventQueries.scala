@@ -200,20 +200,11 @@ object EventQueries {
     * carries only per-user partial maxima — at 100 TB that map-side
     * combine is the difference from the window-row_number spelling
     * the oracle uses, which must shuffle every key's full history
-    * before sorting it. No window, no join. */
+    * before sorting it. No window, no join. The aggregation lives in
+    * [[graft.streaming.EventStream.compact]], shared VERBATIM with
+    * the q143 streaming half so the parity pair can never drift. */
   def q130ChangelogCompact(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
-        graft.functions.Exact.cents(col("value")).as("v"))
-      .groupBy("user_id")
-      .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
-          col("v"))).as("last"),
-        count(lit(1)).as("n_changes"))
-      .select(col("user_id"), col("last.event_id").as("last_event_id"),
-        col("last.event_type").as("last_type"),
-        col("last.v").as("last_value_cents"),
-        col("last.ts").as("last_ts"), col("n_changes"))
-      .orderBy("user_id")
+    EventStream.compact(Tables.events(s, dir)).orderBy("user_id")
 
   /** q133: linear multi-touch attribution — each purchase's value
     * split equally across the user's views in the preceding 30
@@ -288,10 +279,17 @@ object EventQueries {
     * double formula in both engines and r6-quantized. At 100 TB:
     * one map-side pass, a 5-row shuffle. */
   def q139AbTest(s: SparkSession, dir: String): DataFrame = {
+    // variance numerators in DECIMAL(38,0): na·ssa and sa² scale as
+    // sf² and pass Long.MaxValue between sf1 and sf10 (the q137
+    // guard); the exact integer then collapses to a double once
     val zSql =
       """(sa / na - sb / nb) / sqrt(
-           (na * ssa - sa * sa) / (na * (na - 1.0)) / na
-         + (nb * ssb - sb * sb) / (nb * (nb - 1.0)) / nb)"""
+           CAST(CAST(na AS DECIMAL(38,0)) * ssa
+             - CAST(sa AS DECIMAL(38,0)) * sa AS DOUBLE)
+             / (na * (na - 1.0)) / na
+         + CAST(CAST(nb AS DECIMAL(38,0)) * ssb
+             - CAST(sb AS DECIMAL(38,0)) * sb AS DOUBLE)
+             / (nb * (nb - 1.0)) / nb)"""
     val ev = Tables.events(s, dir)
       .select(col("event_type"),
         graft.functions.Exact.cents(col("value")).as("v"),
@@ -509,8 +507,12 @@ object EventQueries {
              CAST(round(sa / na * 1e6) AS BIGINT) / 1e6 AS mean_a_r6,
              CAST(round(sb / nb * 1e6) AS BIGINT) / 1e6 AS mean_b_r6,
              CAST(round(((sa / na - sb / nb) / sqrt(
-                 (na * ssa - sa * sa) / (na * (na - 1.0)) / na
-               + (nb * ssb - sb * sb) / (nb * (nb - 1.0)) / nb)) * 1e6)
+                 CAST(CAST(na AS HUGEINT) * ssa
+                   - CAST(sa AS HUGEINT) * sa AS DOUBLE)
+                   / (na * (na - 1.0)) / na
+               + CAST(CAST(nb AS HUGEINT) * ssb
+                   - CAST(sb AS HUGEINT) * sb AS DOUBLE)
+                   / (nb * (nb - 1.0)) / nb)) * 1e6)
                AS BIGINT) / 1e6 AS z_r6
            FROM m)
          SELECT event_type, na, nb, mean_a_r6, mean_b_r6, z_r6,

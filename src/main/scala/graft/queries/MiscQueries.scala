@@ -332,7 +332,13 @@ object MiscQueries {
     * pruned. Block bitmaps merge by bitwise OR (the same monoid
     * family as q120/q122), so shard-built filters combine without a
     * rescan. This is the manual spelling of what DPP/runtime filters
-    * do, with deterministic hashes so the oracle can replay it. */
+    * do, with deterministic hashes so the oracle can replay it.
+    *
+    * The report's instrumentation legs (n_rows / n_bloom_pass over
+    * ALL rows) deliberately re-scan the fact side once more than a
+    * production filter+join would — the measured pass-rate is the
+    * point of the query; the operator itself (bloom filter → semi
+    * join) reads the fact table once. */
   def q126BloomPrune(s: SparkSession, dir: String): DataFrame = {
     val B = 1024L // keys per block; FP stays ~0.3% at every sf
     // all 3 positions come from ONE md5: hex digits 1-3, 4-6, 7-9 —

@@ -239,10 +239,15 @@ object MlQueries {
     // diverge across engines through order-dependent SUMS, which all
     // happen in integer space here). Without it the argmax is biased
     // to the largest-magnitude centroid.
+    // dot/norm accumulation in DECIMAL(38,0): w and c reach ~1e10 on
+    // long documents, so c·c and w·c pass Long.MaxValue well before
+    // the target scale — the q137/q139 guard (a Long sum would wrap
+    // silently on Spark while the oracle's HUGEINT errors)
     val norms = cent.groupBy("clang")
-      .agg(sum(expr("c * c")).as("normsq"))
+      .agg(sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("normsq"))
     val pred = w.join(cent, Seq("term"))
-      .groupBy("doc_id", "clang").agg(sum(expr("w * c")).as("score"))
+      .groupBy("doc_id", "clang")
+      .agg(sum(expr("CAST(w AS DECIMAL(38,0)) * c")).as("score"))
       .join(broadcast(norms), Seq("clang"))
       .withColumn("cosn",
         col("score").cast("double") / sqrt(col("normsq").cast("double")))
@@ -313,10 +318,10 @@ object MlQueries {
            FROM w JOIN documents d USING (doc_id)
            JOIN ls ON ls.lang = d.lang
            GROUP BY d.lang, w.term, ls.n_lang),
-         nrm AS (SELECT clang, CAST(sum(c * c) AS BIGINT) AS normsq
+         nrm AS (SELECT clang, sum(CAST(c AS HUGEINT) * c) AS normsq
            FROM cent GROUP BY 1),
          sc AS (SELECT w.doc_id, cent.clang,
-             CAST(sum(w.w * cent.c) AS BIGINT) AS score
+             sum(CAST(w.w AS HUGEINT) * cent.c) AS score
            FROM w JOIN cent ON cent.term = w.term
            GROUP BY 1, 2),
          scn AS (SELECT sc.doc_id, sc.clang,

@@ -380,16 +380,17 @@ object SourceQueries {
       .withColumn("z", expr(
         """(da div 4) * 32 + (pb div 4) * 16 + ((da div 2) % 2) * 8
            + ((pb div 2) % 2) * 4 + (da % 2) * 2 + (pb % 2)"""))
-    // box query: order date in 1997, total ≥ $50k
+    // box query: order date in 1997 (1995+1996 = 365+366 days, so
+    // 1997-01-01 is dnum 731 and 1997-12-31 is dnum 1095), ≥ $50k
     val boxed = o.withColumn("in_box", expr(
-      "dnum >= 730 AND dnum <= 1094 AND cents >= 5000000"))
+      "dnum >= 731 AND dnum <= 1095 AND cents >= 5000000"))
     boxed.groupBy("z")
       .agg(count(lit(1)).as("n_rows"),
         min("dnum").as("min_dnum"), max("dnum").as("max_dnum"),
         min("cents").as("min_cents"), max("cents").as("max_cents"),
         sum(col("in_box").cast("long")).as("n_match"))
       .withColumn("overlaps_box", expr(
-        "max_dnum >= 730 AND min_dnum <= 1094 AND max_cents >= 5000000"))
+        "max_dnum >= 731 AND min_dnum <= 1095 AND max_cents >= 5000000"))
       .select("z", "n_rows", "min_dnum", "max_dnum", "min_cents",
         "max_cents", "overlaps_box", "n_match")
       .orderBy("z")
@@ -491,7 +492,7 @@ object SourceQueries {
          zc AS (SELECT dnum, cents,
              (da // 4) * 32 + (pb // 4) * 16 + ((da // 2) % 2) * 8
                + ((pb // 2) % 2) * 4 + (da % 2) * 2 + (pb % 2) AS z,
-             CASE WHEN dnum >= 730 AND dnum <= 1094
+             CASE WHEN dnum >= 731 AND dnum <= 1095
                AND cents >= 5000000 THEN 1 ELSE 0 END AS in_box
            FROM b)
          SELECT z, CAST(count(*) AS BIGINT) AS n_rows,
@@ -499,7 +500,7 @@ object SourceQueries {
            CAST(max(dnum) AS BIGINT) AS max_dnum,
            CAST(min(cents) AS BIGINT) AS min_cents,
            CAST(max(cents) AS BIGINT) AS max_cents,
-           max(dnum) >= 730 AND min(dnum) <= 1094
+           max(dnum) >= 731 AND min(dnum) <= 1095
              AND max(cents) >= 5000000 AS overlaps_box,
            CAST(sum(in_box) AS BIGINT) AS n_match
          FROM zc GROUP BY z ORDER BY z""",

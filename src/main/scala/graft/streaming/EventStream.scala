@@ -77,16 +77,14 @@ object EventStream {
   }
   }
 
-  /** Streaming CDC compaction — q130's latest-wins snapshot maintained
-    * CONTINUOUSLY: the same `max(struct(ts, event_id, payload…))`
-    * aggregation run as a complete-mode streaming agg, so each trigger
-    * the memory sink holds the current per-key snapshot (a
-    * materialized view the stream keeps fresh — the q140 maintenance
-    * identity, but with the state store doing the merge). The batch
-    * q130 oracle verifies the drained snapshot bit-for-bit. */
-  def compactOnce(s: SparkSession, dir: String): DataFrame = { drainSized(s) {
-    val name = s"graft_stream_compact_${runIdx.incrementAndGet()}"
-    val q = eventsStream(s, dir)
+  /** The latest-wins changelog compaction, shared verbatim by the
+    * batch (q130) and streaming (q143) halves of the parity pair so
+    * the two paths can never drift apart: one `max(struct(ts,
+    * event_id, payload…))` aggregation — the struct compares (ts,
+    * event_id) first, a unique total order, so the payload rides
+    * along for free. */
+  def compact(events: DataFrame): DataFrame =
+    events
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
         Exact.cents(col("value")).as("v"))
       .groupBy("user_id")
@@ -97,6 +95,17 @@ object EventStream {
         col("last.event_type").as("last_type"),
         col("last.v").as("last_value_cents"),
         col("last.ts").as("last_ts"), col("n_changes"))
+
+  /** Streaming CDC compaction — q130's latest-wins snapshot maintained
+    * CONTINUOUSLY: [[compact]] run as a complete-mode streaming agg,
+    * so each trigger the memory sink holds the current per-key
+    * snapshot (a materialized view the stream keeps fresh — the q140
+    * maintenance identity, but with the state store doing the merge).
+    * The batch q130 oracle verifies the drained snapshot
+    * bit-for-bit. */
+  def compactOnce(s: SparkSession, dir: String): DataFrame = { drainSized(s) {
+    val name = s"graft_stream_compact_${runIdx.incrementAndGet()}"
+    val q = compact(eventsStream(s, dir))
       .writeStream.format("memory").queryName(name)
       .outputMode("complete")
       .trigger(Trigger.AvailableNow())

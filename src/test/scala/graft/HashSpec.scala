@@ -84,9 +84,8 @@ class HashSpec extends AnyFunSuite {
     assert(direct === merged)
     // plan: partial aggregation before the exchange (the whole point)
     val plan = native.queryExecution.executedPlan.toString
-    assert(plan.contains("partial_graft_minhash_agg") ||
-      plan.contains("HashAggregate"),
-      s"graft_minhash_agg must plan as a combinable hash agg:\n$plan")
+    assert(plan.contains("partial_graft_minhash_agg"),
+      s"graft_minhash_agg must combine map-side (partial mode):\n$plan")
   }
 
   test("simhash32 native == HOF") {
