@@ -379,11 +379,79 @@ object EventQueries {
       .orderBy("r_score", "f_score", "m_score")
   }
 
+  /** q151: inter-purchase gaps and churn risk — per user, the purchase
+    * cadence (count, max gap between consecutive purchases, days
+    * since the last one) and a fixed-threshold churn flag (quiet
+    * > 7 days OR a historical gap > 14). One user-keyed lag window
+    * over the PURCHASE subset (the fact table filters first), gaps
+    * in exact whole days via integer microsecond division, then a
+    * combinable per-user agg. */
+  def q151ChurnRisk(s: SparkSession, dir: String): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("gap_days", expr(
+        "(unix_micros(ts) - lag(unix_micros(ts), 1) OVER " +
+          "(PARTITION BY user_id ORDER BY ts, event_id)) div 86400000000"))
+      .withColumn("age_days",
+        datediff(lit("2024-02-01").cast("date"), to_date(col("ts")))
+          .cast("long"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        max("gap_days").as("max_gap_days"),
+        min("age_days").as("last_purchase_age_days"))
+      .withColumn("churn_risk", expr(
+        "last_purchase_age_days > 7 OR coalesce(max_gap_days, 0) > 14"))
+      .orderBy("user_id")
+  }
+
+  /** q152: session outcomes — q34's gap sessions classified by funnel
+    * result (converted / abandoned_cart / browsed / other), the
+    * shopping-funnel health readout: a session that viewed AND
+    * clicked but never purchased is an abandoned cart. The same
+    * single user-keyed shuffle as the sessionizer (lag + running-sum
+    * windows share one partitioning), per-session flags are
+    * max(CASE) aggregates, and the outcome roll-up is 4 cells. */
+  def q152SessionOutcomes(s: SparkSession, dir: String): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val cum = byUser.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val gapUs = 30 * 60L * 1000000L
+    Tables.events(s, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("sess_id", sum("new_sess").over(cum))
+      .groupBy("user_id", "sess_id")
+      .agg(max(when(col("event_type") === "view", 1L).otherwise(0L))
+          .as("has_view"),
+        max(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("has_click"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("has_purchase"),
+        count(lit(1)).as("n_events"))
+      .withColumn("outcome", expr(
+        """CASE WHEN has_purchase = 1 THEN 'converted'
+           WHEN has_view = 1 AND has_click = 1 THEN 'abandoned_cart'
+           WHEN has_view = 1 THEN 'browsed'
+           ELSE 'other' END"""))
+      .groupBy("outcome")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("sum_events"))
+      .orderBy("outcome")
+  }
+
   val queries: Map[String, Q] = Map(
     "q139_ab_test" -> (q139AbTest _),
     "q143_stream_compact" -> (q143StreamCompact _),
     "q148_decayed_value" -> (q148DecayedValue _),
     "q149_rfm_segments" -> (q149RfmSegments _),
+    "q151_churn_risk" -> (q151ChurnRisk _),
+    "q152_session_outcomes" -> (q152SessionOutcomes _),
     "q133_attribution" -> (q133Attribution _),
     "q135_transitions" -> (q135Transitions _),
     "q108_stream_curation" -> (q108StreamCuration _),
@@ -445,6 +513,49 @@ object EventQueries {
        ORDER BY user_id"""
 
   val oracles: Map[String, String] = Map(
+    "q151_churn_risk" ->
+      s"""WITH $evCte,
+         p AS (SELECT user_id, ts, event_id,
+             (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id)) // 86400000000 AS gap_days,
+             CAST(date_diff('day', CAST(ts AS DATE), DATE '2024-02-01')
+               AS BIGINT) AS age_days
+           FROM ev WHERE event_type = 'purchase'),
+         a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+             CAST(max(gap_days) AS BIGINT) AS max_gap_days,
+             CAST(min(age_days) AS BIGINT) AS last_purchase_age_days
+           FROM p GROUP BY user_id)
+         SELECT user_id, n_purchases, max_gap_days, last_purchase_age_days,
+           last_purchase_age_days > 7 OR coalesce(max_gap_days, 0) > 14
+             AS churn_risk
+         FROM a ORDER BY user_id""",
+    "q152_session_outcomes" ->
+      s"""WITH $evCte,
+         e AS (SELECT *, lag(epoch_us(ts)) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us FROM ev),
+         f AS (SELECT *, CASE WHEN prev_us IS NULL
+             OR epoch_us(ts) - prev_us > 1800000000
+           THEN 1 ELSE 0 END AS new_sess FROM e),
+         g AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS sess_id FROM f),
+         sflag AS (SELECT user_id, sess_id,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               AS has_view,
+             max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS has_click,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS has_purchase,
+             CAST(count(*) AS BIGINT) AS n_events
+           FROM g GROUP BY 1, 2),
+         o AS (SELECT CASE WHEN has_purchase = 1 THEN 'converted'
+             WHEN has_view = 1 AND has_click = 1 THEN 'abandoned_cart'
+             WHEN has_view = 1 THEN 'browsed'
+             ELSE 'other' END AS outcome, n_events
+           FROM sflag)
+         SELECT outcome, CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS sum_events
+         FROM o GROUP BY outcome ORDER BY outcome""",
     "q149_rfm_segments" ->
       s"""WITH $evCte,
          per AS (SELECT user_id,
