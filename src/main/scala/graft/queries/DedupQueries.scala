@@ -279,7 +279,46 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** q153: dup-graph degree distribution with a power-law fit — the
+    * duplication-structure audit of a corpus: how many documents have
+    * k near-duplicates, and the log-log slope of that curve (heavy
+    * boilerplate shows up as a fat tail; the slope is the number a
+    * crawl-health dashboard tracks). Degrees come from one explode +
+    * combinable count over the shared LSH pair frame; the
+    * distribution is a groupBy over DEGREES (bounded by the
+    * hot-bucket cap); the ln(k)/ln(count) regression reuses the q137
+    * closed form with both coordinates micro-quantized per POINT, so
+    * the fit is exact integer moments + one scalar double division.
+    * Output: per-degree rows with the fit constants attached. */
+  def q153DegreeDist(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Shared.dupPairs(s, dir).select("doc1", "doc2")
+    val deg = pairs.select(col("doc1").as("doc_id"))
+      .unionByName(pairs.select(col("doc2").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+    val dist = deg.groupBy("degree").agg(count(lit(1)).as("n_docs"))
+    val pts = dist.select(
+      graft.functions.Exact.micro(log(col("degree").cast("double")))
+        .as("x"),
+      graft.functions.Exact.micro(log(col("n_docs").cast("double")))
+        .as("y"))
+    val fit = pts.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum("y").as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"))
+      .withColumn("num", expr(
+        "CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+      .withColumn("den", expr(
+        "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+      .withColumn("slope_r6", graft.functions.Exact.r6(
+        expr("CAST(num AS DOUBLE) / CAST(den AS DOUBLE)")))
+      .select(col("n").as("n_degree_levels"), col("slope_r6"))
+    dist.crossJoin(broadcast(fit))
+      .select("degree", "n_docs", "n_degree_levels", "slope_r6")
+      .orderBy("degree")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q153_degree_dist" -> (q153DegreeDist _),
     "q129_triangles" -> (q129Triangles _),
     "q123_split_leakage" -> (q123SplitLeakage _),
     "q36_connected_components" -> (q36ConnectedComponents _),
@@ -306,6 +345,32 @@ object DedupQueries {
          FROM reach GROUP BY a)"""
 
   val oracles: Map[String, String] = Map(
+    "q153_degree_dist" ->
+      s"""WITH ${TextQueries.lshDupPairsCtes},
+         deg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS degree FROM
+           (SELECT doc1 AS doc_id FROM dup_pairs
+            UNION ALL SELECT doc2 FROM dup_pairs)
+           GROUP BY doc_id),
+         dist AS (SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
+           FROM deg GROUP BY degree),
+         pts AS (SELECT
+             CAST(round(ln(CAST(degree AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+             CAST(round(ln(CAST(n_docs AS DOUBLE)) * 1e6) AS BIGINT) AS y
+           FROM dist),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             sum(CAST(x AS HUGEINT) * y) AS sxy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx
+           FROM pts),
+         f AS (SELECT n AS n_degree_levels,
+             CAST(round(CAST(CAST(n AS HUGEINT) * sxy
+                 - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+               / CAST(CAST(n AS HUGEINT) * sxx
+                 - CAST(sx AS HUGEINT) * sx AS DOUBLE) * 1e6)
+               AS BIGINT) / 1e6 AS slope_r6
+           FROM m)
+         SELECT d.degree, d.n_docs, f.n_degree_levels, f.slope_r6
+         FROM dist d CROSS JOIN f ORDER BY d.degree""",
     "q129_triangles" ->
       s"""WITH ${TextQueries.lshDupPairsCtes},
          e AS (SELECT doc1 AS a, doc2 AS b FROM dup_pairs),

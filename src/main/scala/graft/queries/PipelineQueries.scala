@@ -575,7 +575,49 @@ object PipelineQueries {
       .orderBy("bucket")
   }
 
+  /** q154: corpus concentration audit — the Gini coefficient of
+    * character mass across documents plus the share held by the
+    * largest decile: the "does 10% of the corpus carry half the
+    * tokens" number that decides whether length-stratified sampling
+    * is needed. Exact from GROUPED data: documents collapse to one
+    * row per distinct length (one combinable groupBy, ~hundreds of
+    * rows), the rank-weighted sum Σⱼ j·xⱼ is computed per length
+    * group in closed form (len·(cnt·cumPrev + cnt(cnt+1)/2)) with
+    * windows over LENGTH GROUPS only, and Gini = 2S/(nT) − (n+1)/n
+    * in integer milli — no per-document sort anywhere. The top-decile
+    * mass takes `n div 10` documents greedily from the longest length
+    * groups (a boundary group contributes a partial count), again in
+    * pure integer arithmetic. */
+  def q154TokenGini(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val g = Tables.documents(s, dir)
+      .groupBy("n_chars").agg(count(lit(1)).as("cnt"))
+    val wAsc = W.orderBy("n_chars").rowsBetween(W.unboundedPreceding, -1)
+    val wDesc = W.orderBy(col("n_chars").desc)
+      .rowsBetween(W.unboundedPreceding, -1)
+    val nRow = g.agg(sum("cnt").as("n"),
+      sum(expr("n_chars * cnt")).as("t_mass"))
+    g.withColumn("cum_prev", coalesce(sum("cnt").over(wAsc), lit(0L)))
+      .withColumn("cum_prev_desc",
+        coalesce(sum("cnt").over(wDesc), lit(0L)))
+      .withColumn("s_term", expr(
+        "CAST(n_chars AS DECIMAL(38,0)) * (cnt * cum_prev + cnt * (cnt + 1) div 2)"))
+      .crossJoin(broadcast(nRow))
+      .withColumn("take",
+        expr("least(cnt, greatest(0L, n div 10 - cum_prev_desc))"))
+      .withColumn("mass_take", expr("take * n_chars"))
+      .groupBy("n", "t_mass")
+      .agg(sum("s_term").as("s"), sum("mass_take").as("top_mass"))
+      .withColumn("gini_milli", expr(
+        """CAST((2 * s * 1000) div (CAST(n AS DECIMAL(38,0)) * t_mass)
+           AS BIGINT) - (n + 1) * 1000 div n"""))
+      .withColumn("top_decile_milli", expr("top_mass * 1000 div t_mass"))
+      .select(col("n").as("n_docs"), col("t_mass").as("total_chars"),
+        col("gini_milli"), col("top_decile_milli"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q154_token_gini" -> (q154TokenGini _),
     "q136_drift_psi" -> (q136DriftPsi _),
     "q102_pii_redaction" -> (q102PiiRedaction _),
     "q103_repetition" -> (q103Repetition _),
@@ -628,6 +670,33 @@ object PipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q154_token_gini" ->
+      """WITH g AS (SELECT n_chars, CAST(count(*) AS BIGINT) AS cnt
+           FROM documents GROUP BY 1),
+         nr AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+             CAST(sum(n_chars * cnt) AS BIGINT) AS t_mass FROM g),
+         t AS (SELECT g.*,
+             coalesce(CAST(sum(cnt) OVER (ORDER BY n_chars
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS BIGINT), 0) AS cum_prev,
+             coalesce(CAST(sum(cnt) OVER (ORDER BY n_chars DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS BIGINT), 0) AS cum_prev_desc
+           FROM g),
+         t2 AS (SELECT t.*, nr.n, nr.t_mass,
+             CAST(n_chars AS HUGEINT)
+               * (cnt * cum_prev + cnt * (cnt + 1) // 2) AS s_term,
+             least(cnt, greatest(0, nr.n // 10 - cum_prev_desc))
+               * n_chars AS mass_take
+           FROM t CROSS JOIN nr),
+         a AS (SELECT n, t_mass, sum(s_term) AS s,
+             CAST(sum(mass_take) AS BIGINT) AS top_mass
+           FROM t2 GROUP BY 1, 2)
+         SELECT n AS n_docs, t_mass AS total_chars,
+           CAST((2 * s * 1000) // (CAST(n AS HUGEINT) * t_mass) AS BIGINT)
+             - (n + 1) * 1000 // n AS gini_milli,
+           top_mass * 1000 // t_mass AS top_decile_milli
+         FROM a""",
     "q136_drift_psi" ->
       """WITH cells AS (SELECT
            CAST(least(n_chars // 50, 12) AS INTEGER) AS bucket,
