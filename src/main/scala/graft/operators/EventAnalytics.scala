@@ -34,7 +34,13 @@ object EventAnalytics {
     * windows; shuffles once on user_id and computes both windows in a
     * single pass (same partitioning). Timestamp arithmetic in exact
     * microseconds (`unix_micros` / DuckDB `epoch_us`). */
-  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+  /** The gap-session ASSIGNMENT stage alone (adds `sess_id` per
+    * event): one user-keyed shuffle, lag + running-sum share the
+    * partitioning. Shared by [[sessionize]] and the q152 outcome
+    * roll-up so the gap rule lives in exactly one place (the q78
+    * `session_window` variant deliberately differs — `>=` — and
+    * stays separate). */
+  def assignSessions(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val gapUs = gapMinutes * 60L * 1000000L
     events
@@ -44,6 +50,10 @@ object EventAnalytics {
           unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
       .withColumn("sess_id", sum("new_sess").over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    assignSessions(events, gapMinutes)
       .groupBy("user_id", "sess_id")
       .agg(
         min("ts").as("session_start"),

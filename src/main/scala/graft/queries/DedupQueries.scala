@@ -296,24 +296,30 @@ object DedupQueries {
       .unionByName(pairs.select(col("doc2").as("doc_id")))
       .groupBy("doc_id").agg(count(lit(1)).as("degree"))
     val dist = deg.groupBy("degree").agg(count(lit(1)).as("n_docs"))
-    val pts = dist.select(
-      graft.functions.Exact.micro(log(col("degree").cast("double")))
-        .as("x"),
-      graft.functions.Exact.micro(log(col("n_docs").cast("double")))
-        .as("y"))
-    val fit = pts.agg(count(lit(1)).as("n"), sum("x").as("sx"),
-        sum("y").as("sy"),
-        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
-        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"))
-      .withColumn("num", expr(
-        "CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
-      .withColumn("den", expr(
-        "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
-      .withColumn("slope_r6", graft.functions.Exact.r6(
-        expr("CAST(num AS DOUBLE) / CAST(den AS DOUBLE)")))
-      .select(col("n").as("n_degree_levels"), col("slope_r6"))
-    dist.crossJoin(broadcast(fit))
-      .select("degree", "n_docs", "n_degree_levels", "slope_r6")
+    // fit via full-frame window aggregates over the DIST rows — one
+    // pass, no second evaluation of the degree subtree (the crossJoin
+    // spelling re-planned deg→dist twice); the single-partition
+    // window is over degree LEVELS, bounded by the hot-bucket cap
+    val W = org.apache.spark.sql.expressions.Window
+    val wAll = W.partitionBy().rowsBetween(
+      W.unboundedPreceding, W.unboundedFollowing)
+    dist
+      .withColumn("x",
+        graft.functions.Exact.micro(log(col("degree").cast("double"))))
+      .withColumn("y",
+        graft.functions.Exact.micro(log(col("n_docs").cast("double"))))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("sx", sum("x").over(wAll))
+      .withColumn("sy", sum("y").over(wAll))
+      .withColumn("sxy",
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).over(wAll))
+      .withColumn("sxx",
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).over(wAll))
+      .withColumn("slope_r6", graft.functions.Exact.r6(expr(
+        s"CAST((${graft.functions.Fit.num}) AS DOUBLE)" +
+          s" / CAST((${graft.functions.Fit.den}) AS DOUBLE)")))
+      .select(col("degree"), col("n_docs"),
+        col("n").as("n_degree_levels"), col("slope_r6"))
       .orderBy("degree")
   }
 
@@ -363,10 +369,8 @@ object DedupQueries {
              sum(CAST(x AS HUGEINT) * x) AS sxx
            FROM pts),
          f AS (SELECT n AS n_degree_levels,
-             CAST(round(CAST(CAST(n AS HUGEINT) * sxy
-                 - CAST(sx AS HUGEINT) * sy AS DOUBLE)
-               / CAST(CAST(n AS HUGEINT) * sxx
-                 - CAST(sx AS HUGEINT) * sx AS DOUBLE) * 1e6)
+             CAST(round(CAST(${graft.functions.Fit.sqlNum} AS DOUBLE)
+               / CAST(${graft.functions.Fit.sqlDen} AS DOUBLE) * 1e6)
                AS BIGINT) / 1e6 AS slope_r6
            FROM m)
          SELECT d.degree, d.n_docs, f.n_degree_levels, f.slope_r6

@@ -392,9 +392,9 @@ object EventQueries {
     Tables.events(s, dir)
       .filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), col("event_id"))
-      .withColumn("gap_days", expr(
-        "(unix_micros(ts) - lag(unix_micros(ts), 1) OVER " +
-          "(PARTITION BY user_id ORDER BY ts, event_id)) div 86400000000"))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("gap_days",
+        expr("(unix_micros(ts) - prev_us) div 86400000000"))
       .withColumn("age_days",
         datediff(lit("2024-02-01").cast("date"), to_date(col("ts")))
           .cast("long"))
@@ -415,18 +415,7 @@ object EventQueries {
     * windows share one partitioning), per-session flags are
     * max(CASE) aggregates, and the outcome roll-up is 4 cells. */
   def q152SessionOutcomes(s: SparkSession, dir: String): DataFrame = {
-    val byUser = org.apache.spark.sql.expressions.Window
-      .partitionBy("user_id").orderBy("ts", "event_id")
-    val cum = byUser.rowsBetween(
-      org.apache.spark.sql.expressions.Window.unboundedPreceding,
-      org.apache.spark.sql.expressions.Window.currentRow)
-    val gapUs = 30 * 60L * 1000000L
-    Tables.events(s, dir)
-      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
-      .withColumn("new_sess",
-        when(col("prev_us").isNull ||
-          unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
-      .withColumn("sess_id", sum("new_sess").over(cum))
+    EventAnalytics.assignSessions(Tables.events(s, dir))
       .groupBy("user_id", "sess_id")
       .agg(max(when(col("event_type") === "view", 1L).otherwise(0L))
           .as("has_view"),
@@ -479,17 +468,25 @@ object EventQueries {
     """ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
        event_type, value, props FROM events)"""
 
+  /** DuckDB spelling of [[graft.operators.EventAnalytics.assignSessions]]
+    * (the `>`-gap rule) — ends in `g(…, sess_id)`; shared by the q34/
+    * q54 session roll-ups and the q152 outcome report so the gap rule
+    * has ONE oracle spelling (q78's `>=` session_window variant stays
+    * separate, deliberately). */
+  private val sessionAssignCtes =
+    """e AS (SELECT *, lag(epoch_us(ts)) OVER
+         (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us FROM ev),
+       f AS (SELECT *, CASE WHEN prev_us IS NULL
+           OR epoch_us(ts) - prev_us > 1800000000
+         THEN 1 ELSE 0 END AS new_sess FROM e),
+       g AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+         ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS sess_id FROM f)"""
+
   /** Shared by q34 (batch windows) and q54 (stateful streaming). */
   private val sessionsSql =
     s"""WITH $evCte,
-         e AS (SELECT *, lag(epoch_us(ts)) OVER
-           (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us FROM ev),
-         f AS (SELECT *, CASE WHEN prev_us IS NULL
-             OR epoch_us(ts) - prev_us > 1800000000
-           THEN 1 ELSE 0 END AS new_sess FROM e),
-         g AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
-           ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
-           FROM f)
+         $sessionAssignCtes
          SELECT user_id, sess_id,
            min(ts) AS session_start, max(ts) AS session_end,
            count(*) AS n_events,
@@ -531,14 +528,7 @@ object EventQueries {
          FROM a ORDER BY user_id""",
     "q152_session_outcomes" ->
       s"""WITH $evCte,
-         e AS (SELECT *, lag(epoch_us(ts)) OVER
-           (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us FROM ev),
-         f AS (SELECT *, CASE WHEN prev_us IS NULL
-             OR epoch_us(ts) - prev_us > 1800000000
-           THEN 1 ELSE 0 END AS new_sess FROM e),
-         g AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
-           ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
-           AS sess_id FROM f),
+         $sessionAssignCtes,
          sflag AS (SELECT user_id, sess_id,
              max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
                AS has_view,

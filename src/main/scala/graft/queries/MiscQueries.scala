@@ -512,10 +512,8 @@ object MiscQueries {
       .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
         sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"))
-      .withColumn("num", expr(
-        "CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
-      .withColumn("den", expr(
-        "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+      .withColumn("num", expr(graft.functions.Fit.num))
+      .withColumn("den", expr(graft.functions.Fit.den))
       .withColumn("slope_cents_r6", graft.functions.Exact.r6(
         expr("CAST(num AS DOUBLE) / CAST(den AS DOUBLE)")))
       .withColumn("icept_cents_r6", graft.functions.Exact.r6(expr(
@@ -748,7 +746,7 @@ object MiscQueries {
          FROM d WHERE dom_dnum IS NULL OR best_dnum > dom_dnum
          ORDER BY priority, cents""",
     "q137_grouped_ols" ->
-      """WITH li AS (SELECT p.p_brand AS brand,
+      s"""WITH li AS (SELECT p.p_brand AS brand,
            CAST(l_quantity AS BIGINT) AS x,
            CAST(round(l_extendedprice * 100) AS BIGINT) AS y
            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
@@ -758,8 +756,8 @@ object MiscQueries {
              CAST(sum(x * x) AS BIGINT) AS sxx
            FROM li GROUP BY brand),
          d AS (SELECT *,
-             CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
-             CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den
+             ${graft.functions.Fit.sqlNum} AS num,
+             ${graft.functions.Fit.sqlDen} AS den
            FROM m)
          SELECT brand, n, sx, sy,
            CAST(round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1e6)

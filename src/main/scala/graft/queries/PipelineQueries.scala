@@ -595,14 +595,18 @@ object PipelineQueries {
     val wAsc = W.orderBy("n_chars").rowsBetween(W.unboundedPreceding, -1)
     val wDesc = W.orderBy(col("n_chars").desc)
       .rowsBetween(W.unboundedPreceding, -1)
-    val nRow = g.agg(sum("cnt").as("n"),
-      sum(expr("n_chars * cnt")).as("t_mass"))
+    // corpus totals via full-frame window sums over the LENGTH GROUPS
+    // (the same bounded rows the cumsum windows already sort) — one
+    // pass, no second evaluation of `g` through a crossJoin
+    val wAll = W.partitionBy().rowsBetween(
+      W.unboundedPreceding, W.unboundedFollowing)
     g.withColumn("cum_prev", coalesce(sum("cnt").over(wAsc), lit(0L)))
       .withColumn("cum_prev_desc",
         coalesce(sum("cnt").over(wDesc), lit(0L)))
       .withColumn("s_term", expr(
         "CAST(n_chars AS DECIMAL(38,0)) * (cnt * cum_prev + cnt * (cnt + 1) div 2)"))
-      .crossJoin(broadcast(nRow))
+      .withColumn("n", sum("cnt").over(wAll))
+      .withColumn("t_mass", sum(expr("n_chars * cnt")).over(wAll))
       .withColumn("take",
         expr("least(cnt, greatest(0L, n div 10 - cum_prev_desc))"))
       .withColumn("mass_take", expr("take * n_chars"))
