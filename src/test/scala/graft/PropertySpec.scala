@@ -63,6 +63,30 @@ class PropertySpec extends AnyFunSuite {
       })
   }
 
+  test("repStats invariants: counts bounded by input size") {
+    val toks = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "ab", "xy"))
+    check("repstats")(Prop.forAll(toks) { ts =>
+      val arr = new GenericArrayData(
+        ts.map(UTF8String.fromString).toArray[Any])
+      val r = HashExpressions.repStats(arr).toLongArray()
+      val Array(n, nd, bi, tri) = r
+      n == ts.length && nd >= 1 && nd <= n &&
+        bi >= 0 && bi <= math.max(n - 1, 0) &&
+        tri >= 0 && tri <= math.max(n - 2, 0)
+    })
+  }
+
+  test("simhash32 lands in [0, 2^32) and is deterministic") {
+    val hs = Gen.nonEmptyListOf(Gen.chooseNum(0L, TextFns.P - 1))
+    check("simhash")(Prop.forAll(hs) { xs =>
+      val arr = new GenericArrayData(xs.toArray)
+      val h = HashExpressions.simhash32(arr).asInstanceOf[Long]
+      h >= 0L && h < (1L << 32) &&
+        h == HashExpressions.simhash32(new GenericArrayData(xs.toArray))
+          .asInstanceOf[Long]
+    })
+  }
+
   test("stemmer output is lowercase-alpha, never longer, deterministic") {
     val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
     check("stemmer")(Prop.forAll(word) { w =>
