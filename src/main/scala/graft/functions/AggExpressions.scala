@@ -2,10 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Coalesce, CreateArray, Expression, ExpressionInfo, GetArrayItem, If, IsNull, Least, Literal}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Coalesce, CreateArray, Expression, ExpressionInfo, GetArrayItem, If, IsNotNull, IsNull, Least, Literal, Or}
 import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, LongType}
 
 /** Native MERGEABLE aggregates, registered through
   * [[graft.GraftExtensions]] next to the scalar expressions.
@@ -26,7 +26,11 @@ object AggExpressions {
 
   /** Element-wise min of `n`-component long-array signatures.
     * Null inputs are skipped; null components (empty shingle sets)
-    * act as the identity. */
+    * act as the identity. A group whose inputs were ALL null (or
+    * empty) evaluates to NULL — matching built-in min/max semantics
+    * and the relational explode/min spelling — via a seen-any-row
+    * buffer slot, so callers can distinguish "no signature data" from
+    * a real signature that happens to equal the identity. */
   case class MinhashMergeAgg(child: Expression, n: Int)
       extends DeclarativeAggregate with UnaryLike[Expression] {
 
@@ -39,29 +43,37 @@ object AggExpressions {
           s"graft_minhash_agg expects array<bigint>, got ${other.catalogString}")
       }
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullable: Boolean = false
+    override def nullable: Boolean = true
     override def prettyName: String = "graft_minhash_agg"
 
     private lazy val slots: Seq[AttributeReference] =
       (0 until n).map(i =>
         AttributeReference(s"mh$i", LongType, nullable = false)())
 
-    override lazy val aggBufferAttributes: Seq[AttributeReference] = slots
+    // true once any non-null input row reached the buffer: identity-
+    // only groups evaluate to NULL instead of [MaxValue × n]
+    private lazy val seen: AttributeReference =
+      AttributeReference("mhSeen", BooleanType, nullable = false)()
+
+    override lazy val aggBufferAttributes: Seq[AttributeReference] =
+      slots :+ seen
 
     override lazy val initialValues: Seq[Expression] =
-      Seq.fill(n)(Literal(Long.MaxValue))
+      Seq.fill(n)(Literal(Long.MaxValue)) :+ Literal(false)
 
     override lazy val updateExpressions: Seq[Expression] =
       slots.zipWithIndex.map { case (b, i) =>
         If(IsNull(child), b,
           Least(Seq(b, Coalesce(Seq(
             GetArrayItem(child, Literal(i)), Literal(Long.MaxValue))))))
-      }
+      } :+ Or(seen, IsNotNull(child))
 
     override lazy val mergeExpressions: Seq[Expression] =
-      slots.map(b => Least(Seq(b.left, b.right)))
+      slots.map(b => Least(Seq(b.left, b.right))) :+
+        Or(seen.left, seen.right)
 
-    override lazy val evaluateExpression: Expression = CreateArray(slots)
+    override lazy val evaluateExpression: Expression =
+      If(seen, CreateArray(slots), Literal.create(null, dataType))
 
     override protected def withNewChildInternal(newChild: Expression): MinhashMergeAgg =
       copy(child = newChild)

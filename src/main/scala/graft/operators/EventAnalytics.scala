@@ -29,11 +29,6 @@ object EventAnalytics {
       .select(col("w.start").as("wstart"), col("event_type"),
         col("n_events"), col("sum_value_cents"), col("n_users"))
 
-  /** Gap-based sessions per user: a new session starts when the gap to
-    * the previous event exceeds `gapMinutes`. Classic lag + running-sum
-    * windows; shuffles once on user_id and computes both windows in a
-    * single pass (same partitioning). Timestamp arithmetic in exact
-    * microseconds (`unix_micros` / DuckDB `epoch_us`). */
   /** The gap-session ASSIGNMENT stage alone (adds `sess_id` per
     * event): one user-keyed shuffle, lag + running-sum share the
     * partitioning. Shared by [[sessionize]] and the q152 outcome
@@ -52,6 +47,12 @@ object EventAnalytics {
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** Gap-based sessions per user: a new session starts when the gap to
+    * the previous event exceeds `gapMinutes`. Classic lag + running-sum
+    * windows ([[assignSessions]]); shuffles once on user_id and
+    * computes both windows in a single pass (same partitioning).
+    * Timestamp arithmetic in exact microseconds (`unix_micros` /
+    * DuckDB `epoch_us`). */
   def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     assignSessions(events, gapMinutes)
       .groupBy("user_id", "sess_id")

@@ -315,9 +315,13 @@ object DedupQueries {
         sum(expr("CAST(x AS DECIMAL(38,0)) * y")).over(wAll))
       .withColumn("sxx",
         sum(expr("CAST(x AS DECIMAL(38,0)) * x")).over(wAll))
+      // den = 0 (a single degree level) → NULL, not NaN: the identical
+      // guard in both engines (the q137 discipline — Spark casts NaN
+      // to 0 silently, the oracle's CAST(round(NaN)) errors)
       .withColumn("slope_r6", graft.functions.Exact.r6(expr(
-        s"CAST((${graft.functions.Fit.num}) AS DOUBLE)" +
-          s" / CAST((${graft.functions.Fit.den}) AS DOUBLE)")))
+        s"CASE WHEN (${graft.functions.Fit.den}) = 0 THEN NULL ELSE " +
+          s"CAST((${graft.functions.Fit.num}) AS DOUBLE)" +
+          s" / CAST((${graft.functions.Fit.den}) AS DOUBLE) END")))
       .select(col("degree"), col("n_docs"),
         col("n").as("n_degree_levels"), col("slope_r6"))
       .orderBy("degree")
@@ -369,9 +373,10 @@ object DedupQueries {
              sum(CAST(x AS HUGEINT) * x) AS sxx
            FROM pts),
          f AS (SELECT n AS n_degree_levels,
-             CAST(round(CAST(${graft.functions.Fit.sqlNum} AS DOUBLE)
-               / CAST(${graft.functions.Fit.sqlDen} AS DOUBLE) * 1e6)
-               AS BIGINT) / 1e6 AS slope_r6
+             CASE WHEN (${graft.functions.Fit.sqlDen}) = 0 THEN NULL ELSE
+               CAST(round(CAST(${graft.functions.Fit.sqlNum} AS DOUBLE)
+                 / CAST(${graft.functions.Fit.sqlDen} AS DOUBLE) * 1e6)
+                 AS BIGINT) / 1e6 END AS slope_r6
            FROM m)
          SELECT d.degree, d.n_docs, f.n_degree_levels, f.slope_r6
          FROM dist d CROSS JOIN f ORDER BY d.degree""",

@@ -218,10 +218,16 @@ object EventQueries {
     * horizon, not the user's history). */
   def q133Attribution(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
+    // cents >= 0 is the invariant the split formula needs: for a
+    // negative value Spark's trunc-div `%` pair and DuckDB's floor-div
+    // `//` with trunc-`%` stop agreeing AND the credits stop summing
+    // to cents. Refunds are out of attribution scope by definition;
+    // the filter states that identically in both engines.
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts").as("pts"),
         col("event_id").as("purchase_id"),
         graft.functions.Exact.cents(col("value")).as("cents"))
+      .filter(col("cents") >= 0)
     val views = ev.filter(col("event_type") === "view")
       .select(col("user_id"), col("ts").as("vts"),
         col("event_id").as("view_id"))
@@ -623,7 +629,8 @@ object EventQueries {
       s"""WITH $evCte,
          p AS (SELECT user_id, ts AS pts, event_id AS purchase_id,
              CAST(round(value*100) AS BIGINT) AS cents
-           FROM ev WHERE event_type = 'purchase'),
+           FROM ev WHERE event_type = 'purchase'
+             AND CAST(round(value*100) AS BIGINT) >= 0),
          v AS (SELECT user_id, ts AS vts, event_id AS view_id
            FROM ev WHERE event_type = 'view'),
          pairs AS (SELECT p.user_id, p.purchase_id, p.cents,

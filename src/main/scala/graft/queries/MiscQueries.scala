@@ -514,11 +514,15 @@ object MiscQueries {
         sum(col("x") * col("x")).as("sxx"))
       .withColumn("num", expr(graft.functions.Fit.num))
       .withColumn("den", expr(graft.functions.Fit.den))
+      // den = 0 (constant x within a brand) → NULL, not NaN: Spark
+      // would silently cast NaN to 0 under non-ANSI while the oracle's
+      // CAST(round(NaN)) errors — the guard is identical in both
       .withColumn("slope_cents_r6", graft.functions.Exact.r6(
-        expr("CAST(num AS DOUBLE) / CAST(den AS DOUBLE)")))
+        expr("CASE WHEN den = 0 THEN NULL ELSE CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END")))
       .withColumn("icept_cents_r6", graft.functions.Exact.r6(expr(
-        """CAST(CAST(sy AS DECIMAL(38,0)) * den - num * sx AS DOUBLE)
-           / CAST(CAST(n AS DECIMAL(38,0)) * den AS DOUBLE)""")))
+        """CASE WHEN den = 0 THEN NULL ELSE
+           CAST(CAST(sy AS DECIMAL(38,0)) * den - num * sx AS DOUBLE)
+           / CAST(CAST(n AS DECIMAL(38,0)) * den AS DOUBLE) END""")))
       .select("brand", "n", "sx", "sy", "slope_cents_r6", "icept_cents_r6")
       .orderBy("brand")
   }
@@ -760,11 +764,13 @@ object MiscQueries {
              ${graft.functions.Fit.sqlDen} AS den
            FROM m)
          SELECT brand, n, sx, sy,
-           CAST(round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1e6)
-             AS BIGINT) / 1e6 AS slope_cents_r6,
-           CAST(round(CAST(CAST(sy AS HUGEINT) * den - num * sx AS DOUBLE)
-             / CAST(CAST(n AS HUGEINT) * den AS DOUBLE) * 1e6)
-             AS BIGINT) / 1e6 AS icept_cents_r6
+           CASE WHEN den = 0 THEN NULL ELSE
+             CAST(round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1e6)
+               AS BIGINT) / 1e6 END AS slope_cents_r6,
+           CASE WHEN den = 0 THEN NULL ELSE
+             CAST(round(CAST(CAST(sy AS HUGEINT) * den - num * sx AS DOUBLE)
+               / CAST(CAST(n AS HUGEINT) * den AS DOUBLE) * 1e6)
+               AS BIGINT) / 1e6 END AS icept_cents_r6
          FROM d ORDER BY brand""",
     "q134_rolling_revenue" ->
       """WITH o AS (SELECT CAST(o_orderdate AS DATE) AS day,

@@ -249,8 +249,14 @@ object MlQueries {
       .groupBy("doc_id", "clang")
       .agg(sum(expr("CAST(w AS DECIMAL(38,0)) * c")).as("score"))
       .join(broadcast(norms), Seq("clang"))
+      // normsq = 0 (a centroid that quantizes to all zeros) would make
+      // cosn NaN, which Spark's min(struct) and the oracle's ORDER BY
+      // rank in OPPOSITE directions — score such a class -1 (never
+      // preferred over any real cosine) identically in both engines
       .withColumn("cosn",
-        col("score").cast("double") / sqrt(col("normsq").cast("double")))
+        when(col("normsq") > 0,
+          col("score").cast("double") / sqrt(col("normsq").cast("double")))
+          .otherwise(lit(-1.0)))
       .groupBy("doc_id")
       .agg(min(struct((-col("cosn")).as("ns"), col("clang").as("pl")))
         .as("m"))
@@ -325,8 +331,9 @@ object MlQueries {
            FROM w JOIN cent ON cent.term = w.term
            GROUP BY 1, 2),
          scn AS (SELECT sc.doc_id, sc.clang,
-             CAST(sc.score AS DOUBLE) / sqrt(CAST(nrm.normsq AS DOUBLE))
-               AS cosn
+             CASE WHEN nrm.normsq > 0 THEN
+               CAST(sc.score AS DOUBLE) / sqrt(CAST(nrm.normsq AS DOUBLE))
+             ELSE -1.0 END AS cosn
            FROM sc JOIN nrm USING (clang)),
          pr AS (SELECT doc_id, clang AS predicted_lang FROM
            (SELECT *, row_number() OVER (PARTITION BY doc_id
