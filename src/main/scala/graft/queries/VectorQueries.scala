@@ -12,8 +12,14 @@ import graft.operators.VectorSearch._
   * vectors): brute-force cosine top-k as the correctness baseline,
   * random-hyperplane LSH bucketing as the scale path, and elementwise
   * centroid aggregation. The query set is the deterministic slice
-  * `vec_id % 50 = 0` (≈2% of the corpus), playing the "batch of search
-  * requests" role.
+  * `vec_id % 50 = 0 AND vec_id < QBatchMax` — a FIXED-SIZE batch
+  * (≤ [[QBatchMax]]/50 = 20 queries at any corpus size), playing the
+  * "batch of search requests" role. A search workload does not grow
+  * with the corpus (the q107 BM25 principle, TextQueries.scala): an
+  * uncapped `% 50` slice would make the q30 brute leg O(n²/50) by
+  * construction — the exact quadratic the cap on q107 removed — and
+  * recall evaluation at scale samples a fixed batch anyway (cheaper
+  * and statistically sufficient).
   */
 object VectorQueries {
 
@@ -31,8 +37,13 @@ object VectorQueries {
   private val planes: Seq[Seq[Double]] =
     VectorSearch.hyperplanes(NPlanes, Dim, seed = 42L)
 
+  /** Fixed query-batch bound: ids are dense, so `% 50 = 0 AND
+    * < QBatchMax` keeps ≤ 20 queries forever (10 at the sf0.01 gate
+    * scale, where the corpus has 500 vectors and the cap is loose). */
+  private val QBatchMax = 1000L
+
   private def queriesOf(emb: DataFrame): DataFrame =
-    emb.filter(col("vec_id") % 50 === 0)
+    emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < QBatchMax)
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
 
   /** Brute-force cosine top-k: broadcast query batch × corpus scan. */
@@ -320,10 +331,12 @@ object VectorQueries {
     * watches, not an assertion. Exact integer output (hits, k,
     * recall in milli-units).
     *
-    * Scale shape: at evaluation scale the ground truth is computed on
-    * a sampled query batch (the `vec_id % 50` slice all three share);
-    * the joins are on (qid, vec_id) — K·|queries| rows per side, tiny
-    * relative to the corpus, shuffled once per method. */
+    * Scale shape: the ground truth is computed on the FIXED-SIZE
+    * query batch all three paths share ([[QBatchMax]]): a sampled
+    * batch is how recall is estimated at any scale — the brute leg is
+    * O(batch · n), linear in the corpus, never quadratic. The joins
+    * are on (qid, vec_id) — K·|batch| rows per side, tiny relative to
+    * the corpus, shuffled once per method. */
   def q118AnnRecall(s: SparkSession, dir: String): DataFrame = {
     val truth = q30KnnBrute(s, dir).select("qid", "vec_id")
     def recall(approx: DataFrame, method: String): DataFrame =
@@ -373,10 +386,13 @@ object VectorQueries {
     * cosine — same plan skeleton as q30's brute top-k, top-2 per
     * anchor. At 100 TB the corpus side swaps to the q70 IVF probe
     * (cells are label-agnostic, the filter stays); the broadcast-
-    * anchor shape is unchanged. */
+    * anchor shape is unchanged. The anchor set is the same FIXED-SIZE
+    * batch as q30 ([[QBatchMax]]): a mining pass processes anchors in
+    * bounded batches, it does not scale its batch with the corpus. */
   def q132HardNegatives(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val anchors = emb.filter(col("vec_id") % 50 === 0)
+    val anchors = emb
+      .filter(col("vec_id") % 50 === 0 && col("vec_id") < QBatchMax)
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
         col("label").as("qlabel"))
     val scored = emb.crossJoin(broadcast(anchors))
@@ -410,7 +426,7 @@ object VectorQueries {
 
   private val bruteCtes =
     s"""q AS (SELECT vec_id AS qid, embedding AS qemb
-         FROM embeddings WHERE vec_id % 50 = 0),
+         FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < $QBatchMax),
        scored AS (SELECT qid, vec_id,
          ${r6Sql(sqlCosine("qemb", "embedding"))} AS cosine
          FROM embeddings CROSS JOIN q WHERE qid <> vec_id),
@@ -427,7 +443,7 @@ object VectorQueries {
          CAST(sum(bit * CAST(power(2, h % $BandBits) AS BIGINT)) AS BIGINT) AS key
          FROM bits GROUP BY vec_id, h // $BandBits),
        qb AS (SELECT vec_id AS qid, band, key FROM buckets
-         WHERE vec_id % 50 = 0),
+         WHERE vec_id % 50 = 0 AND vec_id < $QBatchMax),
        cand AS (SELECT DISTINCT qb.qid, b.vec_id
          FROM qb JOIN buckets b ON qb.band = b.band AND qb.key = b.key
          WHERE b.vec_id <> qb.qid),
@@ -459,7 +475,7 @@ object VectorQueries {
     "q132_hard_negatives" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qemb,
            label AS qlabel
-           FROM embeddings WHERE vec_id % 50 = 0),
+           FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < $QBatchMax),
          scored AS (SELECT qid, qlabel, vec_id, label AS neg_label,
            ${r6Sql(sqlCosine("qemb", "embedding"))} AS cosine
            FROM embeddings CROSS JOIN q WHERE label <> qlabel),
@@ -607,7 +623,7 @@ object VectorQueries {
          cents AS (SELECT label, list(c ORDER BY pos) AS centroid
            FROM comp GROUP BY label),
          q AS (SELECT vec_id AS qid, embedding AS qemb
-           FROM embeddings WHERE vec_id % 50 = 0),
+           FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < $QBatchMax),
          probes0 AS (SELECT qid, qemb, label,
            ${r6Sql(sqlCosine("qemb", "centroid"))} AS ccos
            FROM q CROSS JOIN cents),
