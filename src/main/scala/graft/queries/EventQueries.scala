@@ -328,6 +328,17 @@ object EventQueries {
   def q143StreamCompact(s: SparkSession, dir: String): DataFrame =
     EventStream.compactOnce(s, dir).orderBy("user_id")
 
+  /** q155: the UPDATE-mode leg of the CDC parity family — q143's
+    * complete-mode snapshot rewrite replaced by changed-keys-only
+    * upserts into a keyed changelog store, reconstructed
+    * latest-epoch-wins (see
+    * [[graft.streaming.EventStream.compactUpdateOnce]]). Verified
+    * against the same batch q130 SQL, so all three CDC spellings —
+    * batch agg, complete-mode stream, update-mode stream + store —
+    * must produce the identical snapshot. */
+  def q155CdcUpdate(s: SparkSession, dir: String): DataFrame =
+    EventStream.compactUpdateOnce(s, dir).orderBy("user_id")
+
   /** q148: exponentially time-decayed value per user — the
     * feature-store staple (recent activity counts more: score =
     * Σ v·e^(−λ·age)) with the float-sum hazard removed: the decay
@@ -443,6 +454,7 @@ object EventQueries {
   val queries: Map[String, Q] = Map(
     "q139_ab_test" -> (q139AbTest _),
     "q143_stream_compact" -> (q143StreamCompact _),
+    "q155_cdc_update" -> (q155CdcUpdate _),
     "q148_decayed_value" -> (q148DecayedValue _),
     "q149_rfm_segments" -> (q149RfmSegments _),
     "q151_churn_risk" -> (q151ChurnRisk _),
@@ -589,6 +601,7 @@ object EventQueries {
            CAST(sum(v * decay_micro) AS BIGINT) AS score_micro_cents
          FROM d GROUP BY user_id ORDER BY user_id""",
     "q143_stream_compact" -> compactSql,
+    "q155_cdc_update" -> compactSql,
     "q139_ab_test" ->
       s"""WITH $evCte,
          e AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS v,

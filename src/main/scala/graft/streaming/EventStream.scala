@@ -115,6 +115,57 @@ object EventStream {
   }
   }
 
+  /** Update-mode CDC compaction into a keyed external store — the
+    * 100 TB shape of [[compactOnce]]'s snapshot maintenance (round-8
+    * verdict item 3): the same [[compact]] aggregation run in UPDATE
+    * output mode through foreachBatch, so each trigger emits ONLY the
+    * users whose snapshot row changed. The batch function appends
+    * those rows, stamped with the epoch id, to a keyed parquet
+    * changelog (the append-only upsert log — the q101 store shape;
+    * against a store with native upsert the same batch would be a
+    * keyed MERGE). The current snapshot is reconstructed as
+    * latest-epoch-wins over the log — one combinable `max(struct)`
+    * per user, the q130 discipline again.
+    *
+    * Complete mode rewrites EVERY key's row every trigger — fine for
+    * a bounded drain, a full-snapshot rewrite per micro-batch at
+    * 100 TB. Update mode writes O(changed keys) per trigger; the
+    * state store still holds one row per user either way. The
+    * multi-epoch behaviour (second batch appends only its touched
+    * users; reconstruction still equals the batch snapshot) is pinned
+    * in StreamingSpec. */
+  def compactUpdateOnce(s: SparkSession, dir: String): DataFrame = { drainSized(s) {
+    val idx = runIdx.incrementAndGet()
+    val out = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-stream",
+      Integer.toHexString(dir.hashCode), s"cdc_update_log_$idx").toString
+    val q = compact(eventsStream(s, dir))
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        batch.withColumn("epoch_id", lit(epoch))
+          .write.mode("append").parquet(out)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    snapshotFromLog(s.read.parquet(out))
+  }
+  }
+
+  /** Latest-epoch-wins snapshot reconstruction over an update-mode
+    * changelog: one combinable max(struct) keyed by user — epoch_id
+    * leads the struct, so the newest upsert's payload rides along. */
+  def snapshotFromLog(log: DataFrame): DataFrame =
+    log.groupBy("user_id")
+      .agg(max(struct(col("epoch_id"), col("last_ts"),
+        col("last_event_id"), col("last_type"), col("last_value_cents"),
+        col("n_changes"))).as("x"))
+      .select(col("user_id"), col("x.last_event_id").as("last_event_id"),
+        col("x.last_type").as("last_type"),
+        col("x.last_value_cents").as("last_value_cents"),
+        col("x.last_ts").as("last_ts"), col("x.n_changes").as("n_changes"))
+
   // ---- stateful sessionization ------------------------------------
 
   final case class SessEv(user_id: Long, ts_us: Long, event_id: Long, cents: Long)

@@ -161,4 +161,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty, "directory-shaped stream read 0 rows")
     assert(streamed == batch)
   }
+
+  test("update-mode CDC appends only changed keys; reconstruction matches batch") {
+    // the q155 contract the AvailableNow single-batch drain cannot
+    // show: with two explicit micro-batches, the second epoch's
+    // changelog append holds ONLY the users batch 2 touched, and the
+    // latest-epoch-wins reconstruction still equals the batch snapshot
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_cdc_update").toString + "/log"
+    val q = EventStream.compact(
+        in.toDF().toDF("user_id", "ts", "event_id", "event_type", "value"))
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epoch: Long) =>
+        batch.withColumn("epoch_id", lit(epoch))
+          .write.mode("append").parquet(out)
+      }
+      .start()
+    try {
+      // batch 1: users 1, 2, 3
+      val b1 = Seq(
+        (1L, ts(1), 100L, "view", 1.0), (1L, ts(2), 101L, "click", 2.0),
+        (2L, ts(3), 102L, "view", 3.0), (3L, ts(4), 103L, "purchase", 4.0))
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      // batch 2: touches only user 2 (and a new user 9)
+      val b2 = Seq(
+        (2L, ts(10), 104L, "purchase", 5.0), (9L, ts(11), 105L, "view", 6.0))
+      in.addData(b2: _*)
+      q.processAllAvailable()
+      val log = spark.read.parquet(out)
+      val lastEpoch = log.agg(max("epoch_id")).as[Long].head()
+      val changed = log.filter(col("epoch_id") === lastEpoch)
+        .select("user_id").as[Long].collect().toSet
+      assert(changed == Set(2L, 9L),
+        s"update mode must emit only the keys batch 2 changed, got $changed")
+      val reconstructed = EventStream.snapshotFromLog(log)
+        .orderBy("user_id").collect().map(_.toSeq).toList
+      val batchSnap = EventStream.compact(
+          (b1 ++ b2).toDF("user_id", "ts", "event_id", "event_type", "value"))
+        .orderBy("user_id").collect().map(_.toSeq).toList
+      assert(reconstructed == batchSnap,
+        "latest-epoch-wins reconstruction must equal the batch snapshot")
+    } finally q.stop()
+  }
 }
