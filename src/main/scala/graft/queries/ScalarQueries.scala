@@ -21,6 +21,11 @@ object ScalarQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** q75 prefilter bucket cap (degenerate-word guard — see the q75
+    * scaladoc; the oracle replays it via [[graft.operators.Blocking
+    * .sqlCapKeys]]). */
+  private val BhWordCap = 64L
+
   /** JSON extraction from the events props column + aggregation. */
   def q39JsonExtract(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -110,13 +115,26 @@ object ScalarQueries {
     * <= 30 (the PictureScorer rule). Fully oracled: the stub codec
     * tiles ASCII text bytes, so the whole hash — block sums, band
     * medians, MSB-first bit packing (HUGEINT → signed) — has an exact
-    * DuckDB spelling; MultimodalSpec additionally pins golden hashes. */
+    * DuckDB spelling; MultimodalSpec additionally pins golden hashes.
+    *
+    * The prefilter buckets are occurrence-capped ([[Blocking
+    * .capBlocks]], the q26/q96 guard): a DEGENERATE word — the
+    * all-zero word every zero-padded short image shares (measured at
+    * sf3: 40 554 of 150 000 docs in the h3=0 bucket → ~8·10⁸
+    * candidate pairs in one skewed task; the round-9 sweep caught the
+    * fixed design there) — is no evidence of visual similarity, the
+    * same way a stop-shingle is no evidence of text duplication. True
+    * near-dups still pair through their non-degenerate shared words;
+    * the cap never binds on a healthy bucket (p99 bucket ≤ a few
+    * dozen at every measured scale). */
   def q75BlockhashPairs(s: SparkSession, dir: String): DataFrame = {
     val hashes = Multimodal.blockhashes(
       Multimodal.packBinary(Tables.documents(s, dir), "doc_id", "text"))
-    val words = hashes.select(col("doc_id"),
+    val words = graft.operators.Blocking.capBlocks(
+      hashes.select(col("doc_id"),
         posexplode(array(col("h0"), col("h1"), col("h2"), col("h3")))
-          .as(Seq("word_idx", "word")))
+          .as(Seq("word_idx", "word"))),
+      Seq("word_idx", "word"), BhWordCap)
     val cands = words.select(col("word_idx"), col("word"), col("doc_id").as("doc1"))
       .join(words.select(col("word_idx"), col("word"), col("doc_id").as("doc2")),
         Seq("word_idx", "word"))
@@ -283,7 +301,7 @@ object ScalarQueries {
     // HUGEINT with an explicit two's-complement fold to signed BIGINT —
     // every step the exact arithmetic blockhash256 does on the JVM.
     "q75_blockhash_pairs" ->
-      """WITH sides AS (SELECT doc_id, text,
+      s"""WITH sides AS (SELECT doc_id, text,
            octet_length(encode(text)) AS n,
            greatest(16, CAST(ceil(sqrt(CAST(octet_length(encode(text)) AS DOUBLE)))
              AS INTEGER)) AS s
@@ -325,8 +343,12 @@ object ScalarQueries {
              max(CASE WHEN word_idx = 2 THEN word END) AS h2,
              max(CASE WHEN word_idx = 3 THEN word END) AS h3
            FROM wordsx GROUP BY doc_id),
+         wcap AS (${graft.operators.Blocking.sqlCapKeys(
+               "wordsx", Seq("word_idx", "word"), BhWordCap)}),
+         wkept AS (SELECT w.* FROM wordsx w
+           JOIN wcap USING (word_idx, word)),
          cands AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
-           FROM wordsx a JOIN wordsx b
+           FROM wkept a JOIN wkept b
              ON a.word_idx = b.word_idx AND a.word = b.word
               AND a.doc_id < b.doc_id),
          scored AS (SELECT doc1, doc2,

@@ -26,16 +26,62 @@ object VectorQueries {
   type Q = (SparkSession, String) => DataFrame
 
   private val K = 5
-  private val NPlanes = 12
-  private val BandBits = 4
   private val Dim = 64
   private val NProbe = 2
   private val MinDupCosine = 0.3
 
-  /** Shared, fixed hyperplanes — the same literal values are embedded
-    * in the oracle SQL, so Spark and DuckDB run the same projection. */
+  // ---- corpus-derived LSH resolution --------------------------------
+  // The round-9 sf3 sweep measured the fixed-resolution design's
+  // quadratic: with 4-bit bands there are only 16 buckets per band at
+  // ANY corpus size, so at n=60k every bucket held ~3750 vectors and
+  // the q74 pair stage evaluated ~n²·bands/2^bits cosines (668 s at
+  // sf3, 5.8M output pairs — mostly sub-threshold random collisions).
+  // Standard LSH theory says the key width must grow with log2(n) to
+  // keep the random-collision rate constant, so — exactly like q106's
+  // corpus-derived K — the band width is DERIVED from the corpus:
+  // bits = min b in [MinBits, MaxBits] with TargetBucket·2^b ≥ n, so
+  // the expected bucket holds ~TargetBucket vectors at every scale and
+  // the pair stage is O(n·TargetBucket·bands), linear in the corpus.
+  // Beyond TargetBucket·2^MaxBits (~1M) vectors the width pins at
+  // MaxBits (the plane table stays 48 literals shared with the oracle)
+  // and the right scale move is sharding the LSH domain or the q70
+  // IVF path. Derivation is integer-only (a threshold ladder — no
+  // float log2 whose rounding could differ between engines) and the
+  // oracle replays it from the same count(*).
+  private val Bands = 3
+  private val MinBits = 4
+  private val MaxBits = 16
+  private val TargetBucket = 16L
+
+  /** LSH band width for an `n`-vector corpus. Package-visible for the
+    * plan-contract spec. */
+  private[graft] def lshBits(n: Long): Int =
+    (MinBits until MaxBits).find(b => n <= (TargetBucket << b))
+      .getOrElse(MaxBits)
+
+  /** The same derivation as a DuckDB/Spark-SQL CASE ladder over
+    * integer thresholds. */
+  private def lshBitsSql(nExpr: String): String =
+    (MinBits until MaxBits)
+      .map(b => s"WHEN $nExpr <= ${TargetBucket << b} THEN $b")
+      .mkString("CASE ", " ", s" ELSE $MaxBits END")
+
+  /** Shared, fixed hyperplanes for the maximum resolution
+    * (Bands × MaxBits = 48) — the same literal values are embedded in
+    * the oracle SQL, so Spark and DuckDB run the same projection; a
+    * smaller derived width uses the prefix `h < Bands · bits`. */
   private val planes: Seq[Seq[Double]] =
-    VectorSearch.hyperplanes(NPlanes, Dim, seed = 42L)
+    VectorSearch.hyperplanes(Bands * MaxBits, Dim, seed = 42L)
+
+  /** (band, key) buckets for the whole corpus at the corpus-derived
+    * resolution; `bits` comes from a driver-side count (S9 shape, like
+    * q106's K). */
+  private def bucketsOf(s: SparkSession, emb: DataFrame): (DataFrame, Int) = {
+    val bits = lshBits(emb.count())
+    (VectorSearch.lshBuckets(
+      emb, "vec_id", "embedding",
+      VectorSearch.planesDF(s, planes.take(Bands * bits)), bits), bits)
+  }
 
   /** Fixed query-batch bound: ids are dense, so `% 50 = 0 AND
     * < QBatchMax` keeps ≤ 20 queries forever (10 at the sf0.01 gate
@@ -54,13 +100,13 @@ object VectorQueries {
       .orderBy("qid", "rnk")
   }
 
-  /** LSH-bucketed ANN: sign-bit signatures over fixed hyperplanes,
+  /** LSH-bucketed ANN: sign-bit signatures over fixed hyperplanes at
+    * the corpus-derived band width (see the derivation block above),
     * banded; candidates = corpus vectors sharing any band key with the
     * query; exact cosine + top-k within candidates only. */
   def q31KnnLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val buckets = VectorSearch.lshBuckets(
-      emb, "vec_id", "embedding", VectorSearch.planesDF(s, planes), BandBits)
+    val (buckets, _) = bucketsOf(s, emb)
     val qIds = queriesOf(emb).select("qid")
     val qBuckets = buckets
       .join(qIds, buckets("vec_id") === qIds("qid"))
@@ -129,14 +175,17 @@ object VectorQueries {
   }
 
   /** Embedding-cosine near-duplicate pairs over the whole corpus:
-    * hyperplane-LSH bucket self-join as the prefilter, exact cosine
-    * threshold as the verifier — the embedding-space analogue of the
-    * MinHash near-dup pipeline (q26). Output pairs are exactly
-    * "shared a band key AND cosine >= MinDupCosine". */
+    * hyperplane-LSH bucket self-join as the prefilter — at the
+    * corpus-derived band width, so the expected bucket stays
+    * ~TargetBucket deep and the pair stage is linear in the corpus
+    * (see the derivation block above; the fixed 4-bit width measured
+    * 668 s / 5.8M mostly-noise pairs at sf3) — exact cosine threshold
+    * as the verifier, the embedding-space analogue of the MinHash
+    * near-dup pipeline (q26). Output pairs are exactly "shared a band
+    * key AND cosine >= MinDupCosine" at that resolution. */
   def q74EmbeddingDups(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val buckets = VectorSearch.lshBuckets(
-      emb, "vec_id", "embedding", VectorSearch.planesDF(s, planes), BandBits)
+    val (buckets, _) = bucketsOf(s, emb)
     val cands = buckets.select(col("band"), col("key"), col("vec_id").as("v1"))
       .join(buckets.select(col("band"), col("key"), col("vec_id").as("v2")),
         Seq("band", "key"))
@@ -433,15 +482,24 @@ object VectorQueries {
        ranked AS (SELECT *, row_number() OVER (PARTITION BY qid
          ORDER BY cosine DESC, vec_id) AS rnk FROM scored)"""
 
-  private val lshCtes =
+  /** The corpus-derived LSH bucket table as a reusable CTE chain
+    * ending in `buckets(vec_id, band, key)` — the oracle replay of
+    * [[bucketsOf]]: the same integer threshold ladder derives `bits`
+    * from `count(*)`, and only the first `Bands · bits` of the 48
+    * embedded plane literals participate. */
+  private lazy val bucketsCtes =
     s"""${sqlPlanesCte(planes)},
-       bits AS (SELECT vec_id, h,
+       nb AS (SELECT ${lshBitsSql("count(*)")} AS bits FROM embeddings),
+       sbits AS (SELECT vec_id, h, bits,
          CASE WHEN ${sqlDotD("embedding", "plane")} >= 0 THEN CAST(1 AS BIGINT)
               ELSE CAST(0 AS BIGINT) END AS bit
-         FROM embeddings, planes),
-       buckets AS (SELECT vec_id, h // $BandBits AS band,
-         CAST(sum(bit * CAST(power(2, h % $BandBits) AS BIGINT)) AS BIGINT) AS key
-         FROM bits GROUP BY vec_id, h // $BandBits),
+         FROM embeddings, planes, nb WHERE h < $Bands * bits),
+       buckets AS (SELECT vec_id, h // bits AS band,
+         CAST(sum(bit * CAST(power(2, h % bits) AS BIGINT)) AS BIGINT) AS key
+         FROM sbits GROUP BY vec_id, h // bits)"""
+
+  private val lshCtes =
+    s"""$bucketsCtes,
        qb AS (SELECT vec_id AS qid, band, key FROM buckets
          WHERE vec_id % 50 = 0 AND vec_id < $QBatchMax),
        cand AS (SELECT DISTINCT qb.qid, b.vec_id
@@ -564,14 +622,7 @@ object VectorQueries {
          FROM embeddings, range(0, $Dim) t(i)
          GROUP BY label, i ORDER BY label, pos""",
     "q74_embedding_dups" ->
-      s"""WITH ${sqlPlanesCte(planes)},
-         bits AS (SELECT vec_id, h,
-           CASE WHEN ${sqlDotD("embedding", "plane")} >= 0 THEN CAST(1 AS BIGINT)
-                ELSE CAST(0 AS BIGINT) END AS bit
-           FROM embeddings, planes),
-         buckets AS (SELECT vec_id, h // $BandBits AS band,
-           CAST(sum(bit * CAST(power(2, h % $BandBits) AS BIGINT)) AS BIGINT) AS key
-           FROM bits GROUP BY vec_id, h // $BandBits),
+      s"""WITH $bucketsCtes,
          cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
            FROM buckets a JOIN buckets b
              ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),

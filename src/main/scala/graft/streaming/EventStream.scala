@@ -130,10 +130,17 @@ object EventStream {
     * Complete mode rewrites EVERY key's row every trigger — fine for
     * a bounded drain, a full-snapshot rewrite per micro-batch at
     * 100 TB. Update mode writes O(changed keys) per trigger; the
-    * state store still holds one row per user either way. The
-    * multi-epoch behaviour (second batch appends only its touched
-    * users; reconstruction still equals the batch snapshot) is pinned
-    * in StreamingSpec. */
+    * state store still holds one row per user either way.
+    *
+    * Exactly-once: foreachBatch is AT-LEAST-ONCE for side-effecting
+    * sinks — a crashed-then-retried epoch appends its rows twice. The
+    * log schema makes that harmless by construction: a replayed
+    * epoch's rows are byte-identical (same epoch_id, same aggregate
+    * state), and the max(struct) reconstruction is idempotent under
+    * duplicate rows — no transactional sink needed for correctness.
+    * Both the multi-epoch behaviour (second batch appends only its
+    * touched users; reconstruction still equals the batch snapshot)
+    * and replay idempotence are pinned in StreamingSpec. */
   def compactUpdateOnce(s: SparkSession, dir: String): DataFrame = { drainSized(s) {
     val idx = runIdx.incrementAndGet()
     val out = java.nio.file.Paths.get(

@@ -455,6 +455,23 @@ class NewQueryPlanSpec extends AnyFunSuite {
       s"q154's cumsum windows must sit above the length-group aggregate:\n$plan")
   }
 
+  test("q31/q74: LSH band width grows with the corpus (bucket depth pinned)") {
+    // the round-9 quadratic fix pinned as code: fixed-width bands make
+    // the q74 pair stage n²·bands/2^bits at ANY width — the width must
+    // track log2(n) so the expected bucket stays ~TargetBucket deep
+    assert(queries.VectorQueries.lshBits(100L) === 4)
+    assert(queries.VectorQueries.lshBits(500L) === 5)
+    assert(queries.VectorQueries.lshBits(2000L) === 7)
+    assert(queries.VectorQueries.lshBits(60000L) === 12)
+    assert(queries.VectorQueries.lshBits(1000000L) === 16)
+    // beyond ~1M the width pins (48 shared plane literals) — shard the
+    // LSH domain or take the IVF path there
+    assert(queries.VectorQueries.lshBits(10000000000L) === 16)
+    for (n <- Seq(100L, 500L, 2000L, 60000L, 1000000L))
+      assert(n.toDouble / (1L << queries.VectorQueries.lshBits(n)) <= 16.0,
+        s"expected bucket depth must stay pinned at n=$n")
+  }
+
   test("q155: changelog reconstruction is one combinable agg — no window, no join") {
     import spark.implicits._
     val log = Seq(

@@ -206,6 +206,16 @@ class StreamingSpec extends AnyFunSuite {
         .orderBy("user_id").collect().map(_.toSeq).toList
       assert(reconstructed == batchSnap,
         "latest-epoch-wins reconstruction must equal the batch snapshot")
+      // foreachBatch is at-least-once for side-effecting sinks: a
+      // crashed-then-retried epoch appends its rows TWICE. The log
+      // schema makes that harmless — a replayed epoch's rows are
+      // byte-identical (same epoch_id, same aggregate state), and
+      // max(struct) reconstruction is idempotent under duplicates
+      val replayed = log.unionByName(log.filter(col("epoch_id") === lastEpoch))
+      val afterReplay = EventStream.snapshotFromLog(replayed)
+        .orderBy("user_id").collect().map(_.toSeq).toList
+      assert(afterReplay == batchSnap,
+        "an at-least-once epoch replay must not change the reconstruction")
     } finally q.stop()
   }
 }
