@@ -439,7 +439,50 @@ object SourceQueries {
       .orderBy("source")
   }
 
+  /** q156: corpus snapshot diff — the data-ops audit run before
+    * promoting a refreshed corpus snapshot: which documents were
+    * added, removed, or changed (content hash differs), summarized
+    * per (source, status) with the byte-volume delta. The two
+    * snapshots are derived deterministically from the corpus so both
+    * engines diff identical inputs: OLD = `doc_id % 10 <> 7` (the
+    * q110/q116 prior-snapshot convention), NEW = `doc_id % 17 <> 5`
+    * (deletions) with `doc_id % 13 = 3` documents edited (a
+    * deterministic suffix append).
+    *
+    * Scale shape: one keyed full-outer join on doc_id (the q146
+    * join-health shape), md5 and lengths computed map-side before the
+    * join, and the report groupBy is over (source × 4 status) cells —
+    * at 100 TB both snapshot scans stay partition-local on a
+    * doc_id-bucketed layout and nothing but the 80-cell summary is
+    * ever collected. */
+  def q156SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id", "source", "text")
+    val old = d.filter(col("doc_id") % 10 =!= 7)
+      .select(col("doc_id"), col("source").as("old_source"),
+        md5(col("text").cast("binary")).as("old_md5"),
+        length(col("text")).cast("long").as("old_len"))
+    val edited = when(col("doc_id") % 13 === 3,
+      concat(col("text"), lit(" [rev2]"))).otherwise(col("text"))
+    val nw = d.filter(col("doc_id") % 17 =!= 5)
+      .select(col("doc_id"), col("source").as("new_source"),
+        md5(edited.cast("binary")).as("new_md5"),
+        length(edited).cast("long").as("new_len"))
+    old.join(nw, Seq("doc_id"), "full_outer")
+      .withColumn("status", expr(
+        """CASE WHEN old_md5 IS NULL THEN 'added'
+                WHEN new_md5 IS NULL THEN 'removed'
+                WHEN old_md5 <> new_md5 THEN 'changed'
+                ELSE 'unchanged' END"""))
+      .withColumn("source", coalesce(col("new_source"), col("old_source")))
+      .groupBy("source", "status")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("new_len"), lit(0L))
+          - coalesce(col("old_len"), lit(0L))).as("chars_delta"))
+      .orderBy("source", "status")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q156_snapshot_diff" -> (q156SnapshotDiff _),
     "q140_mv_maintain" -> (q140MvMaintain _),
     "q138_zorder_layout" -> (q138ZorderLayout _),
     "q100_jdbc_source" -> (q100JdbcSource _),
@@ -453,6 +496,28 @@ object SourceQueries {
     "q65_partitioned_sink" -> (q65PartitionedSink _))
 
   val oracles: Map[String, String] = Map(
+    "q156_snapshot_diff" ->
+      """WITH old AS (SELECT doc_id, source AS old_source,
+           md5(text) AS old_md5,
+           CAST(length(text) AS BIGINT) AS old_len
+           FROM documents WHERE doc_id % 10 <> 7),
+         nw AS (SELECT doc_id, source AS new_source,
+           md5(CASE WHEN doc_id % 13 = 3 THEN text || ' [rev2]'
+             ELSE text END) AS new_md5,
+           CAST(length(CASE WHEN doc_id % 13 = 3 THEN text || ' [rev2]'
+             ELSE text END) AS BIGINT) AS new_len
+           FROM documents WHERE doc_id % 17 <> 5),
+         d AS (SELECT
+             coalesce(nw.new_source, old.old_source) AS source,
+             CASE WHEN old_md5 IS NULL THEN 'added'
+                  WHEN new_md5 IS NULL THEN 'removed'
+                  WHEN old_md5 <> new_md5 THEN 'changed'
+                  ELSE 'unchanged' END AS status,
+             coalesce(new_len, 0) - coalesce(old_len, 0) AS delta
+           FROM old FULL OUTER JOIN nw ON old.doc_id = nw.doc_id)
+         SELECT source, status, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(delta) AS BIGINT) AS chars_delta
+         FROM d GROUP BY 1, 2 ORDER BY 1, 2""",
     "q140_mv_maintain" ->
       s"""WITH d AS (SELECT source,
            CASE WHEN substring(md5('graft-mv:'

@@ -256,6 +256,53 @@ object TextQueries {
       .orderBy("qdoc", "rnk")
   }
 
+  // RRF constants (Cormack et al. 2009's k=60), shared with the oracle
+  private val RrfK = 60
+  private val RrfTopK = 10
+
+  /** q158: hybrid retrieval — reciprocal-rank fusion (RRF, Cormack,
+    * Clarke & Buettcher 2009) of the lexical and vector search paths:
+    * the q107 BM25 top-10 and a brute-cosine top-10 over the same
+    * FIXED query batch (`id % 100 = 1 AND id < 1000` — ids that carry
+    * both a document text and an embedding), fused per (query, doc) as
+    * Σ 1/(k + rank) over the lists the doc appears in. This is the
+    * retrieval-ops staple modern RAG stacks run (sparse + dense →
+    * rank-fuse) and the natural composite of the engine's two search
+    * families. Exact arithmetic: each reciprocal is
+    * `round(1e9/(k+rank))` — one scalar division of identical
+    * integers per list entry, summed as integers — so the fused
+    * ranking hashes identically in both engines.
+    *
+    * Scale shape: both legs are broadcast-query × linear-corpus scans
+    * (the q107/q30 shapes, batch fixed); the fusion itself joins two
+    * ≤ batch·TopK row lists — dimension-sized work regardless of
+    * corpus scale. */
+  def q158HybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val lex = q107Bm25(s, dir)
+      .select(col("qdoc").as("qid"), col("doc_id"),
+        col("rnk").as("lex_rnk"))
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") % 100 === 1 && col("vec_id") < 1000)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    val vec = graft.operators.VectorSearch
+      .cosineTopK(emb.select("vec_id", "embedding"), q, RrfTopK)
+      .select(col("qid"), col("vec_id").as("doc_id"),
+        col("rnk").as("vec_rnk"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("rrf_nano").desc, col("doc_id"))
+    lex.join(vec, Seq("qid", "doc_id"), "full_outer")
+      .withColumn("rrf_nano",
+        coalesce(expr(s"CAST(round(1e9 / ($RrfK + lex_rnk)) AS BIGINT)"),
+          lit(0L)) +
+        coalesce(expr(s"CAST(round(1e9 / ($RrfK + vec_rnk)) AS BIGINT)"),
+          lit(0L)))
+      .withColumn("fused_rnk", row_number().over(w))
+      .filter(col("fused_rnk") <= RrfTopK)
+      .select("qid", "doc_id", "lex_rnk", "vec_rnk", "rrf_nano",
+        "fused_rnk")
+      .orderBy("qid", "fused_rnk")
+  }
+
   /** 16-bit hash-threshold granularity for the q114 sampler: rates are
     * expressed in 65536ths and compared against the first 4 md5 hex
     * chars, the same portable string-compare sampler q80 uses. */
@@ -445,6 +492,7 @@ object TextQueries {
     "q114_mixture_sample" -> (q114MixtureSample _),
     "q115_unigram_nll" -> (q115UnigramNll _),
     "q107_bm25" -> (q107Bm25 _),
+    "q158_hybrid_rrf" -> (q158HybridRrf _),
     "q97_highlight" -> (q97Highlight _),
     "q21_token_stats" -> (q21TokenStats _),
     "q22_exact_dedup" -> (q22ExactDedup _),
@@ -461,6 +509,43 @@ object TextQueries {
 
   private[queries] val toksCte =
     s"""toks AS (SELECT doc_id, text, ${sqlTokens("text")} AS toks FROM documents)"""
+
+  /** The q107 BM25 scoring chain ending in
+    * `rk(qdoc, doc_id, score_micro, n_terms, rnk)` — shared with the
+    * q158 fusion oracle so the lexical leg can never drift. */
+  private lazy val bm25Ctes =
+    s"""$toksCte,
+       t AS (SELECT doc_id, toks FROM toks WHERE len(toks) > 0),
+       tfw AS (SELECT doc_id, unnest(toks) AS term FROM t),
+       tfc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         FROM tfw GROUP BY 1, 2),
+       dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+       stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS tot_dl FROM dl),
+       dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+         FROM tfc GROUP BY 1),
+       qt AS (SELECT doc_id AS qdoc, unnest(list_distinct(toks)) AS term
+         FROM t WHERE doc_id % 100 = 1 AND doc_id < 1000),
+       sc AS (SELECT qt.qdoc, tfc.doc_id,
+           CAST(round(
+             ln(1.0 + (stats.n_docs - dfc.df + 0.5) / (dfc.df + 0.5))
+             * (tfc.tf * $BmK1p1)
+             / (tfc.tf + $BmK1 * ($BmOneMinusB
+                 + $BmB * dl.dl / (CAST(stats.tot_dl AS DOUBLE)
+                   / stats.n_docs)))
+             * 1e6) AS BIGINT) AS c_micro
+         FROM qt
+         JOIN tfc USING (term)
+         JOIN dfc USING (term)
+         JOIN dl ON dl.doc_id = tfc.doc_id
+         CROSS JOIN stats
+         WHERE tfc.doc_id <> qt.qdoc),
+       agg AS (SELECT qdoc, doc_id,
+           CAST(sum(c_micro) AS BIGINT) AS score_micro,
+           CAST(count(*) AS BIGINT) AS n_terms
+         FROM sc GROUP BY 1, 2),
+       rk AS (SELECT *, row_number() OVER (PARTITION BY qdoc
+           ORDER BY score_micro DESC, doc_id) AS rnk FROM agg)"""
 
   /** CTE chain ending in `dup_pairs(doc1, doc2, n_shared, jaccard)` —
     * the MinHash-LSH near-dup pairs. Shared with DedupQueries'
@@ -610,40 +695,35 @@ object TextQueries {
              AS keep
          FROM agg ORDER BY doc_id""",
     "q107_bm25" ->
-      s"""WITH $toksCte,
-         t AS (SELECT doc_id, toks FROM toks WHERE len(toks) > 0),
-         tfw AS (SELECT doc_id, unnest(toks) AS term FROM t),
-         tfc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-           FROM tfw GROUP BY 1, 2),
-         dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
-         stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(dl) AS BIGINT) AS tot_dl FROM dl),
-         dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df
-           FROM tfc GROUP BY 1),
-         qt AS (SELECT doc_id AS qdoc, unnest(list_distinct(toks)) AS term
-           FROM t WHERE doc_id % 100 = 1 AND doc_id < 1000),
-         sc AS (SELECT qt.qdoc, tfc.doc_id,
-             CAST(round(
-               ln(1.0 + (stats.n_docs - dfc.df + 0.5) / (dfc.df + 0.5))
-               * (tfc.tf * $BmK1p1)
-               / (tfc.tf + $BmK1 * ($BmOneMinusB
-                   + $BmB * dl.dl / (CAST(stats.tot_dl AS DOUBLE)
-                     / stats.n_docs)))
-               * 1e6) AS BIGINT) AS c_micro
-           FROM qt
-           JOIN tfc USING (term)
-           JOIN dfc USING (term)
-           JOIN dl ON dl.doc_id = tfc.doc_id
-           CROSS JOIN stats
-           WHERE tfc.doc_id <> qt.qdoc),
-         agg AS (SELECT qdoc, doc_id,
-             CAST(sum(c_micro) AS BIGINT) AS score_micro,
-             CAST(count(*) AS BIGINT) AS n_terms
-           FROM sc GROUP BY 1, 2),
-         rk AS (SELECT *, row_number() OVER (PARTITION BY qdoc
-             ORDER BY score_micro DESC, doc_id) AS rnk FROM agg)
+      s"""WITH $bm25Ctes
          SELECT qdoc, doc_id, score_micro, n_terms, rnk
          FROM rk WHERE rnk <= $BmTopK ORDER BY qdoc, rnk""",
+    "q158_hybrid_rrf" ->
+      s"""WITH $bm25Ctes,
+         lex AS (SELECT qdoc AS qid, doc_id, rnk AS lex_rnk
+           FROM rk WHERE rnk <= $RrfTopK),
+         vq AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings
+           WHERE vec_id % 100 = 1 AND vec_id < 1000),
+         vsc AS (SELECT qid, vec_id,
+             ${r6Sql(graft.operators.VectorSearch
+               .sqlCosine("qemb", "embedding"))} AS cosine
+           FROM embeddings CROSS JOIN vq WHERE qid <> vec_id),
+         vrk AS (SELECT *, row_number() OVER (PARTITION BY qid
+             ORDER BY cosine DESC, vec_id) AS rnk FROM vsc),
+         vec AS (SELECT qid, vec_id AS doc_id, rnk AS vec_rnk
+           FROM vrk WHERE rnk <= $RrfTopK),
+         f AS (SELECT coalesce(lex.qid, vec.qid) AS qid,
+             coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+             lex_rnk, vec_rnk,
+             coalesce(CAST(round(1e9 / ($RrfK + lex_rnk)) AS BIGINT), 0)
+               + coalesce(CAST(round(1e9 / ($RrfK + vec_rnk)) AS BIGINT), 0)
+               AS rrf_nano
+           FROM lex FULL OUTER JOIN vec
+             ON lex.qid = vec.qid AND lex.doc_id = vec.doc_id),
+         rkf AS (SELECT *, row_number() OVER (PARTITION BY qid
+             ORDER BY rrf_nano DESC, doc_id) AS fused_rnk FROM f)
+         SELECT qid, doc_id, lex_rnk, vec_rnk, rrf_nano, fused_rnk
+         FROM rkf WHERE fused_rnk <= $RrfTopK ORDER BY qid, fused_rnk""",
     "q97_highlight" ->
       s"""WITH $toksCte,
          tf AS (SELECT doc_id, t AS tok, count(*) AS tf

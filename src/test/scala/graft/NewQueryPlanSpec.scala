@@ -472,6 +472,25 @@ class NewQueryPlanSpec extends AnyFunSuite {
         s"expected bucket depth must stay pinned at n=$n")
   }
 
+  test("q156: snapshot diff is one keyed full-outer join, aggregate-only") {
+    val plan = executed(queries.SourceQueries.q156SnapshotDiff(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q156's snapshot join must stay keyed on doc_id:\n$plan")
+    assert(!plan.contains("Window"), s"q156 must not window:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"q156's summary cells must combine map-side:\n$plan")
+  }
+
+  test("q158: both retrieval legs broadcast their fixed query batch") {
+    val plan = executed(queries.TextQueries.q158HybridRrf(spark, sf))
+    assert(!finalPlan(plan).contains("CartesianProduct"),
+      s"q158's legs must broadcast the fixed batch, never cartesian:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"q158's query batch must broadcast against the corpus scans:\n$plan")
+  }
+
   test("q155: changelog reconstruction is one combinable agg — no window, no join") {
     import spark.implicits._
     val log = Seq(
