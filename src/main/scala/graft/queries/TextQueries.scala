@@ -260,7 +260,7 @@ object TextQueries {
   private val RrfK = 60
   private val RrfTopK = 10
 
-  /** q158: hybrid retrieval — reciprocal-rank fusion (RRF, Cormack,
+  /** q157: hybrid retrieval — reciprocal-rank fusion (RRF, Cormack,
     * Clarke & Buettcher 2009) of the lexical and vector search paths:
     * the q107 BM25 top-10 and a brute-cosine top-10 over the same
     * FIXED query batch (`id % 100 = 1 AND id < 1000` — ids that carry
@@ -277,7 +277,7 @@ object TextQueries {
     * (the q107/q30 shapes, batch fixed); the fusion itself joins two
     * ≤ batch·TopK row lists — dimension-sized work regardless of
     * corpus scale. */
-  def q158HybridRrf(s: SparkSession, dir: String): DataFrame = {
+  def q157HybridRrf(s: SparkSession, dir: String): DataFrame = {
     val lex = q107Bm25(s, dir)
       .select(col("qdoc").as("qid"), col("doc_id"),
         col("rnk").as("lex_rnk"))
@@ -492,7 +492,7 @@ object TextQueries {
     "q114_mixture_sample" -> (q114MixtureSample _),
     "q115_unigram_nll" -> (q115UnigramNll _),
     "q107_bm25" -> (q107Bm25 _),
-    "q158_hybrid_rrf" -> (q158HybridRrf _),
+    "q157_hybrid_rrf" -> (q157HybridRrf _),
     "q97_highlight" -> (q97Highlight _),
     "q21_token_stats" -> (q21TokenStats _),
     "q22_exact_dedup" -> (q22ExactDedup _),
@@ -512,7 +512,7 @@ object TextQueries {
 
   /** The q107 BM25 scoring chain ending in
     * `rk(qdoc, doc_id, score_micro, n_terms, rnk)` — shared with the
-    * q158 fusion oracle so the lexical leg can never drift. */
+    * q157 fusion oracle so the lexical leg can never drift. */
   private lazy val bm25Ctes =
     s"""$toksCte,
        t AS (SELECT doc_id, toks FROM toks WHERE len(toks) > 0),
@@ -698,7 +698,7 @@ object TextQueries {
       s"""WITH $bm25Ctes
          SELECT qdoc, doc_id, score_micro, n_terms, rnk
          FROM rk WHERE rnk <= $BmTopK ORDER BY qdoc, rnk""",
-    "q158_hybrid_rrf" ->
+    "q157_hybrid_rrf" ->
       s"""WITH $bm25Ctes,
          lex AS (SELECT qdoc AS qid, doc_id, rnk AS lex_rnk
            FROM rk WHERE rnk <= $RrfTopK),

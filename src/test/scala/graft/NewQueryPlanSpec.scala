@@ -482,13 +482,13 @@ class NewQueryPlanSpec extends AnyFunSuite {
       s"q156's summary cells must combine map-side:\n$plan")
   }
 
-  test("q158: both retrieval legs broadcast their fixed query batch") {
-    val plan = executed(queries.TextQueries.q158HybridRrf(spark, sf))
+  test("q157: both retrieval legs broadcast their fixed query batch") {
+    val plan = executed(queries.TextQueries.q157HybridRrf(spark, sf))
     assert(!finalPlan(plan).contains("CartesianProduct"),
-      s"q158's legs must broadcast the fixed batch, never cartesian:\n$plan")
+      s"q157's legs must broadcast the fixed batch, never cartesian:\n$plan")
     assert(plan.contains("BroadcastHashJoin") ||
       plan.contains("BroadcastNestedLoopJoin"),
-      s"q158's query batch must broadcast against the corpus scans:\n$plan")
+      s"q157's query batch must broadcast against the corpus scans:\n$plan")
   }
 
   test("q155: changelog reconstruction is one combinable agg — no window, no join") {
