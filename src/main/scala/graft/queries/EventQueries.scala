@@ -288,14 +288,24 @@ object EventQueries {
     // variance numerators in DECIMAL(38,0): na·ssa and sa² scale as
     // sf² and pass Long.MaxValue between sf1 and sf10 (the q137
     // guard); the exact integer then collapses to a double once
-    val zSql =
-      """(sa / na - sb / nb) / sqrt(
+    // degenerate-arm guards (the q137/q141 NULL discipline, applied
+    // proactively): an empty arm makes the mean 0/0, a 1-row arm
+    // zeroes the variance denominator, and a zero pooled variance
+    // makes z x/0 — each divides differently across engines (Spark
+    // non-ANSI → NULL, DuckDB → NaN/±inf, then CAST(round(...))
+    // errors). All three collapse to NULL via identical CASE guards.
+    val vSql =
+      """CASE WHEN na > 1 AND nb > 1 THEN
            CAST(CAST(na AS DECIMAL(38,0)) * ssa
              - CAST(sa AS DECIMAL(38,0)) * sa AS DOUBLE)
              / (na * (na - 1.0)) / na
          + CAST(CAST(nb AS DECIMAL(38,0)) * ssb
              - CAST(sb AS DECIMAL(38,0)) * sb AS DOUBLE)
-             / (nb * (nb - 1.0)) / nb)"""
+             / (nb * (nb - 1.0)) / nb
+         ELSE NULL END"""
+    val zSql =
+      s"""CASE WHEN ($vSql) > 0
+          THEN (sa / na - sb / nb) / sqrt($vSql) ELSE NULL END"""
     val ev = Tables.events(s, dir)
       .select(col("event_type"),
         graft.functions.Exact.cents(col("value")).as("v"),
@@ -311,8 +321,10 @@ object EventQueries {
         sum(when(col("arm") === "b", col("v")).otherwise(0L)).as("sb"),
         sum(when(col("arm") === "b", col("v") * col("v")).otherwise(0L))
           .as("ssb"))
-      .withColumn("mean_a_r6", graft.functions.Exact.r6(expr("sa / na")))
-      .withColumn("mean_b_r6", graft.functions.Exact.r6(expr("sb / nb")))
+      .withColumn("mean_a_r6", graft.functions.Exact.r6(
+        expr("CASE WHEN na > 0 THEN sa / na ELSE NULL END")))
+      .withColumn("mean_b_r6", graft.functions.Exact.r6(
+        expr("CASE WHEN nb > 0 THEN sb / nb ELSE NULL END")))
       .withColumn("z_r6", graft.functions.Exact.r6(expr(zSql)))
       .withColumn("significant", expr("abs(z_r6) > 1.96"))
       .select("event_type", "na", "nb", "mean_a_r6", "mean_b_r6",
@@ -623,18 +635,28 @@ object EventQueries {
              CAST(sum(CASE WHEN arm = 'b' THEN v*v ELSE 0 END) AS BIGINT)
                AS ssb
            FROM e GROUP BY 1),
+         mv AS (SELECT *,
+             CASE WHEN na > 1 AND nb > 1 THEN
+               CAST(CAST(na AS HUGEINT) * ssa
+                 - CAST(sa AS HUGEINT) * sa AS DOUBLE)
+                 / (na * (na - 1.0)) / na
+             + CAST(CAST(nb AS HUGEINT) * ssb
+                 - CAST(sb AS HUGEINT) * sb AS DOUBLE)
+                 / (nb * (nb - 1.0)) / nb
+             ELSE NULL END AS vv
+           FROM m),
          r AS (SELECT event_type, na, nb,
-             CAST(round(sa / na * 1e6) AS BIGINT) / 1e6 AS mean_a_r6,
-             CAST(round(sb / nb * 1e6) AS BIGINT) / 1e6 AS mean_b_r6,
-             CAST(round(((sa / na - sb / nb) / sqrt(
-                 CAST(CAST(na AS HUGEINT) * ssa
-                   - CAST(sa AS HUGEINT) * sa AS DOUBLE)
-                   / (na * (na - 1.0)) / na
-               + CAST(CAST(nb AS HUGEINT) * ssb
-                   - CAST(sb AS HUGEINT) * sb AS DOUBLE)
-                   / (nb * (nb - 1.0)) / nb)) * 1e6)
-               AS BIGINT) / 1e6 AS z_r6
-           FROM m)
+             CASE WHEN na > 0 THEN
+               CAST(round(sa / na * 1e6) AS BIGINT) / 1e6
+             ELSE NULL END AS mean_a_r6,
+             CASE WHEN nb > 0 THEN
+               CAST(round(sb / nb * 1e6) AS BIGINT) / 1e6
+             ELSE NULL END AS mean_b_r6,
+             CASE WHEN vv > 0 THEN
+               CAST(round(((sa / na - sb / nb) / sqrt(vv)) * 1e6)
+                 AS BIGINT) / 1e6
+             ELSE NULL END AS z_r6
+           FROM mv)
          SELECT event_type, na, nb, mean_a_r6, mean_b_r6, z_r6,
            abs(z_r6) > 1.96 AS significant
          FROM r ORDER BY event_type""",
