@@ -48,8 +48,14 @@ object CosineText {
           .as("idf_milli"))
     val weights = memo(tf.join(idf, "term")
       .select(col("doc_id"), col("term"), (col("tf") * col("idf_milli")).as("w")))
+    // sxx = 0 (every surviving term of a doc at idf exactly 0 — only
+    // possible in a corpus of <= maxDf docs) would make the cosine
+    // 0/0, which Spark (NULL) and DuckDB (NaN, then a CAST error in
+    // the r6 round) treat differently — drop the normless doc
+    // identically in both engines (the q139/q141 guard discipline)
     val norms = weights.groupBy("doc_id")
       .agg(sum(col("w") * col("w")).as("sxx"))
+      .filter(col("sxx") > 0)
     val dots = weights.select(col("term"), col("doc_id").as("doc1"), col("w").as("w1"))
       .join(weights.select(col("term"), col("doc_id").as("doc2"), col("w").as("w2")),
         Seq("term"))

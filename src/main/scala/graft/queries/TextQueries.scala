@@ -814,7 +814,7 @@ object TextQueries {
          weights AS (SELECT doc_id, tfr.term, tf * idf_milli AS w
            FROM tfr JOIN idf ON tfr.term = idf.term),
          norms AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS sxx
-           FROM weights GROUP BY doc_id),
+           FROM weights GROUP BY doc_id HAVING sum(w * w) > 0),
          dots AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
            CAST(sum(a.w * b.w) AS BIGINT) AS dot, count(*) AS n_shared
            FROM weights a JOIN weights b ON a.term = b.term AND a.doc_id < b.doc_id
