@@ -216,6 +216,16 @@ class StreamingSpec extends AnyFunSuite {
         .orderBy("user_id").collect().map(_.toSeq).toList
       assert(afterReplay == batchSnap,
         "an at-least-once epoch replay must not change the reconstruction")
+      // log COMPACTION invariance: a maintenance job that rewrites the
+      // growing changelog as its own snapshot (stamped with the last
+      // epoch) must leave reconstruction unchanged — this is what
+      // bounds the log at 100 TB (rewrite O(keys), not O(history))
+      val compacted = EventStream.snapshotFromLog(log)
+        .withColumn("epoch_id", lit(lastEpoch))
+      val afterCompaction = EventStream.snapshotFromLog(compacted)
+        .orderBy("user_id").collect().map(_.toSeq).toList
+      assert(afterCompaction == batchSnap,
+        "log compaction must preserve the reconstructed snapshot")
     } finally q.stop()
   }
 }
