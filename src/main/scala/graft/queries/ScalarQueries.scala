@@ -123,10 +123,13 @@ object ScalarQueries {
     * sf3: 40 554 of 150 000 docs in the h3=0 bucket → ~8·10⁸
     * candidate pairs in one skewed task; the round-9 sweep caught the
     * fixed design there) — is no evidence of visual similarity, the
-    * same way a stop-shingle is no evidence of text duplication. True
-    * near-dups still pair through their non-degenerate shared words;
-    * the cap never binds on a healthy bucket (p99 bucket ≤ a few
-    * dozen at every measured scale). */
+    * same way a stop-shingle is no evidence of text duplication.
+    * Measured at sf3, the cap drops 126 of 22 498 (word_idx, word)
+    * buckets (0.6%), dominated by padding/saturation artifacts
+    * (all-zero/all-one patterns); a doc in a dropped bucket still
+    * pairs through its other, kept words — a pair is lost only if
+    * ALL FOUR shared words are over-cap, the same residual-miss trade
+    * every banded-LSH cap in the suite makes. */
   def q75BlockhashPairs(s: SparkSession, dir: String): DataFrame = {
     val hashes = Multimodal.blockhashes(
       Multimodal.packBinary(Tables.documents(s, dir), "doc_id", "text"))
