@@ -456,7 +456,55 @@ object VectorQueries {
       .orderBy("qid", "rnk")
   }
 
+  /** q158: k-means-cell IVF ANN — the content-derived index the
+    * RECALL.md sf1 rows showed q70's per-label cells lack: on a
+    * corpus where near-duplicates span labels, an
+    * attribute-partitioned inverted file probes the wrong cells
+    * (measured recall 200/1000 vs LSH 1000), while cells derived from
+    * the VECTORS themselves put a query's neighbours in its probed
+    * cells by construction. Reuses the deterministic two-iteration
+    * Lloyd machinery (K corpus-derived like q106, integer-exact
+    * distances, ties to smallest cell): probe the [[NProbe]] nearest
+    * centroids by integer L2, scan only those cells, exact cosine
+    * top-[[K]].
+    *
+    * Scale shape: identical to q70 — centroids are a broadcast dim,
+    * the corpus is bucketed by cell id, a probe reads NProbe/K of the
+    * data — but the cell count grows with the corpus (semDedupK), so
+    * the scanned fraction FALLS as the corpus grows at fixed probe
+    * count; the clustering is one Lloyd pass amortized across every
+    * search batch (and maintained incrementally by the q116 shape). */
+  def q158IvfKmeans(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val k = semDedupK(emb.count())
+    val asg = kmeansAssignment(s, dir, k)
+    val cents = recomputeCentroids(asg)
+    val q = quantized(
+        emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < QBatchMax))
+      .select(col("vec_id").as("qid"), col("qe"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("d",
+        graft.functions.VectorExpressions.l2q(col("qe"), col("c")))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("d"), col("cl"))))
+      .filter(col("crnk") <= NProbe)
+      .select("qid", "cl")
+    val scored = probes
+      .join(asg.select("vec_id", "cl"), Seq("cl"))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(emb.select("vec_id", "embedding"), Seq("vec_id"))
+      .join(emb.select(col("vec_id").as("qid"),
+        col("embedding").as("qemb")), Seq("qid"))
+      .withColumn("cosine", r6(cosine(col("qemb"), col("embedding"))))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select("qid", "vec_id", "cosine", "rnk")
+      .orderBy("qid", "rnk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q158_ivf_kmeans" -> (q158IvfKmeans _),
     "q116_incremental_ann" -> (q116IncrementalAnn _),
     "q106_semdedup" -> (q106SemDedup _),
     "q132_hard_negatives" -> (q132HardNegatives _),
@@ -530,6 +578,37 @@ object VectorQueries {
      c$n AS (SELECT cl, list(v ORDER BY i) AS c FROM m$n GROUP BY cl)"""
 
   val oracles: Map[String, String] = Map(
+    "q158_ivf_kmeans" ->
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE)*1e6) AS BIGINT) + 1000000) AS qe
+         FROM embeddings),
+       kk AS (SELECT least(65536, greatest(8, CAST(ceil(count(*) / 64.0) AS BIGINT))) AS k
+         FROM embeddings),
+       c0 AS (SELECT vec_id AS cl, qe AS c FROM q
+         WHERE vec_id < (SELECT k FROM kk)),
+       ${kmeansIterSql(1, "c0")},
+       ${kmeansIterSql(2, "c1")},
+       qb AS (SELECT vec_id AS qid, qe FROM q
+         WHERE vec_id % 50 = 0 AND vec_id < $QBatchMax),
+       pd AS (SELECT qid, cl,
+           CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+             i -> (qe[i]-c[i])*(qe[i]-c[i]))) AS BIGINT) AS d
+         FROM qb CROSS JOIN c2),
+       probes AS (SELECT qid, cl FROM
+         (SELECT *, row_number() OVER (PARTITION BY qid
+            ORDER BY d, cl) AS crnk FROM pd)
+         WHERE crnk <= $NProbe),
+       scored AS (SELECT p.qid, a2.vec_id,
+           ${r6Sql(sqlCosine("eq.embedding", "ev.embedding"))} AS cosine
+         FROM probes p
+         JOIN a2 ON a2.cl = p.cl
+         JOIN embeddings eq ON eq.vec_id = p.qid
+         JOIN embeddings ev ON ev.vec_id = a2.vec_id
+         WHERE a2.vec_id <> p.qid),
+       ranked AS (SELECT *, row_number() OVER (PARTITION BY qid
+         ORDER BY cosine DESC, vec_id) AS rnk FROM scored)
+       SELECT qid, vec_id, cosine, rnk FROM ranked
+       WHERE rnk <= $K ORDER BY qid, rnk""",
     "q132_hard_negatives" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qemb,
            label AS qlabel

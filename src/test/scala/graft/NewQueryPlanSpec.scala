@@ -491,6 +491,15 @@ class NewQueryPlanSpec extends AnyFunSuite {
       s"q157's query batch must broadcast against the corpus scans:\n$plan")
   }
 
+  test("q158: k-means centroids broadcast; probed cells join keyed on cl") {
+    val plan = executed(queries.VectorQueries.q158IvfKmeans(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"q158 must not plan a non-broadcast cartesian:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"q158's centroid probe must broadcast:\n$plan")
+  }
+
   test("q155: changelog reconstruction is one combinable agg — no window, no join") {
     import spark.implicits._
     val log = Seq(
