@@ -95,4 +95,25 @@ class PropertySpec extends AnyFunSuite {
         s.forall(c => c >= 'a' && c <= 'z') && s == PorterStemmer.stem(w)
     })
   }
+
+  test("derived index parameters: monotone in n, resolution bounds hold") {
+    // the laws the round-9 scale fixes lean on, over random corpus
+    // sizes: both derivations are monotone non-decreasing (a bigger
+    // corpus never gets a coarser index), and inside the linear
+    // regime the implied bucket/cell expectation stays pinned
+    val n = Gen.chooseNum(1L, 100000000000L)
+    check("monotone")(Prop.forAll(n, n) { (a, b) =>
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      queries.VectorQueries.lshBits(lo) <= queries.VectorQueries.lshBits(hi) &&
+      queries.VectorQueries.semDedupK(lo) <= queries.VectorQueries.semDedupK(hi)
+    })
+    check("bounds")(Prop.forAll(n) { v =>
+      val bits = queries.VectorQueries.lshBits(v)
+      val k = queries.VectorQueries.semDedupK(v)
+      bits >= 4 && bits <= 16 && k >= 8 && k <= 65536 &&
+        // pinned expectations inside the linear regimes
+        (v > (16L << 16) || v.toDouble / (1L << bits) <= 16.0) &&
+        (v > 64L * 65536 || k >= (v + 63) / 64 || k == 8)
+    })
+  }
 }
