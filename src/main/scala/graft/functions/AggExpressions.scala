@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Coalesce, CreateArray, Expression, ExpressionInfo, GetArrayItem, If, IsNotNull, IsNull, Least, Literal, Or}
+import org.apache.spark.sql.catalyst.expressions.{ArrayMax, AttributeReference, Coalesce, CreateArray, Expression, ExpressionInfo, GetArrayItem, If, IsNotNull, IsNull, Least, Literal, Or}
 import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, LongType}
@@ -26,11 +26,16 @@ object AggExpressions {
 
   /** Element-wise min of `n`-component long-array signatures.
     * Null inputs are skipped; null components (empty shingle sets)
-    * act as the identity. A group whose inputs were ALL null (or
-    * empty) evaluates to NULL — matching built-in min/max semantics
-    * and the relational explode/min spelling — via a seen-any-row
-    * buffer slot, so callers can distinguish "no signature data" from
-    * a real signature that happens to equal the identity. */
+    * act as the identity. A group that contributed NO signature
+    * component — every input NULL, an empty array, or an array of
+    * all-null components — evaluates to NULL, matching the
+    * relational explode/min spelling (explode of such inputs yields
+    * no non-null rows, so the group is absent / all-NULL there). The
+    * `seen` buffer slot therefore flips only when an input carries at
+    * least one non-null component (`IsNotNull(ArrayMax(child))`,
+    * which is null-safe for NULL/empty/all-null arrays alike), so
+    * callers can distinguish "no signature data" from a real
+    * signature that happens to equal the identity. */
   case class MinhashMergeAgg(child: Expression, n: Int)
       extends DeclarativeAggregate with UnaryLike[Expression] {
 
@@ -50,8 +55,9 @@ object AggExpressions {
       (0 until n).map(i =>
         AttributeReference(s"mh$i", LongType, nullable = false)())
 
-    // true once any non-null input row reached the buffer: identity-
-    // only groups evaluate to NULL instead of [MaxValue × n]
+    // true once any input row carrying a non-null component reached
+    // the buffer: identity-only groups (all inputs NULL, empty, or
+    // all-null-component) evaluate to NULL instead of [MaxValue × n]
     private lazy val seen: AttributeReference =
       AttributeReference("mhSeen", BooleanType, nullable = false)()
 
@@ -63,10 +69,14 @@ object AggExpressions {
 
     override lazy val updateExpressions: Seq[Expression] =
       slots.zipWithIndex.map { case (b, i) =>
+        // failOnError = false: an input shorter than n (incl. the
+        // empty array) reads as NULL → identity, instead of throwing
+        // INVALID_ARRAY_INDEX under ANSI mode
         If(IsNull(child), b,
           Least(Seq(b, Coalesce(Seq(
-            GetArrayItem(child, Literal(i)), Literal(Long.MaxValue))))))
-      } :+ Or(seen, IsNotNull(child))
+            GetArrayItem(child, Literal(i), failOnError = false),
+            Literal(Long.MaxValue))))))
+      } :+ Or(seen, IsNotNull(ArrayMax(child)))
 
     override lazy val mergeExpressions: Seq[Expression] =
       slots.map(b => Least(Seq(b.left, b.right))) :+

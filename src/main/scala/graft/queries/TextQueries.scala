@@ -279,6 +279,10 @@ object TextQueries {
     * corpus scale. */
   def q157HybridRrf(s: SparkSession, dir: String): DataFrame = {
     val lex = q107Bm25(s, dir)
+      // the oracle truncates the lexical list at RrfTopK; BmTopK ==
+      // RrfTopK today, but the explicit filter ties the Spark leg to
+      // the SAME constant so changing BmTopK alone cannot desync them
+      .filter(col("rnk") <= RrfTopK)
       .select(col("qdoc").as("qid"), col("doc_id"),
         col("rnk").as("lex_rnk"))
     val emb = Tables.embeddings(s, dir)

@@ -48,7 +48,17 @@ object VectorQueries {
   // IVF path. Derivation is integer-only (a threshold ladder — no
   // float log2 whose rounding could differ between engines) and the
   // oracle replays it from the same count(*).
-  private val Bands = 3
+  // Bands raised 3 → 8 in round 10 to buy back the recall the
+  // derived band width spent (RECALL.md: lsh recall@5 fell 270 → 100‰
+  // at sf0.1 when bits went corpus-derived). Collision probability
+  // per true neighbour is linear in bands at fixed width (6 bands
+  // measured 230‰ at sf0.1, 8 bands clears the pre-fix 270‰), while
+  // the pair stage stays O(n·TargetBucket·bands) — linear in the
+  // corpus, just 8/3× the constant (measured: see the round-10
+  // RECALL.md / BASELINE.md rows). This is the engine's analogue of
+  // the reference's tunable numHashTables=3
+  // (`matching/matcher/PictureMatcher.scala:54-68`).
+  private val Bands = 8
   private val MinBits = 4
   private val MaxBits = 16
   private val TargetBucket = 16L
@@ -67,7 +77,7 @@ object VectorQueries {
       .mkString("CASE ", " ", s" ELSE $MaxBits END")
 
   /** Shared, fixed hyperplanes for the maximum resolution
-    * (Bands × MaxBits = 48) — the same literal values are embedded in
+    * (Bands × MaxBits = 128) — the same literal values are embedded in
     * the oracle SQL, so Spark and DuckDB run the same projection; a
     * smaller derived width uses the prefix `h < Bands · bits`. */
   private val planes: Seq[Seq[Double]] =
@@ -373,12 +383,15 @@ object VectorQueries {
       .orderBy("vec_id")
   }
 
-  /** q118: ANN recall evaluation — recall@K of both approximate search
-    * paths (q31 hyperplane-LSH, q70 probe-2 IVF) against the q30
+  /** q118: ANN recall evaluation — recall@K of all three approximate
+    * search paths (q31 hyperplane-LSH, q70 probe-2 label-cell IVF,
+    * q158 content-derived k-means-cell IVF) against the q30
     * brute-force ground truth, per query point. "Measure, don't
     * guess": the approximate indexes' quality is a number the pipeline
-    * watches, not an assertion. Exact integer output (hits, k,
-    * recall in milli-units).
+    * watches, not an assertion — the q158 leg exists BECAUSE this
+    * report exposed the label cells' clone-corpus failure (RECALL.md),
+    * so the fix it bought is watched continuously too. Exact integer
+    * output (hits, k, recall in milli-units).
     *
     * Scale shape: the ground truth is computed on the FIXED-SIZE
     * query batch all three paths share ([[QBatchMax]]): a sampled
@@ -397,6 +410,7 @@ object VectorQueries {
         .withColumn("method", lit(method))
     recall(q31KnnLsh(s, dir), "lsh")
       .unionByName(recall(q70IvfAnn(s, dir), "ivf"))
+      .unionByName(recall(q158IvfKmeans(s, dir), "ivf_kmeans"))
       .withColumn("recall_milli", expr("hits * 1000 div k"))
       .select("method", "qid", "k", "hits", "recall_milli")
       .orderBy("method", "qid")
@@ -533,7 +547,7 @@ object VectorQueries {
   /** The corpus-derived LSH bucket table as a reusable CTE chain
     * ending in `buckets(vec_id, band, key)` — the oracle replay of
     * [[bucketsOf]]: the same integer threshold ladder derives `bits`
-    * from `count(*)`, and only the first `Bands · bits` of the 48
+    * from `count(*)`, and only the first `Bands · bits` of the 128
     * embedded plane literals participate. */
   private lazy val bucketsCtes =
     s"""${sqlPlanesCte(planes)},
@@ -579,36 +593,7 @@ object VectorQueries {
 
   val oracles: Map[String, String] = Map(
     "q158_ivf_kmeans" ->
-      s"""WITH q AS (SELECT vec_id, list_transform(embedding,
-           x -> CAST(round(CAST(x AS DOUBLE)*1e6) AS BIGINT) + 1000000) AS qe
-         FROM embeddings),
-       kk AS (SELECT least(65536, greatest(8, CAST(ceil(count(*) / 64.0) AS BIGINT))) AS k
-         FROM embeddings),
-       c0 AS (SELECT vec_id AS cl, qe AS c FROM q
-         WHERE vec_id < (SELECT k FROM kk)),
-       ${kmeansIterSql(1, "c0")},
-       ${kmeansIterSql(2, "c1")},
-       qb AS (SELECT vec_id AS qid, qe FROM q
-         WHERE vec_id % 50 = 0 AND vec_id < $QBatchMax),
-       pd AS (SELECT qid, cl,
-           CAST(list_sum(list_transform(range(1, ${Dim + 1}),
-             i -> (qe[i]-c[i])*(qe[i]-c[i]))) AS BIGINT) AS d
-         FROM qb CROSS JOIN c2),
-       probes AS (SELECT qid, cl FROM
-         (SELECT *, row_number() OVER (PARTITION BY qid
-            ORDER BY d, cl) AS crnk FROM pd)
-         WHERE crnk <= $NProbe),
-       scored AS (SELECT p.qid, a2.vec_id,
-           ${r6Sql(sqlCosine("eq.embedding", "ev.embedding"))} AS cosine
-         FROM probes p
-         JOIN a2 ON a2.cl = p.cl
-         JOIN embeddings eq ON eq.vec_id = p.qid
-         JOIN embeddings ev ON ev.vec_id = a2.vec_id
-         WHERE a2.vec_id <> p.qid),
-       ranked AS (SELECT *, row_number() OVER (PARTITION BY qid
-         ORDER BY cosine DESC, vec_id) AS rnk FROM scored)
-       SELECT qid, vec_id, cosine, rnk FROM ranked
-       WHERE rnk <= $K ORDER BY qid, rnk""",
+      s"SELECT * FROM ($ivfKmeansSql) ORDER BY qid, rnk",
     "q132_hard_negatives" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qemb,
            label AS qlabel
@@ -723,6 +708,7 @@ object VectorQueries {
            (WITH $lshCtes SELECT qid, vec_id FROM ranked WHERE rnk <= $K)),
          ivf AS (SELECT qid, vec_id FROM
            (WITH $ivfCtes SELECT qid, vec_id FROM ranked WHERE rnk <= $K)),
+         ivfk AS (SELECT qid, vec_id FROM ($ivfKmeansSql)),
          rec AS (
            SELECT 'lsh' AS method, t.qid,
              CAST(count(*) AS BIGINT) AS k,
@@ -738,9 +724,52 @@ object VectorQueries {
                AS BIGINT) AS hits
            FROM truth t LEFT JOIN ivf a
              ON t.qid = a.qid AND t.vec_id = a.vec_id
+           GROUP BY t.qid
+           UNION ALL
+           SELECT 'ivf_kmeans' AS method, t.qid,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS hits
+           FROM truth t LEFT JOIN ivfk a
+             ON t.qid = a.qid AND t.vec_id = a.vec_id
            GROUP BY t.qid)
          SELECT method, qid, k, hits, hits * 1000 // k AS recall_milli
          FROM rec ORDER BY method, qid""")
+
+  /** The complete q158 content-derived IVF search as a standalone
+    * (unordered) SELECT — the "q158_ivf_kmeans" oracle body and the
+    * q118 recall evaluation's third leg. */
+  private lazy val ivfKmeansSql: String =
+    s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE)*1e6) AS BIGINT) + 1000000) AS qe
+         FROM embeddings),
+       kk AS (SELECT least(65536, greatest(8, CAST(ceil(count(*) / 64.0) AS BIGINT))) AS k
+         FROM embeddings),
+       c0 AS (SELECT vec_id AS cl, qe AS c FROM q
+         WHERE vec_id < (SELECT k FROM kk)),
+       ${kmeansIterSql(1, "c0")},
+       ${kmeansIterSql(2, "c1")},
+       qb AS (SELECT vec_id AS qid, qe FROM q
+         WHERE vec_id % 50 = 0 AND vec_id < $QBatchMax),
+       pd AS (SELECT qid, cl,
+           CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+             i -> (qe[i]-c[i])*(qe[i]-c[i]))) AS BIGINT) AS d
+         FROM qb CROSS JOIN c2),
+       probes AS (SELECT qid, cl FROM
+         (SELECT *, row_number() OVER (PARTITION BY qid
+            ORDER BY d, cl) AS crnk FROM pd)
+         WHERE crnk <= $NProbe),
+       scored AS (SELECT p.qid, a2.vec_id,
+           ${r6Sql(sqlCosine("eq.embedding", "ev.embedding"))} AS cosine
+         FROM probes p
+         JOIN a2 ON a2.cl = p.cl
+         JOIN embeddings eq ON eq.vec_id = p.qid
+         JOIN embeddings ev ON ev.vec_id = a2.vec_id
+         WHERE a2.vec_id <> p.qid),
+       ranked AS (SELECT *, row_number() OVER (PARTITION BY qid
+         ORDER BY cosine DESC, vec_id) AS rnk FROM scored)
+       SELECT qid, vec_id, cosine, rnk FROM ranked
+       WHERE rnk <= $K"""
 
   /** The q70 IVF search as a reusable CTE chain ending in
     * `ranked(qid, vec_id, cosine, rnk)` — shared with the q118 recall

@@ -88,6 +88,29 @@ class HashSpec extends AnyFunSuite {
       s"graft_minhash_agg must combine map-side (partial mode):\n$plan")
   }
 
+  test("graft_minhash_agg identity-only groups are NULL (null / empty / all-null inputs)") {
+    // the r9 advice edge: a non-null EMPTY array (or all-null
+    // components) must NOT flip the seen flag — such a group carries
+    // zero signature components, exactly like an all-NULL group, and
+    // the relational explode/min spelling yields nothing for it
+    val df = spark.sql(
+      """SELECT g, graft_minhash_agg(sig, 3) AS msig FROM VALUES
+           (0, CAST(NULL AS ARRAY<BIGINT>)),
+           (1, CAST(array() AS ARRAY<BIGINT>)),
+           (2, array(CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT))),
+           (3, array(5L, NULL, 7L)),
+           (3, CAST(NULL AS ARRAY<BIGINT>)),
+           (3, array(2L, 9L, NULL))
+         AS t(g, sig) GROUP BY g""")
+      .collect().map(r => r.getInt(0) -> Option(r.get(1))).toMap
+    assert(df(0).isEmpty, "all-NULL group must be NULL")
+    assert(df(1).isEmpty, "empty-array group must be NULL")
+    assert(df(2).isEmpty, "all-null-component group must be NULL")
+    // null components act as identity; the real components min normally
+    assert(df(3).map(_.asInstanceOf[scala.collection.Seq[Long]].toSeq)
+      .contains(Seq(2L, 9L, 7L)))
+  }
+
   test("simhash32 native == HOF") {
     val diff = toks.select(TextFns.tokenHashes(col("toks")).as("hs"))
       .select(
