@@ -92,6 +92,127 @@ object WeightTraining {
     history.result().toDF("round", "w1", "error")
   }
 
+  /** Constrained k-type simplex lattice (J7 generalized to the
+    * reference's real arity — `WeightTrainerStage.scala:321-456`
+    * walks ~9 active score types the same way): every integer point
+    * (n_1..n_k) with n_i ≥ 0 and Σ n_i = steps, built exactly as the
+    * reference's `generateWeight` builds it — iterated cross joins of
+    * the per-axis range under the running-sum ≤ steps constraint,
+    * last axis pinned to the remainder (so Σ = steps holds by
+    * construction, no final filter pass) — plus w_i = n_i/steps as a
+    * single exact division per axis. C(steps+k−1, k−1) rows:
+    * dimension-sized at any corpus scale, broadcast by consumers. */
+  def simplexGrid(spark: SparkSession, k: Int, steps: Int): DataFrame = {
+    require(k >= 2, s"simplex needs >= 2 score types, got $k")
+    var df = spark.range(0, steps + 1L).select(col("id").as("n1"))
+    for (i <- 2 until k) {
+      val axis = spark.range(0, steps + 1L).select(col("id").as(s"n$i"))
+      val sumSoFar = (1 until i).map(j => col(s"n$j")).reduce(_ + _)
+      df = df.join(broadcast(axis), sumSoFar + col(s"n$i") <= steps)
+    }
+    val sumAll = (1 until k).map(j => col(s"n$j")).reduce(_ + _)
+    df = df.withColumn(s"n$k", lit(steps.toLong) - sumAll)
+    (1 to k).foldLeft(df)((d, i) =>
+      d.withColumn(s"w$i", col(s"n$i") / steps.toDouble))
+  }
+
+  /** Evaluate every simplex point in ONE distributed pass over the
+    * match table (the [[evaluateGrid]] metric generalized to k score
+    * columns): `pairScores` (doc1, doc2, s1..sk) × broadcast grid
+    * (n1..nk, w1..wk) → per-(point, doc1) rank window → conditional
+    * aggregates. The lattice coordinates n1..nk key the output (no
+    * minted id — they ARE the deterministic identity of a weight
+    * point), and totals are micro-quantized before ranking so the
+    * argmin is bit-stable across engines. The shuffle is one pass of
+    * |pairs| × |grid| rows regardless of k. */
+  def evaluateSimplex(pairScores: DataFrame, labels: DataFrame,
+                      grid: DataFrame, k: Int): DataFrame = {
+    val nCols = (1 to k).map(i => col(s"n$i"))
+    val wCols = (1 to k).map(i => col(s"w$i"))
+    val total = (1 to k).map(i => col(s"w$i") * col(s"s$i")).reduce(_ + _)
+    val scored = pairScores
+      .join(labels, Seq("doc1", "doc2"), "left")
+      .na.fill(false, Seq("accepted"))
+      .crossJoin(broadcast(grid))
+      .withColumn("total_micro", round(total * 1e6).cast("long"))
+    val w = Window.partitionBy(nCols :+ col("doc1"): _*)
+      .orderBy(col("total_micro").desc, col("doc2"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .groupBy(nCols ++ wCols: _*)
+      .agg(
+        sum(when(col("accepted"), col("rnk") - 1L).otherwise(0L)).as("error"),
+        sum(when(col("accepted") && col("rnk") === 1, 1L).otherwise(0L)).as("n_top1"),
+        sum(when(col("accepted") && col("rnk") <= 3, 1L).otherwise(0L)).as("n_top3"),
+        sum(when(col("accepted"), 1L).otherwise(0L)).as("n_accepted"))
+  }
+
+  /** All integer k-tuples with Σ = sum (driver-side; the probe/coarse
+    * sets are dimension-sized — tens of points — while every
+    * EVALUATION stays one distributed pass). */
+  private def lattice(k: Int, sum: Int): Seq[Seq[Int]] =
+    if (k == 1) Seq(Seq(sum))
+    else (0 to sum).flatMap(n => lattice(k - 1, sum - n).map(n +: _))
+
+  /** Walker refinement on the k-type simplex (the [[refineWeights]]
+    * driver loop generalized past k=2; reference Cartographer+Walker
+    * `WeightTrainerStage.scala:93-147,321-456`). Weights live on the
+    * exact integer lattice n/denom with denom = coarseSteps·2^rounds:
+    * the coarse pass evaluates the steps=coarseSteps sub-simplex
+    * (multiples of 2^rounds), then each round probes the incumbent's
+    * ±step moves along every ORDERED axis pair (n + step·(e_i − e_j),
+    * the unit moves that preserve Σ n = denom — k(k−1) probes, each a
+    * valid simplex point by construction) and halves the step. Argmin
+    * ties break by (error, lexicographic n) so the walk is
+    * deterministic and the DuckDB oracle can unroll it from a
+    * full-lattice error table. One distributed pass per round; the
+    * probe grid is a ≤ k(k−1)+1 row broadcast.
+    *
+    * Returns one row per round: (round, n1..nk, w1..wk, error) of the
+    * incumbent after that round. */
+  def refineWeightsSimplex(spark: SparkSession, pairScores: DataFrame,
+                           labels: DataFrame, k: Int,
+                           coarseSteps: Int = 4, rounds: Int = 3): DataFrame = {
+    import spark.implicits._
+    import scala.math.Ordering.Implicits._
+    val denom = coarseSteps << rounds
+    def errOf(points: Seq[Seq[Int]]): Seq[(List[Int], Long)] = {
+      val grid = points.map(ns => Tuple1(ns.map(_.toLong))).toDF("nums")
+        .select((1 to k).map(i => col("nums")(i - 1).as(s"n$i")) ++
+          (1 to k).map(i => (col("nums")(i - 1) / denom.toDouble).as(s"w$i")): _*)
+      evaluateSimplex(pairScores, labels, grid, k)
+        .select((1 to k).map(i => col(s"n$i")) :+ col("error"): _*)
+        .collect()
+        .map(r => ((0 until k).map(i => r.getLong(i).toInt).toList,
+          r.getLong(k))).toSeq
+    }
+    val f = denom / coarseSteps // = 2^rounds
+    val coarse = errOf(lattice(k, coarseSteps).map(_.map(_ * f)))
+    var (bestNs, bestErr) = coarse.minBy { case (ns, e) => (e, ns) }
+    val history = Seq.newBuilder[(Int, List[Int], Long)]
+    history += ((0, bestNs, bestErr))
+    var step = f / 2
+    for (round <- 1 to rounds) {
+      val probes = (for {
+        i <- 0 until k; j <- 0 until k if i != j
+        cand = bestNs.updated(i, bestNs(i) + step)
+          .updated(j, bestNs(j) - step)
+        if cand.forall(n => n >= 0 && n <= denom)
+      } yield cand).distinct :+ bestNs
+      val (ns, e) = errOf(probes).minBy { case (ns, e) => (e, ns) }
+      bestNs = ns; bestErr = e
+      history += ((round, bestNs, bestErr))
+      step /= 2
+    }
+    history.result()
+      .map { case (r, ns, e) => (r, ns.map(_.toLong), e) }
+      .toDF("round", "nums", "error")
+      .select(col("round") +:
+        ((1 to k).map(i => col("nums")(i - 1).as(s"n$i")) ++
+          (1 to k).map(i => (col("nums")(i - 1) / denom.toDouble).as(s"w$i"))) :+
+        col("error"): _*)
+  }
+
   def evaluateGrid(pairScores: DataFrame, labels: DataFrame,
                    grid: DataFrame): DataFrame = {
     val scored = pairScores

@@ -79,7 +79,7 @@ object MatchingQueries {
 
   /** Weight-training input (q20/q72): pairs matched by BOTH types —
     * tiny (the intersection of the two matchers). */
-  private def weightPairScores(s: SparkSession, dir: String): DataFrame =
+  private[graft] def weightPairScores(s: SparkSession, dir: String): DataFrame =
     pivotedScores(s, dir)
       .filter(col("part_overlap") > 0.0 && col("partsupp_overlap") > 0.0)
       .select(col("doc1"), col("doc2"),
@@ -322,6 +322,53 @@ object MatchingQueries {
       .orderBy("round")
   }
 
+  /** Three-type weight-training input: the q20 pair universe (matched
+    * by BOTH entity types) widened with a third score of a wholly
+    * different nature — date proximity, s3 = 100/(1+|year₁−year₂|) —
+    * mirroring how the reference mixes entity-overlap scores with
+    * non-overlap evidence across its ~9 active types. The year dim is
+    * a 2-column projection of orders joined per pair side; exact: one
+    * integer abs-difference and one double division per pair. */
+  private def weightPairScores3(s: SparkSession, dir: String): DataFrame = {
+    val yrs = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("doc_id"), year(col("o_orderdate")).as("yr"))
+    weightPairScores(s, dir)
+      .join(yrs.select(col("doc_id").as("doc1"), col("yr").as("y1")), Seq("doc1"))
+      .join(yrs.select(col("doc_id").as("doc2"), col("yr").as("y2")), Seq("doc2"))
+      .withColumn("s3", lit(100.0) / (lit(1) + abs(col("y1") - col("y2"))))
+      .select("doc1", "doc2", "s1", "s2", "s3")
+  }
+
+  /** q159: k-type weight-grid evaluation (J7/A9 at the reference's
+    * real arity — `WeightTrainerStage.scala:321-456` walks ~9 types;
+    * q20 is the 2-type base case): the constrained 3-type simplex
+    * lattice (Σnᵢ = 5, 21 points) generated by iterated constrained
+    * cross joins, every point evaluated in ONE distributed pass over
+    * the 3-score match table. */
+  def q159WeightGridK3(s: SparkSession, dir: String): DataFrame = {
+    val ps = weightPairScores3(s, dir)
+    val labels = ps.select(col("doc1"), col("doc2"),
+      ((col("doc1") + col("doc2")) % 5 === 0).as("accepted"))
+    WeightTraining.evaluateSimplex(ps, labels,
+        WeightTraining.simplexGrid(s, k = 3, steps = 5), k = 3)
+      .orderBy("n1", "n2")
+  }
+
+  /** q160: Walker refinement on the 3-type simplex (the q72 driver
+    * loop generalized past the 1-D case): coarse sub-simplex
+    * (steps=4, 15 points, denom=32) then 3 halving rounds probing the
+    * incumbent's ±step moves along every ordered axis pair. Oracled
+    * by evaluating the full 561-point n/32 lattice once and unrolling
+    * the argmin walk in CTEs — the q72 scheme with 2-D probe sets;
+    * WeightSpec asserts the trajectory laws on top. */
+  def q160WeightRefineK3(s: SparkSession, dir: String): DataFrame = {
+    val ps = weightPairScores3(s, dir)
+    val labels = ps.select(col("doc1"), col("doc2"),
+      ((col("doc1") + col("doc2")) % 5 === 0).as("accepted"))
+    WeightTraining.refineWeightsSimplex(s, ps, labels, k = 3)
+      .orderBy("round")
+  }
+
   /** q94: the FullMatcherApp end-to-end composite (reference
     * `matching/app/FullMatcherApp.scala:38-67`, pipelines 1-2) — the
     * matcher-side counterpart of q93's curation chain. Off the SAME
@@ -386,9 +433,99 @@ object MatchingQueries {
     "q43_total_score" -> (q43TotalScore _),
     "q44_pair_dedup" -> (q44PairDedup _),
     "q71_rank_eval" -> (q71RankEval _),
-    "q72_weight_refine" -> (q72WeightRefine _))
+    "q72_weight_refine" -> (q72WeightRefine _),
+    "q159_weight_grid_k3" -> (q159WeightGridK3 _),
+    "q160_weight_refine_k3" -> (q160WeightRefineK3 _))
+
+  /** The 3-type weight-training input as a CTE chain ending in
+    * `pairsc3(doc1, doc2, s1, s2, s3)` — the oracle replay of
+    * [[weightPairScores3]] (q159/q160). */
+  private def pairsc3Sql: String =
+    s"""$bothScoresSql,
+       pairsc AS (SELECT doc1, doc2, s1, s2 FROM (
+         SELECT doc1, doc2,
+           coalesce(max(CASE WHEN score_type = 'part_overlap' THEN score END), 0.0) AS s1,
+           coalesce(max(CASE WHEN score_type = 'partsupp_overlap' THEN score END), 0.0) AS s2
+         FROM allscores GROUP BY doc1, doc2)
+         WHERE s1 > 0.0 AND s2 > 0.0),
+       yrs AS (SELECT o_orderkey AS doc_id, year(o_orderdate) AS yr FROM orders),
+       pairsc3 AS (SELECT p.doc1, p.doc2, p.s1, p.s2,
+         100.0 / (1 + abs(y1.yr - y2.yr)) AS s3
+         FROM pairsc p
+         JOIN yrs y1 ON y1.doc_id = p.doc1
+         JOIN yrs y2 ON y2.doc_id = p.doc2)"""
+
+  /** One Walker probe set around the incumbent `prev` at step `s`, in
+    * (n1, n2) lattice coordinates (n3 = denom − n1 − n2 implicit):
+    * the six ordered-axis-pair moves ± the incumbent itself.
+    * Out-of-simplex probes self-eliminate — the errs lattice holds
+    * only valid points. */
+  private def probeCond(s: Int, prev: String): String = Seq(
+    s"(e.n1 = $prev.n1 - $s AND e.n2 = $prev.n2)",
+    s"(e.n1 = $prev.n1 + $s AND e.n2 = $prev.n2)",
+    s"(e.n1 = $prev.n1 AND e.n2 = $prev.n2 - $s)",
+    s"(e.n1 = $prev.n1 AND e.n2 = $prev.n2 + $s)",
+    s"(e.n1 = $prev.n1 + $s AND e.n2 = $prev.n2 - $s)",
+    s"(e.n1 = $prev.n1 - $s AND e.n2 = $prev.n2 + $s)",
+    s"(e.n1 = $prev.n1 AND e.n2 = $prev.n2)").mkString(" OR ")
 
   val oracles: Map[String, String] = Map(
+    "q159_weight_grid_k3" ->
+      s"""WITH $pairsc3Sql,
+         grid AS (SELECT a.n1, b.n2, 5 - a.n1 - b.n2 AS n3
+           FROM range(0, 6) a(n1), range(0, 6) b(n2)
+           WHERE a.n1 + b.n2 <= 5),
+         scored AS (SELECT n1, n2, n3, doc1, doc2,
+           ((doc1 + doc2) % 5 = 0) AS accepted,
+           CAST(round((n1/5.0 * s1 + n2/5.0 * s2 + n3/5.0 * s3) * 1e6) AS BIGINT) AS total_micro
+           FROM pairsc3, grid),
+         ranked AS (SELECT *, row_number() OVER (PARTITION BY n1, n2, doc1
+           ORDER BY total_micro DESC, doc2) AS rnk FROM scored)
+         SELECT n1, n2, n3, n1/5.0 AS w1, n2/5.0 AS w2, n3/5.0 AS w3,
+           CAST(sum(CASE WHEN accepted THEN rnk - 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(sum(CASE WHEN accepted AND rnk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_top1,
+           CAST(sum(CASE WHEN accepted AND rnk <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_top3,
+           CAST(sum(CASE WHEN accepted THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted
+         FROM ranked GROUP BY n1, n2, n3 ORDER BY n1, n2""",
+    // refineWeightsSimplex walks the n/32 3-type lattice: evaluate all
+    // 561 points once, then unroll the coarse pick (multiples of 8)
+    // and the three halving rounds (±4, ±2, ±1 along every ordered
+    // axis pair) as argmin CTEs — the q72 scheme in 2-D coordinates
+    "q160_weight_refine_k3" ->
+      s"""WITH $pairsc3Sql,
+         lat AS (SELECT a.n1, b.n2, 32 - a.n1 - b.n2 AS n3
+           FROM range(0, 33) a(n1), range(0, 33) b(n2)
+           WHERE a.n1 + b.n2 <= 32),
+         scored AS (SELECT n1, n2, n3, doc1, doc2,
+           ((doc1 + doc2) % 5 = 0) AS accepted,
+           CAST(round((n1/32.0 * s1 + n2/32.0 * s2 + n3/32.0 * s3) * 1e6) AS BIGINT) AS total_micro
+           FROM pairsc3, lat),
+         ranked AS (SELECT *, row_number() OVER (PARTITION BY n1, n2, doc1
+           ORDER BY total_micro DESC, doc2) AS rnk FROM scored),
+         errs AS (SELECT n1, n2,
+           CAST(sum(CASE WHEN accepted THEN rnk - 1 ELSE 0 END) AS BIGINT) AS error
+           FROM ranked GROUP BY n1, n2),
+         r0 AS (SELECT n1, n2, error FROM errs
+           WHERE n1 % 8 = 0 AND n2 % 8 = 0
+           ORDER BY error, n1, n2 LIMIT 1),
+         r1 AS (SELECT e.n1, e.n2, e.error FROM errs e, r0
+           WHERE ${probeCond(4, "r0")}
+           ORDER BY e.error, e.n1, e.n2 LIMIT 1),
+         r2 AS (SELECT e.n1, e.n2, e.error FROM errs e, r1
+           WHERE ${probeCond(2, "r1")}
+           ORDER BY e.error, e.n1, e.n2 LIMIT 1),
+         r3 AS (SELECT e.n1, e.n2, e.error FROM errs e, r2
+           WHERE ${probeCond(1, "r2")}
+           ORDER BY e.error, e.n1, e.n2 LIMIT 1)
+         SELECT CAST(0 AS INTEGER) AS round, n1, n2, 32 - n1 - n2 AS n3,
+           n1/32.0 AS w1, n2/32.0 AS w2, (32 - n1 - n2)/32.0 AS w3, error FROM r0
+         UNION ALL SELECT 1, n1, n2, 32 - n1 - n2,
+           n1/32.0, n2/32.0, (32 - n1 - n2)/32.0, error FROM r1
+         UNION ALL SELECT 2, n1, n2, 32 - n1 - n2,
+           n1/32.0, n2/32.0, (32 - n1 - n2)/32.0, error FROM r2
+         UNION ALL SELECT 3, n1, n2, 32 - n1 - n2,
+           n1/32.0, n2/32.0, (32 - n1 - n2)/32.0, error FROM r3
+         ORDER BY round""",
     "q94_matcher_pipeline" ->
       s"""WITH $bothScoresSql,
          dt AS (SELECT o_orderkey AS doc_id,
