@@ -8,7 +8,7 @@ Global / excludeLintKeys += showSuccess // used by sbt itself, lint false-positi
 // prefixes every line with "[info] ", which corrupts the JSON line.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 ThisBuild / version := "0.1.0"
-name := "pumamatcherspark"
+name := "graft"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")
 // Test-only deps resolve from the pre-warmed coursier cache; anything

@@ -45,8 +45,22 @@ object VectorSearch {
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
+  /** Cosine similarity, total on degenerate input: a zero-norm (or
+    * empty) vector has no direction, so its cosine is NULL — the
+    * general form of the `sxx > 0` guard [[CosineText]] documents
+    * (0/0 is NaN, which Spark and DuckDB then treat differently and
+    * ANSI long-casts reject). NULL ranks LAST under the descending
+    * top-k windows and fails every `>= threshold` pair filter, so
+    * zero-norm vectors are deterministically un-rankable rather than
+    * a crash. The guarded branch keeps the exact original arithmetic
+    * (`dot / (sqrt(aa) · sqrt(bb))`, NOT `sqrt(aa·bb)` — different
+    * ULPs), so results on any corpus without zero-norm vectors are
+    * bit-identical to the unguarded spelling, and the oracle SQL
+    * needs no change. Codegen subexpression elimination collapses the
+    * repeated self-dots. */
   def cosine(a: Column, b: Column): Column =
-    dotD(a, b) / (sqrt(dotD(a, a)) * sqrt(dotD(b, b)))
+    when(dotD(a, a) > 0.0 && dotD(b, b) > 0.0,
+      dotD(a, b) / (sqrt(dotD(a, a)) * sqrt(dotD(b, b))))
 
   /** Brute-force cosine top-k: query rows (qid, qemb) × corpus
     * (vec_id, embedding). Query side is broadcast — at scale it is the
@@ -56,6 +70,9 @@ object VectorSearch {
       .crossJoin(broadcast(queries))
       .filter(col("qid") =!= col("vec_id"))
       .withColumn("cosine", r6(cosine(col("qemb"), col("embedding"))))
+      // zero-norm pairs score NULL (see [[cosine]]) — drop them so a
+      // degenerate corpus can never pad the top-k with unranked rows
+      .filter(col("cosine").isNotNull)
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
     scored
       .withColumn("rnk", row_number().over(w))

@@ -227,8 +227,31 @@ object MiscQueries {
     * frame is persisted so iterations reuse the same partitioning
     * instead of rebuilding the orders⋈lineitem join three times. At
     * cluster scale both sides pre-partition by node id and the
-    * per-iteration shuffle carries one row per edge, nothing more. */
-  def q121PageRank(s: SparkSession, dir: String): DataFrame = {
+    * per-iteration shuffle carries one row per edge, nothing more.
+    *
+    * The iteration count is a PARAMETER with bounded lineage
+    * ([[pageRank]]): past [[PrCheckpointEvery]] iterations the rank
+    * frame is `localCheckpoint`ed, truncating the logical plan — an
+    * unrolled driver loop otherwise nests one join+agg subtree per
+    * iteration, and at 30 iterations the analyzer/optimizer walk of
+    * that tower (and the task-serialized lineage) grows linearly
+    * until it dominates or overflows. The q121 oracle pins 3
+    * iterations (below the checkpoint threshold, so the recorded
+    * plan/hash are unchanged); NewQueryPlanSpec runs 12 and asserts
+    * the truncation actually happened. */
+  def q121PageRank(s: SparkSession, dir: String): DataFrame =
+    pageRank(s, dir, iterations = 3)
+
+  /** Checkpoint cadence for [[pageRank]]: every 5th iteration the
+    * rank frame's lineage is cut. 5 plan-towers of one join+agg each
+    * stay well inside analyzer limits while checkpoint I/O (a few
+    * longs per node, executor-local) stays amortized. */
+  private val PrCheckpointEvery = 5
+  /** Exposed for the NewQueryPlanSpec lineage assertion. */
+  private[graft] def prCheckpointCadence: Int = PrCheckpointEvery
+
+  private[graft] def pageRank(s: SparkSession, dir: String,
+                              iterations: Int): DataFrame = {
     val S = 100000000L // supplier-node offset (disjoint from custkeys)
     val trades = Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_custkey"))
@@ -248,7 +271,7 @@ object MiscQueries {
     val base = 1000000000000L / n * 15L / 100L
     var ranks = outdeg.select(col("src").as("node"),
       lit(1000000000000L / n).as("r"))
-    for (_ <- 1 to 3) {
+    for (i <- 1 to iterations) {
       val contrib = ranks
         .join(edges, ranks("node") === edges("src"))
         .join(outdeg, Seq("src"))
@@ -257,6 +280,11 @@ object MiscQueries {
         .groupBy("node").agg(sum("c").as("in_sum"))
       ranks = contrib.select(col("node"),
         (lit(base) + expr("in_sum * 85 div 100")).as("r"))
+      // bounded lineage: cut the plan tower periodically (values are
+      // integer and partition-independent, so truncation cannot
+      // change the result — only the plan depth)
+      if (i % PrCheckpointEvery == 0 && i < iterations)
+        ranks = ranks.localCheckpoint()
     }
     ranks.filter(col("node") >= S)
       .join(outdeg.withColumnRenamed("src", "node"), Seq("node"))

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{TextDedup, VectorSearch}
+
+/** Degenerate-corpus totality (round-9 VERDICT item 6 generalized):
+  * the derived-parameter formulas have boundary laws in PropertySpec;
+  * this suite drives the OPERATORS those formulas feed with the
+  * corpora the formulas promise to handle — empty, single-row,
+  * empty-text, zero-norm — and asserts defined results, not crashes.
+  * Every case here is impossible in the driver fixtures, which is
+  * exactly why it needs a spec: the first real pipeline with a
+  * stray all-zero embedding or an empty document must degrade, not
+  * die (the ANSI-mode NaN→BIGINT cast is an exception, not a NULL).
+  */
+class BoundarySpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val dim = 4
+
+  test("cosineTopK: zero-norm corpus vectors and zero-norm queries are un-rankable, not a crash") {
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f, 0.0f, 0.0f)), // zero-norm: no direction
+      (4L, Seq(0.5f, 0.5f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val queries = Seq(
+      (10L, Seq(1.0f, 1.0f, 0.0f, 0.0f)),
+      (11L, Seq(0.0f, 0.0f, 0.0f, 0.0f)) // zero-norm query
+    ).toDF("qid", "qemb")
+    val out = VectorSearch.cosineTopK(corpus, queries, k = 3).collect()
+    // the zero-norm corpus vector never appears; the zero-norm query
+    // matches nothing (every cosine involving it is NULL)
+    assert(out.forall(_.getLong(1) != 3L), "zero-norm vector must not rank")
+    assert(!out.exists(_.getLong(0) == 11L), "zero-norm query has no results")
+    assert(out.count(_.getLong(0) == 10L) == 3, "real query keeps full top-k")
+    assert(out.forall(!_.isNullAt(2)), "no NULL cosine may survive")
+  }
+
+  test("cosine is NULL exactly on zero-norm input and unchanged elsewhere") {
+    val pairs = Seq(
+      (Seq(1.0f, 2.0f, 0.0f, 0.0f), Seq(2.0f, 1.0f, 0.0f, 0.0f)),
+      (Seq(0.0f, 0.0f, 0.0f, 0.0f), Seq(2.0f, 1.0f, 0.0f, 0.0f)),
+      (Seq(1.0f, 2.0f, 0.0f, 0.0f), Seq(0.0f, 0.0f, 0.0f, 0.0f)),
+      (Seq(), Seq(2.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("a", "b")
+    val got = pairs.select(VectorSearch.cosine(col("a"), col("b")).as("c"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got(0).isDefined && math.abs(got(0).get - 0.8) < 1e-12)
+    assert(got(1).isEmpty && got(2).isEmpty && got(3).isEmpty)
+    // the guarded branch preserves the exact unguarded arithmetic
+    val unguarded = pairs.limit(1).select(
+      (VectorSearch.dotD(col("a"), col("b")) /
+        (sqrt(VectorSearch.dotD(col("a"), col("a"))) *
+          sqrt(VectorSearch.dotD(col("b"), col("b"))))).as("c"))
+      .head.getDouble(0)
+    assert(got(0).get == unguarded, "guard must not perturb real cosines")
+  }
+
+  test("LSH bucketing of an empty and a single-vector corpus") {
+    val planes = VectorSearch.planesDF(spark,
+      VectorSearch.hyperplanes(8, dim, seed = 42L))
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(VectorSearch.lshBuckets(empty, "vec_id", "embedding", planes, 4)
+      .count() == 0)
+    val one = Seq((7L, Seq(1.0f, -1.0f, 0.5f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val buckets = VectorSearch
+      .lshBuckets(one, "vec_id", "embedding", planes, 4).collect()
+    assert(buckets.length == 2, "8 planes / 4 bits = 2 bands")
+    assert(buckets.forall(r => r.getLong(2) >= 0 && r.getLong(2) < 16))
+  }
+
+  test("shingleSets: empty corpus, single doc, empty-text doc") {
+    val docs = Seq((1L, ""), (2L, "one"), (3L, "a b c d e f g"))
+      .toDF("doc_id", "text")
+    val sets = TextDedup.shingleSets(docs, "doc_id", "text", 5)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // below k tokens there are no shingles — empty set, present row
+    assert(sets(1L).isEmpty && sets(2L).isEmpty)
+    assert(sets(3L).size == 3, "7 tokens, k=5 -> 3 shingles")
+    val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextDedup.shingleSets(none, "doc_id", "text", 5).count() == 0)
+  }
+}

@@ -500,6 +500,67 @@ class NewQueryPlanSpec extends AnyFunSuite {
       s"q158's centroid probe must broadcast:\n$plan")
   }
 
+  test("q121: iteration count is a parameter; lineage bounded past the checkpoint cadence") {
+    // 12 iterations cross the localCheckpoint cadence twice: the final
+    // plan must scan a checkpointed RDD instead of nesting 12 join+agg
+    // towers (the unbounded-lineage failure a 30-iteration caller hits)
+    val df = queries.MiscQueries.pageRank(spark, sf, iterations = 12)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD") || plan.contains("LogicalRDD"),
+      s"q121 at 12 iterations must truncate lineage via localCheckpoint:\n$plan")
+    // the tail past the last checkpoint is at most the cadence deep
+    val towers = "div outdeg".r.findAllIn(plan).length
+    assert(towers <= queries.MiscQueries.prCheckpointCadence,
+      s"post-checkpoint plan must hold <= cadence iteration towers, found $towers:\n$plan")
+  }
+
+  test("q159: simplex grid broadcasts; one distributed pass (window + combinable agg)") {
+    val plan = executed(queries.MatchingQueries.q159WeightGridK3(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"q159's grid cross must broadcast, never cartesian:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"q159's 21-point grid must broadcast against the match table:\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"q159's error roll-up must combine map-side:\n$plan")
+  }
+
+  test("q160: every walker evaluation broadcasts its probe grid") {
+    import org.apache.spark.sql.functions._
+    val ps = queries.MatchingQueries.weightPairScores(spark, sf)
+      .withColumn("s3", lit(50.0))
+    val labels = ps.select(col("doc1"), col("doc2"),
+      ((col("doc1") + col("doc2")) % 5 === 0).as("accepted"))
+    val grid = graft.operators.WeightTraining.simplexGrid(spark, 3, 4)
+    val df = graft.operators.WeightTraining
+      .evaluateSimplex(ps, labels, grid, 3)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"q160's per-round evaluation must broadcast the probe grid:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"q160's probe grid must broadcast:\n$plan")
+  }
+
+  test("q156: exactly one join, and it is the keyed full outer") {
+    val plan = finalPlan(executed(
+      queries.SourceQueries.q156SnapshotDiff(spark, sf)))
+    assert(plan.contains("FullOuter"),
+      s"q156's diff must be a full outer join:\n$plan")
+    val joins = "Join".r.findAllIn(plan).length
+    assert(joins == 1, s"q156 must plan exactly one join, found $joins:\n$plan")
+  }
+
+  test("q157: fusion joins only dimension-sized lists — keyed, no corpus shuffle") {
+    val plan = executed(queries.TextQueries.q157HybridRrf(spark, sf))
+    assert(plan.contains("FullOuter"),
+      s"q157's RRF fusion must be the keyed full outer of the two lists:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"q157 must not cartesian anywhere:\n$plan")
+  }
+
   test("q155: changelog reconstruction is one combinable agg — no window, no join") {
     import spark.implicits._
     val log = Seq(

@@ -101,7 +101,7 @@ class PropertySpec extends AnyFunSuite {
     // sizes: both derivations are monotone non-decreasing (a bigger
     // corpus never gets a coarser index), and inside the linear
     // regime the implied bucket/cell expectation stays pinned
-    val n = Gen.chooseNum(1L, 100000000000L)
+    val n = Gen.chooseNum(0L, 100000000000L)
     check("monotone")(Prop.forAll(n, n) { (a, b) =>
       val (lo, hi) = (math.min(a, b), math.max(a, b))
       queries.VectorQueries.lshBits(lo) <= queries.VectorQueries.lshBits(hi) &&
@@ -114,6 +114,65 @@ class PropertySpec extends AnyFunSuite {
         // pinned expectations inside the linear regimes
         (v > (16L << 16) || v.toDouble / (1L << bits) <= 16.0) &&
         (v > 64L * 65536 || k >= (v + 63) / 64 || k == 8)
+    })
+  }
+
+  test("derived index parameters at degenerate n: 0, 1, below one bucket/cell") {
+    // the boundary rows the random generator may never hit exactly: an
+    // EMPTY or near-empty corpus must derive the floor resolution, not
+    // divide by zero, underflow, or fall off the threshold ladder
+    for (v <- Seq(0L, 1L, 2L, 15L, 16L, 17L, 63L, 64L, 255L, 256L)) {
+      assert(queries.VectorQueries.lshBits(v) == 4,
+        s"n=$v sits inside the first bucket regime")
+      assert(queries.VectorQueries.semDedupK(v) == 8,
+        s"n=$v must pin the K floor")
+    }
+    // first step past each floor
+    assert(queries.VectorQueries.lshBits(257L) == 5)
+    assert(queries.VectorQueries.semDedupK(513L) == 9)
+  }
+
+  test("empty-text cores are total: shingle/minhash/simhash at n = 0, 1, < k") {
+    val empty = new GenericArrayData(Array.empty[Any])
+    val one = new GenericArrayData(Array[Any](UTF8String.fromString("a")))
+    // no shingles exist below k tokens — empty arrays, never a throw
+    assert(HashExpressions.shingles(empty, 5).numElements() == 0)
+    assert(HashExpressions.shingles(one, 5).numElements() == 0)
+    assert(HashExpressions.shingleHashes(empty, 5).numElements() == 0)
+    assert(HashExpressions.shingleHashes(one, 5).numElements() == 0)
+    assert(HashExpressions.shingles(one, 1).numElements() == 1)
+    // the empty shingle SET signs as all-null — the identity
+    // MinhashMergeAgg skips (HashSpec pins the aggregate side)
+    val esig = HashExpressions.minhashSignature(empty, 12)
+    assert(esig.numElements() == 12 &&
+      (0 until 12).forall(i => esig.isNullAt(i)))
+    // single-element set: every permutation mins over one value —
+    // defined, deterministic, in range
+    val osig = HashExpressions
+      .minhashSignature(new GenericArrayData(Array[Any](42L)), 12)
+    assert((0 until 12).forall(i =>
+      !osig.isNullAt(i) && osig.getLong(i) >= 0 && osig.getLong(i) < TextFns.P))
+    // simhash of nothing: all 32 tie-break-to-1 bits — a constant,
+    // not a crash (callers bucket it away via the degenerate-key caps)
+    assert(HashExpressions.simhash32(
+      new GenericArrayData(Array.empty[Long])) == (1L << 32) - 1)
+    // repStats of the empty document: all-zero counters
+    assert(HashExpressions.repStats(empty).toLongArray().toSeq ==
+      Seq(0L, 0L, 0L, 0L))
+  }
+
+  test("zero-norm guard predicate: dot(v,v) == 0 iff v is all zeros") {
+    // the exact predicate VectorSearch.cosine guards on (and the
+    // oracle can replay with the same fold): self-dot is a sum of
+    // squares, so it is 0 exactly on the zero vector and positive
+    // otherwise — making "NULL cosine" a well-defined class
+    val vec: Gen[List[Double]] =
+      Gen.listOfN(8, Gen.oneOf(Gen.const(0.0), Gen.chooseNum(-10.0, 10.0)))
+    check("zero-norm")(Prop.forAll(vec) { v =>
+      val d = graft.functions.VectorExpressions.dot(
+        new GenericArrayData(v.toArray), true,
+        new GenericArrayData(v.toArray), true)
+      (d == 0.0) == v.forall(_ == 0.0) && d >= 0.0
     })
   }
 }
