@@ -369,6 +369,36 @@ object MatchingQueries {
       .orderBy("round")
   }
 
+  /** q161: trained weights APPLIED — the reference's train→score loop
+    * closed (`FullMatcherApp` runs `WeightTrainerStage` and then
+    * `TotalStatisticStage` with the trained weights; q43 used a fixed
+    * 0.7/0.3 dim). Runs the q160 Walker to its final incumbent,
+    * collects the 3 lattice coordinates (a driver scalar — S9 shape,
+    * 3 ints), and scores every pair with w_i = n_i/32 exactly as
+    * [[graft.operators.WeightTraining.evaluateSimplex]] scores a grid
+    * point: total_micro = round(Σ wᵢsᵢ·1e6), top-3 per doc1. The
+    * oracle replays the whole walk (the q160 CTE chain) and applies
+    * the same r3 weights — training and serving provably agree. */
+  def q161TrainedTotal(s: SparkSession, dir: String): DataFrame = {
+    val ps = weightPairScores3(s, dir)
+    val labels = ps.select(col("doc1"), col("doc2"),
+      ((col("doc1") + col("doc2")) % 5 === 0).as("accepted"))
+    val fin = WeightTraining.refineWeightsSimplex(s, ps, labels, k = 3)
+      .orderBy(col("round").desc).limit(1)
+      .select("n1", "n2", "n3").head
+    val Seq(w1, w2, w3) =
+      (0 until 3).map(i => fin.getLong(i) / 32.0)
+    val scored = ps.withColumn("total_micro",
+      round((lit(w1) * col("s1") + lit(w2) * col("s2") +
+        lit(w3) * col("s3")) * 1e6).cast("long"))
+    val w = Window.partitionBy("doc1")
+      .orderBy(col("total_micro").desc, col("doc2"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("doc1", "doc2", "total_micro", "rnk")
+      .orderBy("doc1", "rnk")
+  }
+
   /** q94: the FullMatcherApp end-to-end composite (reference
     * `matching/app/FullMatcherApp.scala:38-67`, pipelines 1-2) — the
     * matcher-side counterpart of q93's curation chain. Off the SAME
@@ -435,7 +465,8 @@ object MatchingQueries {
     "q71_rank_eval" -> (q71RankEval _),
     "q72_weight_refine" -> (q72WeightRefine _),
     "q159_weight_grid_k3" -> (q159WeightGridK3 _),
-    "q160_weight_refine_k3" -> (q160WeightRefineK3 _))
+    "q160_weight_refine_k3" -> (q160WeightRefineK3 _),
+    "q161_trained_total" -> (q161TrainedTotal _))
 
   /** The 3-type weight-training input as a CTE chain ending in
     * `pairsc3(doc1, doc2, s1, s2, s3)` — the oracle replay of
@@ -455,6 +486,37 @@ object MatchingQueries {
          JOIN yrs y1 ON y1.doc_id = p.doc1
          JOIN yrs y2 ON y2.doc_id = p.doc2)"""
 
+  /** The complete q160 walk as a CTE chain: 3-type pair scores →
+    * full n/32 lattice errors → coarse pick `r0` → probe rounds
+    * `r1`..`r3` (the final incumbent). Shared by the q160 oracle and
+    * q161's trained-weight application. */
+  private def walkCtesSql: String =
+    s"""$pairsc3Sql,
+       lat AS (SELECT a.n1, b.n2, 32 - a.n1 - b.n2 AS n3
+         FROM range(0, 33) a(n1), range(0, 33) b(n2)
+         WHERE a.n1 + b.n2 <= 32),
+       wscored AS (SELECT n1, n2, n3, doc1, doc2,
+         ((doc1 + doc2) % 5 = 0) AS accepted,
+         CAST(round((n1/32.0 * s1 + n2/32.0 * s2 + n3/32.0 * s3) * 1e6) AS BIGINT) AS total_micro
+         FROM pairsc3, lat),
+       wranked AS (SELECT *, row_number() OVER (PARTITION BY n1, n2, doc1
+         ORDER BY total_micro DESC, doc2) AS rnk FROM wscored),
+       errs AS (SELECT n1, n2,
+         CAST(sum(CASE WHEN accepted THEN rnk - 1 ELSE 0 END) AS BIGINT) AS error
+         FROM wranked GROUP BY n1, n2),
+       r0 AS (SELECT n1, n2, error FROM errs
+         WHERE n1 % 8 = 0 AND n2 % 8 = 0
+         ORDER BY error, n1, n2 LIMIT 1),
+       r1 AS (SELECT e.n1, e.n2, e.error FROM errs e, r0
+         WHERE ${probeCond(4, "r0")}
+         ORDER BY e.error, e.n1, e.n2 LIMIT 1),
+       r2 AS (SELECT e.n1, e.n2, e.error FROM errs e, r1
+         WHERE ${probeCond(2, "r1")}
+         ORDER BY e.error, e.n1, e.n2 LIMIT 1),
+       r3 AS (SELECT e.n1, e.n2, e.error FROM errs e, r2
+         WHERE ${probeCond(1, "r2")}
+         ORDER BY e.error, e.n1, e.n2 LIMIT 1)"""
+
   /** One Walker probe set around the incumbent `prev` at step `s`, in
     * (n1, n2) lattice coordinates (n3 = denom − n1 − n2 implicit):
     * the six ordered-axis-pair moves ± the incumbent itself.
@@ -470,6 +532,16 @@ object MatchingQueries {
     s"(e.n1 = $prev.n1 AND e.n2 = $prev.n2)").mkString(" OR ")
 
   val oracles: Map[String, String] = Map(
+    "q161_trained_total" ->
+      s"""WITH $walkCtesSql,
+         tot AS (SELECT p.doc1, p.doc2,
+           CAST(round((r3.n1/32.0 * p.s1 + r3.n2/32.0 * p.s2 +
+             (32 - r3.n1 - r3.n2)/32.0 * p.s3) * 1e6) AS BIGINT) AS total_micro
+           FROM pairsc3 p, r3),
+         trk AS (SELECT *, row_number() OVER (PARTITION BY doc1
+           ORDER BY total_micro DESC, doc2) AS rnk FROM tot)
+         SELECT doc1, doc2, total_micro, rnk FROM trk
+         WHERE rnk <= 3 ORDER BY doc1, rnk""",
     "q159_weight_grid_k3" ->
       s"""WITH $pairsc3Sql,
          grid AS (SELECT a.n1, b.n2, 5 - a.n1 - b.n2 AS n3
@@ -492,31 +564,7 @@ object MatchingQueries {
     // and the three halving rounds (±4, ±2, ±1 along every ordered
     // axis pair) as argmin CTEs — the q72 scheme in 2-D coordinates
     "q160_weight_refine_k3" ->
-      s"""WITH $pairsc3Sql,
-         lat AS (SELECT a.n1, b.n2, 32 - a.n1 - b.n2 AS n3
-           FROM range(0, 33) a(n1), range(0, 33) b(n2)
-           WHERE a.n1 + b.n2 <= 32),
-         scored AS (SELECT n1, n2, n3, doc1, doc2,
-           ((doc1 + doc2) % 5 = 0) AS accepted,
-           CAST(round((n1/32.0 * s1 + n2/32.0 * s2 + n3/32.0 * s3) * 1e6) AS BIGINT) AS total_micro
-           FROM pairsc3, lat),
-         ranked AS (SELECT *, row_number() OVER (PARTITION BY n1, n2, doc1
-           ORDER BY total_micro DESC, doc2) AS rnk FROM scored),
-         errs AS (SELECT n1, n2,
-           CAST(sum(CASE WHEN accepted THEN rnk - 1 ELSE 0 END) AS BIGINT) AS error
-           FROM ranked GROUP BY n1, n2),
-         r0 AS (SELECT n1, n2, error FROM errs
-           WHERE n1 % 8 = 0 AND n2 % 8 = 0
-           ORDER BY error, n1, n2 LIMIT 1),
-         r1 AS (SELECT e.n1, e.n2, e.error FROM errs e, r0
-           WHERE ${probeCond(4, "r0")}
-           ORDER BY e.error, e.n1, e.n2 LIMIT 1),
-         r2 AS (SELECT e.n1, e.n2, e.error FROM errs e, r1
-           WHERE ${probeCond(2, "r1")}
-           ORDER BY e.error, e.n1, e.n2 LIMIT 1),
-         r3 AS (SELECT e.n1, e.n2, e.error FROM errs e, r2
-           WHERE ${probeCond(1, "r2")}
-           ORDER BY e.error, e.n1, e.n2 LIMIT 1)
+      s"""WITH $walkCtesSql
          SELECT CAST(0 AS INTEGER) AS round, n1, n2, 32 - n1 - n2 AS n3,
            n1/32.0 AS w1, n2/32.0 AS w2, (32 - n1 - n2)/32.0 AS w3, error FROM r0
          UNION ALL SELECT 1, n1, n2, 32 - n1 - n2,

@@ -517,7 +517,102 @@ object VectorQueries {
       .orderBy("qid", "rnk")
   }
 
+  /** q162: embedding near-dup CLUSTERS — the grouping step a dedup
+    * pipeline runs after pair generation: q74's LSH-prefiltered,
+    * cosine-verified pairs become edges, connected components
+    * (iterative min-label propagation, [[graft.operators
+    * .GraphComponents]] — the reference clusters person/lab dups the
+    * same way, GraphX `connectedComponents` in
+    * `deduplication/PersonDeduplicationStage.scala:150-159`) give
+    * every vector a cluster id, and the canonical survivor is the
+    * minimum vec_id (keep = vec_id == component), with cluster sizes
+    * for the curation report. Dup graphs are forests of tiny
+    * clusters (diameter 2-5), so label propagation converges in
+    * single-digit rounds at any corpus size; each round is one
+    * equi-join + one combinable min aggregate on the node id. Oracle:
+    * recursive min-label reachability over the same pair CTEs. */
+  def q162EmbeddingDupClusters(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val edges = q74EmbeddingDups(s, dir)
+      .select(col("v1").as("src"), col("v2").as("dst"))
+    val comp = graft.operators.GraphComponents.connectedComponents(
+        emb.select(col("vec_id").as("node")), edges)
+      .select(col("node").as("vec_id"), col("comp").as("component"))
+    val sizes = comp.groupBy("component")
+      .agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, Seq("component"))
+      .withColumn("keep", col("vec_id") === col("component"))
+      .select("vec_id", "component", "cluster_size", "keep")
+      .orderBy("vec_id")
+  }
+
+  // MMR constants (Carbonell & Goldstein 1998's diversified ranking):
+  // candidate pool per query, picks per query, λ = 0.7 held in tenths
+  // so the score 7·rel − 3·maxsim stays pure integer (division-free —
+  // trunc-vs-floor semantics on negatives never arises)
+  private val MmrPool = 10
+  private val MmrK = 5
+
+  /** q163: MMR re-ranking — maximal marginal relevance (Carbonell &
+    * Goldstein 1998) over the brute-force top-[[MmrPool]]: greedily
+    * pick [[MmrK]] results per query maximizing
+    * λ·relevance − (1−λ)·max-similarity-to-already-picked — the
+    * diversification pass RAG retrieval stacks run so the context
+    * window doesn't fill with near-identical passages (the natural
+    * consumer of this engine's near-dup machinery: q74 finds the
+    * redundancy, MMR avoids returning it). All integer micro-units;
+    * the greedy argmax ties break by vec_id, so both engines walk the
+    * identical selection sequence.
+    *
+    * Scale shape: the candidate pool is the q30 broadcast-batch ×
+    * linear-corpus top-k; everything after — the ≤ pool² per-query
+    * sim matrix and the [[MmrK]] unrolled selection rounds (each one
+    * join + one combinable max-aggregate + one ≤ pool-row window) —
+    * is dimension-sized (≤ 20·100 rows) regardless of corpus scale.
+    * The rounds are a STATIC unroll (fixed K), not a driver loop. */
+  def q163MmrRerank(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val cands = VectorSearch.cosineTopK(
+        emb.select("vec_id", "embedding"), queriesOf(emb), MmrPool)
+      .select(col("qid"), col("vec_id"),
+        round(col("cosine") * 1e6).cast("long").as("rel_micro"))
+    val sims = cands.select(col("qid"), col("vec_id").as("v1"))
+      .join(cands.select(col("qid"), col("vec_id").as("v2")), Seq("qid"))
+      .filter(col("v1") =!= col("v2"))
+      .join(emb.select(col("vec_id").as("v1"), col("embedding").as("e1")), Seq("v1"))
+      .join(emb.select(col("vec_id").as("v2"), col("embedding").as("e2")), Seq("v2"))
+      .select(col("qid"), col("v1"), col("v2"),
+        round(cosine(col("e1"), col("e2")) * 1e6).cast("long").as("sim_micro"))
+    val w = Window.partitionBy("qid").orderBy(col("mmr_deci").desc, col("vec_id"))
+    var all = cands
+      .withColumn("mmr_deci", lit(7L) * col("rel_micro"))
+      .withColumn("pr", row_number().over(w))
+      .filter(col("pr") === 1)
+      .select(col("qid"), col("vec_id"), col("rel_micro"),
+        col("mmr_deci"), lit(1).as("pick_rank"))
+    for (r <- 2 to MmrK) {
+      val pick = cands
+        .join(all.select(col("qid"), col("vec_id")), Seq("qid", "vec_id"),
+          "left_anti")
+        .join(sims.select(col("qid"), col("v1").as("vec_id"), col("v2"),
+          col("sim_micro")), Seq("qid", "vec_id"))
+        .join(all.select(col("qid"), col("vec_id").as("v2")), Seq("qid", "v2"))
+        .groupBy("qid", "vec_id", "rel_micro")
+        .agg(max("sim_micro").as("maxsim"))
+        .withColumn("mmr_deci",
+          lit(7L) * col("rel_micro") - lit(3L) * col("maxsim"))
+        .withColumn("pr", row_number().over(w))
+        .filter(col("pr") === 1)
+        .select(col("qid"), col("vec_id"), col("rel_micro"),
+          col("mmr_deci"), lit(r).as("pick_rank"))
+      all = all.unionByName(pick)
+    }
+    all.orderBy("qid", "pick_rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q163_mmr_rerank" -> (q163MmrRerank _),
+    "q162_embedding_dup_clusters" -> (q162EmbeddingDupClusters _),
     "q158_ivf_kmeans" -> (q158IvfKmeans _),
     "q116_incremental_ann" -> (q116IncrementalAnn _),
     "q106_semdedup" -> (q106SemDedup _),
@@ -685,6 +780,33 @@ object VectorQueries {
          count(*) AS n_vecs
          FROM embeddings, range(0, $Dim) t(i)
          GROUP BY label, i ORDER BY label, pos""",
+    "q163_mmr_rerank" -> mmrSql,
+    "q162_embedding_dup_clusters" ->
+      s"""WITH RECURSIVE $bucketsCtes,
+         cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+           FROM buckets a JOIN buckets b
+             ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+         dp AS (SELECT v1, v2 FROM (SELECT v1, v2,
+             ${r6Sql(sqlCosine("e1.embedding", "e2.embedding"))} AS cosine
+           FROM cand
+           JOIN embeddings e1 ON e1.vec_id = v1
+           JOIN embeddings e2 ON e2.vec_id = v2)
+           WHERE cosine >= $MinDupCosine),
+         e2 AS (SELECT v1 AS a, v2 AS b FROM dp
+                UNION SELECT v2, v1 FROM dp),
+         n(x) AS (SELECT vec_id FROM embeddings),
+         reach(a, b) AS (
+           SELECT x, x FROM n
+           UNION
+           SELECT r.a, e2.b FROM reach r JOIN e2 ON r.b = e2.a),
+         comp AS (SELECT a AS vec_id, min(b) AS component
+           FROM reach GROUP BY a),
+         sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+           FROM comp GROUP BY component)
+         SELECT c.vec_id, c.component, s.cluster_size,
+           c.vec_id = c.component AS keep
+         FROM comp c JOIN sizes s USING (component)
+         ORDER BY c.vec_id""",
     "q74_embedding_dups" ->
       s"""WITH $bucketsCtes,
          cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
@@ -735,6 +857,54 @@ object VectorQueries {
            GROUP BY t.qid)
          SELECT method, qid, k, hits, hits * 1000 // k AS recall_milli
          FROM rec ORDER BY method, qid""")
+
+  /** The q163 MMR oracle: the brute top-[[MmrPool]] pool and its
+    * pairwise sim matrix, then the [[MmrK]]-round greedy selection
+    * unrolled — round r excludes sel(r−1), aggregates each remaining
+    * candidate's max sim to the selected set, and argmaxes
+    * 7·rel − 3·maxsim (ties by vec_id), exactly the Spark unroll. */
+  private lazy val mmrSql: String = {
+    val rounds = (2 to MmrK).map { r =>
+      s"""m$r AS (SELECT c.qid, c.vec_id, c.rel_micro,
+           max(s.sim_micro) AS maxsim
+         FROM cands c
+         LEFT JOIN sel${r - 1} x0 ON x0.qid = c.qid AND x0.vec_id = c.vec_id
+         JOIN msims s ON s.qid = c.qid AND s.v1 = c.vec_id
+         JOIN sel${r - 1} x ON x.qid = s.qid AND x.vec_id = s.v2
+         WHERE x0.vec_id IS NULL
+         GROUP BY c.qid, c.vec_id, c.rel_micro),
+       p$r AS (SELECT qid, vec_id, rel_micro, mmr_deci, $r AS pick_rank FROM (
+           SELECT qid, vec_id, rel_micro,
+             7*rel_micro - 3*maxsim AS mmr_deci,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY 7*rel_micro - 3*maxsim DESC, vec_id) AS pr
+           FROM m$r) WHERE pr = 1),
+       sel$r AS (SELECT qid, vec_id FROM sel${r - 1}
+         UNION ALL SELECT qid, vec_id FROM p$r)"""
+    }.mkString(",\n")
+    val arms = (1 to MmrK).map(r =>
+      s"SELECT qid, vec_id, rel_micro, mmr_deci, pick_rank FROM p$r")
+      .mkString("\n UNION ALL ")
+    s"""WITH $bruteCtes,
+       cands AS (SELECT qid, vec_id,
+         CAST(round(cosine * 1e6) AS BIGINT) AS rel_micro
+         FROM ranked WHERE rnk <= $MmrPool),
+       msims AS (SELECT c1.qid, c1.vec_id AS v1, c2.vec_id AS v2,
+         CAST(round((${sqlCosine("e1.embedding", "e2.embedding")}) * 1e6) AS BIGINT) AS sim_micro
+         FROM cands c1
+         JOIN cands c2 ON c1.qid = c2.qid AND c1.vec_id <> c2.vec_id
+         JOIN embeddings e1 ON e1.vec_id = c1.vec_id
+         JOIN embeddings e2 ON e2.vec_id = c2.vec_id),
+       p1 AS (SELECT qid, vec_id, rel_micro, 7*rel_micro AS mmr_deci,
+           1 AS pick_rank FROM (
+           SELECT *, row_number() OVER (PARTITION BY qid
+             ORDER BY 7*rel_micro DESC, vec_id) AS pr FROM cands)
+         WHERE pr = 1),
+       sel1 AS (SELECT qid, vec_id FROM p1),
+       $rounds
+       $arms
+       ORDER BY qid, pick_rank"""
+  }
 
   /** The complete q158 content-derived IVF search as a standalone
     * (unordered) SELECT — the "q158_ivf_kmeans" oracle body and the

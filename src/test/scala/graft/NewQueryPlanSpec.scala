@@ -561,6 +561,34 @@ class NewQueryPlanSpec extends AnyFunSuite {
       s"q157 must not cartesian anywhere:\n$plan")
   }
 
+  test("q163: selection rounds are dimension-sized — static unroll, no cartesian, combinable maxsim") {
+    val plan = executed(queries.VectorQueries.q163MmrRerank(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"q163's pool/sim/selection joins must all be keyed or broadcast:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"q163's query batch must broadcast against the corpus scan:\n$plan")
+    assert(plan.contains("partial_max"),
+      s"q163's max-sim-to-selected must combine map-side:\n$plan")
+  }
+
+  test("q162: component labels converge in single-digit rounds on the dup forest") {
+    val df = queries.VectorQueries.q162EmbeddingDupClusters(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // every component id is the minimum member (the canonical pick),
+    // and `keep` marks exactly one survivor per cluster
+    val byComp = rows.groupBy(_.getLong(1))
+    byComp.foreach { case (comp, members) =>
+      assert(members.map(_.getLong(0)).min == comp,
+        s"component $comp must be its minimum member id")
+      assert(members.count(_.getBoolean(3)) == 1,
+        s"component $comp must keep exactly one survivor")
+      assert(members.forall(_.getLong(2) == members.length),
+        s"component $comp cluster_size mismatch")
+    }
+  }
+
   test("q155: changelog reconstruction is one combinable agg — no window, no join") {
     import spark.implicits._
     val log = Seq(
