@@ -78,6 +78,37 @@ class WeightSpec extends AnyFunSuite {
     assert(a == run(), "refinement must be deterministic")
   }
 
+  test("refineWeightsSimplex at k=4: trajectory laws hold on a synthetic 4-score table") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // deterministic synthetic pairs: 40 doc1 groups x 5 candidates,
+    // score s_i favors different candidates per type so the walk has
+    // real structure to descend
+    val ps = spark.range(0, 200)
+      .select((col("id") / 5).cast("long").as("doc1"),
+        (col("id") % 5 + 1000).as("doc2"),
+        (col("id") % 7).cast("double").as("s1"),
+        (col("id") % 5).cast("double").as("s2"),
+        (col("id") % 3).cast("double").as("s3"),
+        (col("id") % 11).cast("double").as("s4"))
+    val labels = ps.select(col("doc1"), col("doc2"),
+      ((col("doc1") + col("doc2")) % 4 === 0).as("accepted"))
+    val out = graft.operators.WeightTraining
+      .refineWeightsSimplex(spark, ps, labels, k = 4,
+        coarseSteps = 3, rounds = 2)
+      .collect().sortBy(_.getAs[Int]("round"))
+    assert(out.length == 3)
+    val errs = out.map(_.getAs[Long]("error"))
+    assert(errs.sliding(2).forall { case Array(a, b) => b <= a })
+    out.foreach { r =>
+      val ns = (1 to 4).map(i => r.getAs[Long](s"n$i"))
+      assert(ns.sum == 12 && ns.forall(n => n >= 0 && n <= 12),
+        s"k=4 simplex invariant: $ns") // denom = 3 << 2
+      (1 to 4).foreach(i => assert(
+        r.getAs[Double](s"w$i") == r.getAs[Long](s"n$i").toDouble / 12))
+    }
+  }
+
   test("evaluateSimplex k=2 agrees with evaluateGrid on the same weight points") {
     import org.apache.spark.sql.functions._
     val ps = MatchingQueries.weightPairScores(spark, sf)
