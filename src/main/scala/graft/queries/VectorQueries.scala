@@ -610,7 +610,56 @@ object VectorQueries {
     all.orderBy("qid", "pick_rank")
   }
 
+  /** q164: PERSISTED ANN index — the build-once/serve-many lifecycle
+    * a production vector index actually lives (build is a full-corpus
+    * job, searches are cheap reads): the q158 k-means index artifacts
+    * (K-row centroid table + per-vector cell assignments, both exact
+    * integer columns so the parquet round trip is lossless) are
+    * WRITTEN to the store, read back, and the probe-2 search runs
+    * entirely against the LOADED artifacts. The oracle is q158's —
+    * byte-identical results prove persistence loses nothing and a
+    * reader process needs only the store, not the builder's session.
+    * At 100 TB the assignments land bucketed by `cl` so a probe reads
+    * NProbe cells' files only (the q65 partition-pruning shape); the
+    * centroid table stays a broadcast dim. */
+  def q164PersistedIndex(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val k = semDedupK(emb.count())
+    val asg = kmeansAssignment(s, dir, k)
+    val root =
+      s"/tmp/graft_io/${dir.replaceAll("[^A-Za-z0-9.]+", "_")}/ann_index"
+    recomputeCentroids(asg).write.mode("overwrite")
+      .parquet(s"$root/centroids")
+    asg.select("vec_id", "cl").write.mode("overwrite")
+      .parquet(s"$root/assignments")
+    val cents = s.read.parquet(s"$root/centroids")
+    val loadedAsg = s.read.parquet(s"$root/assignments")
+    val q = quantized(
+        emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < QBatchMax))
+      .select(col("vec_id").as("qid"), col("qe"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("d",
+        graft.functions.VectorExpressions.l2q(col("qe"), col("c")))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("d"), col("cl"))))
+      .filter(col("crnk") <= NProbe)
+      .select("qid", "cl")
+    val scored = probes
+      .join(loadedAsg, Seq("cl"))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(emb.select("vec_id", "embedding"), Seq("vec_id"))
+      .join(emb.select(col("vec_id").as("qid"),
+        col("embedding").as("qemb")), Seq("qid"))
+      .withColumn("cosine", r6(cosine(col("qemb"), col("embedding"))))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select("qid", "vec_id", "cosine", "rnk")
+      .orderBy("qid", "rnk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q164_persisted_index" -> (q164PersistedIndex _),
     "q163_mmr_rerank" -> (q163MmrRerank _),
     "q162_embedding_dup_clusters" -> (q162EmbeddingDupClusters _),
     "q158_ivf_kmeans" -> (q158IvfKmeans _),
@@ -780,6 +829,10 @@ object VectorQueries {
          count(*) AS n_vecs
          FROM embeddings, range(0, $Dim) t(i)
          GROUP BY label, i ORDER BY label, pos""",
+    // q164 serves the q158 search from the persisted index — the
+    // oracle is q158's: persistence must lose nothing
+    "q164_persisted_index" ->
+      s"SELECT * FROM ($ivfKmeansSql) ORDER BY qid, rnk",
     "q163_mmr_rerank" -> mmrSql,
     "q162_embedding_dup_clusters" ->
       s"""WITH RECURSIVE $bucketsCtes,
