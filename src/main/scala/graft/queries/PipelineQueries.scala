@@ -284,6 +284,80 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** q165: per-source quota curation — the Common-Crawl-style domain
+    * cap: every source keeps at most `cap` documents, best-quality
+    * first, where cap is CORPUS-DERIVED (half the mean source size,
+    * floor 1) so the quota scales with the crawl instead of pinning a
+    * constant that goes degenerate at 1000× (the q74/q106 derived-
+    * parameter rule). Quality is an exact integer score — token-count
+    * saturation plus alphabetic density per mille — so survivorship
+    * is hash-stable across engines and partitionings. ONE shuffle:
+    * everything after the scan is a single per-source window (the
+    * quota rank and the source size share the partition), and the
+    * corpus-count scalar broadcasts. At 100 TB this is the operator
+    * that stops one giant domain from dominating a training mix. */
+  def q165SourceQuota(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"),
+        length(regexp_replace(lower(col("text")), "[^a-z]", ""))
+          .cast("long").as("alpha_chars"),
+        length(col("text")).cast("long").as("text_len"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("q_milli",
+        least(lit(1000L), col("n_tokens") * 20L) +
+          expr("alpha_chars * 1000 DIV text_len"))
+    val quota = scored.agg(
+        greatest(lit(1L),
+          expr("count(*) DIV (count(DISTINCT source) * 2)")).as("cap"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("q_milli").desc, col("doc_id"))
+    val wAll = Window.partitionBy("source")
+    scored.crossJoin(broadcast(quota))
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("src_total", count(lit(1)).over(wAll))
+      .filter(col("rnk") <= col("cap"))
+      .select("source", "doc_id", "q_milli", "rnk", "src_total", "cap")
+      .orderBy("source", "rnk")
+  }
+
+  /** Hashed-feature weight, shared by the Spark and oracle spellings
+    * of q167: bucket = first 3 md5 hex digits (0..4095, the q120
+    * digit-extraction idiom both engines compute identically),
+    * weight_micro = (bucket · 2654435761) mod 2001 − 1000 — a frozen
+    * pseudo-random weight table that exists as a FORMULA, so
+    * inference needs no weight-table join at all. */
+  private val linBuckets = 4096L
+  private def linWeightSql(tok: String): String =
+    s"""((((instr('0123456789abcdef', substring(md5('graft-lin:' || $tok), 1, 1)) - 1) * 256
+        + (instr('0123456789abcdef', substring(md5('graft-lin:' || $tok), 2, 1)) - 1) * 16
+        + (instr('0123456789abcdef', substring(md5('graft-lin:' || $tok), 3, 1)) - 1))
+        * 2654435761) % 2001 - 1000)"""
+
+  /** q167: linear quality-classifier INFERENCE over hashed token
+    * features (the fastText/DCLM-style fasttext-filter shape modern
+    * corpus curation gates on): score(doc) = Σ w[h(token)] over the
+    * token stream, with the frozen weight table realized as a pure
+    * hash FORMULA — so the hot path is scan → project, ZERO joins and
+    * ZERO pre-sort exchanges: the per-token lookup-and-sum runs inside
+    * one `aggregate` higher-order function per row, map-side, which is
+    * exactly how a 100 TB quality-filter pass must run (the only
+    * exchange in the plan is the presentation ORDER BY). Integer
+    * milli-units end-to-end; keep = Σ weight > 0. */
+  def q167LinearQuality(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("w_sum_milli", expr(
+        s"""aggregate(toks, CAST(0 AS BIGINT),
+            (acc, t) -> acc + (${linWeightSql("t")}))"""))
+      .withColumn("avg_micro", expr(
+        "w_sum_milli * 1000 DIV n_tokens"))
+      .withColumn("keep", col("w_sum_milli") > 0)
+      .select("doc_id", "n_tokens", "w_sum_milli", "avg_micro", "keep")
+      .orderBy("doc_id")
+
   /** q93: the end-to-end curation pass — the flagship composite of the
     * training-data side, mirroring how a user would chain this
     * engine's stages over a raw corpus: language ID (q23) → quality
@@ -621,6 +695,8 @@ object PipelineQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "q165_source_quota" -> (q165SourceQuota _),
+    "q167_linear_quality" -> (q167LinearQuality _),
     "q154_token_gini" -> (q154TokenGini _),
     "q136_drift_psi" -> (q136DriftPsi _),
     "q102_pii_redaction" -> (q102PiiRedaction _),
@@ -674,6 +750,41 @@ object PipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q165_source_quota" ->
+      s"""WITH scored AS (SELECT doc_id, source,
+           CAST(len(${TextFns.sqlTokens("text")}) AS BIGINT) AS n_tokens,
+           CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+             AS BIGINT) AS alpha_chars,
+           CAST(length(text) AS BIGINT) AS text_len
+           FROM documents
+           WHERE len(${TextFns.sqlTokens("text")}) > 0),
+         q AS (SELECT doc_id, source,
+           least(1000, n_tokens * 20) + alpha_chars * 1000 // text_len
+             AS q_milli
+           FROM scored),
+         c AS (SELECT greatest(CAST(1 AS BIGINT),
+             count(*) // (count(DISTINCT source) * 2)) AS cap FROM q),
+         r AS (SELECT q.*, c.cap,
+             row_number() OVER (PARTITION BY source
+               ORDER BY q_milli DESC, doc_id) AS rnk,
+             CAST(count(*) OVER (PARTITION BY source) AS BIGINT)
+               AS src_total
+           FROM q CROSS JOIN c)
+         SELECT source, doc_id, q_milli, rnk, src_total, cap
+         FROM r WHERE rnk <= cap ORDER BY source, rnk""",
+    "q167_linear_quality" ->
+      s"""WITH toks AS (SELECT doc_id,
+           ${TextFns.sqlTokens("text")} AS t FROM documents),
+         scored AS (SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(list_sum(list_prepend(CAST(0 AS BIGINT),
+             list_transform(t, tok -> ${linWeightSql("tok")})))
+             AS BIGINT) AS w_sum_milli
+           FROM toks WHERE len(t) > 0)
+         SELECT doc_id, n_tokens, w_sum_milli,
+           w_sum_milli * 1000 // n_tokens AS avg_micro,
+           w_sum_milli > 0 AS keep
+         FROM scored ORDER BY doc_id""",
     "q154_token_gini" ->
       """WITH g AS (SELECT n_chars, CAST(count(*) AS BIGINT) AS cnt
            FROM documents GROUP BY 1),

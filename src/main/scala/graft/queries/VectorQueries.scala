@@ -411,6 +411,7 @@ object VectorQueries {
     recall(q31KnnLsh(s, dir), "lsh")
       .unionByName(recall(q70IvfAnn(s, dir), "ivf"))
       .unionByName(recall(q158IvfKmeans(s, dir), "ivf_kmeans"))
+      .unionByName(recall(q166Sq8Ann(s, dir), "sq8"))
       .withColumn("recall_milli", expr("hits * 1000 div k"))
       .select("method", "qid", "k", "hits", "recall_milli")
       .orderBy("method", "qid")
@@ -572,17 +573,30 @@ object VectorQueries {
     * The rounds are a STATIC unroll (fixed K), not a driver loop. */
   def q163MmrRerank(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val cands = VectorSearch.cosineTopK(
-        emb.select("vec_id", "embedding"), queriesOf(emb), MmrPool)
-      .select(col("qid"), col("vec_id"),
-        round(col("cosine") * 1e6).cast("long").as("rel_micro"))
-    val sims = cands.select(col("qid"), col("vec_id").as("v1"))
-      .join(cands.select(col("qid"), col("vec_id").as("v2")), Seq("qid"))
-      .filter(col("v1") =!= col("v2"))
-      .join(emb.select(col("vec_id").as("v1"), col("embedding").as("e1")), Seq("v1"))
-      .join(emb.select(col("vec_id").as("v2"), col("embedding").as("e2")), Seq("v2"))
-      .select(col("qid"), col("v1"), col("v2"),
-        round(cosine(col("e1"), col("e2")) * 1e6).cast("long").as("sim_micro"))
+    // Both corpus-derived frames are persisted: the unrolled selection
+    // rounds below reference them (and each other's output) MULTIPLE
+    // times, and without a cache each branch of the growing plan
+    // re-runs the corpus-wide top-k scan — measured 13.5 s vs ~2 s at
+    // sf0.1. Dimension-sized (≤ 20·pool and ≤ 20·pool² rows), so the
+    // cache is bytes; Shared.clear() evicts them with the rest.
+    // parts = qid: HashPartitioning(qid) satisfies the clustering of
+    // EVERY downstream operator in the selection rounds (joins keyed
+    // (qid, vec_id)/(qid, v2), the group-by, the rank window — qid is
+    // a subset of each key set), so the K unrolled rounds plan with no
+    // exchange of their own
+    val cands = Shared.memoized(s, dir, "mmrCands", Seq("qid"))(
+      VectorSearch.cosineTopK(
+          emb.select("vec_id", "embedding"), queriesOf(emb), MmrPool)
+        .select(col("qid"), col("vec_id"),
+          round(col("cosine") * 1e6).cast("long").as("rel_micro")))
+    val sims = Shared.memoized(s, dir, "mmrSims", Seq("qid"))(
+      cands.select(col("qid"), col("vec_id").as("v1"))
+        .join(cands.select(col("qid"), col("vec_id").as("v2")), Seq("qid"))
+        .filter(col("v1") =!= col("v2"))
+        .join(emb.select(col("vec_id").as("v1"), col("embedding").as("e1")), Seq("v1"))
+        .join(emb.select(col("vec_id").as("v2"), col("embedding").as("e2")), Seq("v2"))
+        .select(col("qid"), col("v1"), col("v2"),
+          round(cosine(col("e1"), col("e2")) * 1e6).cast("long").as("sim_micro")))
     val w = Window.partitionBy("qid").orderBy(col("mmr_deci").desc, col("vec_id"))
     var all = cands
       .withColumn("mmr_deci", lit(7L) * col("rel_micro"))
@@ -605,9 +619,89 @@ object VectorQueries {
         .filter(col("pr") === 1)
         .select(col("qid"), col("vec_id"), col("rel_micro"),
           col("mmr_deci"), lit(r).as("pick_rank"))
-      all = all.unionByName(pick)
+      // pick_r references `all` TWICE (anti-join + picked-side join):
+      // left untruncated, the LOGICAL plan doubles per round and
+      // Catalyst re-analyzes a 2^K-branch tree — measured 9.2 s of
+      // pure driver-side analysis at K=5 against 0.2 s of execution.
+      // localCheckpoint (eager, ≤ 20·r rows) truncates the lineage to
+      // an RDD leaf per round, the q121 bounded-lineage rule; the
+      // final round stays a live plan so the served plan shows the
+      // real aggregation shape
+      all =
+        if (r < MmrK) all.unionByName(pick).localCheckpoint()
+        else all.unionByName(pick)
     }
     all.orderBy("qid", "pick_rank")
+  }
+
+  // SQ8 constants: candidate pool fetched on the compressed codes
+  // before the exact re-rank keeps the final top-[[K]]
+  private val Sq8Pool = 20
+
+  /** q166: SCALAR-QUANTIZED (SQ8) ANN — the memory-side trick every
+    * production vector store ships (FAISS `SQ8`, Lucene/Elasticsearch
+    * `int8_hnsw`): compress each dimension to an 8-bit code against
+    * the corpus per-dimension min/max, generate candidates on the
+    * compressed codes (4× less memory traffic than float32 — here the
+    * SHAPE: codes are exact integers either engine replays), then
+    * re-rank the top-[[Sq8Pool]] candidates with the exact cosine so
+    * compression error never reaches the served ordering.
+    *
+    * Scale shape: the per-dimension bounds are one combinable
+    * min/max pass (Dim-row result, broadcast back); coding is
+    * map-side; the candidate stage is the q30 broadcast-batch ×
+    * linear-corpus scan on codes; the exact re-rank touches only
+    * batch·pool rows. Codes are integer: code_i =
+    * ⌊(x_i−lo_i)·255/(hi_i−lo_i)⌋ over the micro-quantized grid; the
+    * candidate metric is the quantized cosine qdot/√‖code‖² (the
+    * query norm is constant per qid). */
+  def q166Sq8Ann(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val q = quantized(emb)
+    val bounds = q.select(posexplode(col("qe")).as(Seq("pos", "v")))
+      .groupBy("pos").agg(min("v").as("lo"), max("v").as("hi"))
+      .agg(collect_list(struct(col("pos"), col("lo"), col("hi"))).as("plh"))
+      .select(array_sort(col("plh")).as("plh"))
+      .select(expr("transform(plh, x -> x.lo)").as("lo"),
+        expr("transform(plh, x -> x.hi)").as("hi"))
+    val coded = q.crossJoin(broadcast(bounds))
+      .select(col("vec_id"), expr(
+        """transform(qe, (x, i) -> CASE WHEN hi[i] = lo[i]
+             THEN CAST(0 AS BIGINT)
+             ELSE CAST(floor((x - lo[i]) * 255.0 / (hi[i] - lo[i]))
+                       AS BIGINT) END)""").as("code"))
+    val qc = coded.join(
+        queriesOf(emb).select(col("qid")), // fixed ≤20 batch
+        col("vec_id") === col("qid"))
+      .select(col("qid"), col("code").as("qcode"))
+    val scored = coded.crossJoin(broadcast(qc))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("qdot", expr(
+        """aggregate(zip_with(qcode, code, (a, b) -> a * b),
+           CAST(0 AS BIGINT), (acc, v) -> acc + v)"""))
+      // candidate metric is the quantized COSINE (the query-side norm
+      // is constant within a qid, so qdot/√‖code‖² ranks identically):
+      // raw inner product would rank by norm on isotropic corpora and
+      // recall collapses (measured 240‰ vs 1000‰ at the sf0.01 gate)
+      .withColumn("dn2", expr(
+        """aggregate(code, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)"""))
+      .withColumn("qscore", expr(
+        "CASE WHEN dn2 = 0 THEN -1e18 ELSE qdot / sqrt(dn2) END"))
+    val wq = Window.partitionBy("qid")
+      .orderBy(col("qscore").desc, col("vec_id"))
+    val pool = scored.withColumn("crnk", row_number().over(wq))
+      .filter(col("crnk") <= Sq8Pool)
+      .select("qid", "vec_id", "qdot")
+    val rer = pool
+      .join(emb.select("vec_id", "embedding"), Seq("vec_id"))
+      .join(emb.select(col("vec_id").as("qid"),
+        col("embedding").as("qemb")), Seq("qid"))
+      .withColumn("cosine", r6(cosine(col("qemb"), col("embedding"))))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
+    rer.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select("qid", "vec_id", "qdot", "cosine", "rnk")
+      .orderBy("qid", "rnk")
   }
 
   /** q164: PERSISTED ANN index — the build-once/serve-many lifecycle
@@ -659,6 +753,7 @@ object VectorQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "q166_sq8_ann" -> (q166Sq8Ann _),
     "q164_persisted_index" -> (q164PersistedIndex _),
     "q163_mmr_rerank" -> (q163MmrRerank _),
     "q162_embedding_dup_clusters" -> (q162EmbeddingDupClusters _),
@@ -735,7 +830,52 @@ object VectorQueries {
        FROM a$n, range(1, ${Dim + 1}) t(i) GROUP BY cl, i),
      c$n AS (SELECT cl, list(v ORDER BY i) AS c FROM m$n GROUP BY cl)"""
 
+  /** The q166 SQ8 chain as a standalone SELECT, shared with the q118
+    * recall oracle (the q158/ivfKmeansSql precedent). */
+  private lazy val sq8Sql: String =
+    s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE)*1e6) AS BIGINT) + 1000000)
+           AS qe FROM embeddings),
+         st AS (SELECT t.range AS pos,
+             min(qe[t.range]) AS lo, max(qe[t.range]) AS hi
+           FROM q, range(1, ${Dim + 1}) t GROUP BY 1),
+         bl AS (SELECT list(lo ORDER BY pos) AS lo,
+             list(hi ORDER BY pos) AS hi FROM st),
+         coded AS (SELECT vec_id,
+             list_transform(range(1, ${Dim + 1}), i ->
+               CASE WHEN bl.hi[i] = bl.lo[i] THEN CAST(0 AS BIGINT)
+                 ELSE CAST(floor((qe[i] - bl.lo[i]) * 255.0
+                   / (bl.hi[i] - bl.lo[i])) AS BIGINT) END) AS code
+           FROM q CROSS JOIN bl),
+         qc AS (SELECT vec_id AS qid, code AS qcode FROM coded
+           WHERE vec_id % 50 = 0 AND vec_id < $QBatchMax),
+         scored AS (SELECT qid, vec_id,
+             CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+               i -> qcode[i] * code[i])) AS BIGINT) AS qdot,
+             CAST(list_sum(list_transform(code, x -> x * x))
+               AS BIGINT) AS dn2
+           FROM coded CROSS JOIN qc WHERE vec_id <> qid),
+         scored2 AS (SELECT qid, vec_id, qdot,
+             CASE WHEN dn2 = 0 THEN -1e18
+               ELSE qdot / sqrt(dn2) END AS qscore
+           FROM scored),
+         pool AS (SELECT qid, vec_id, qdot FROM
+           (SELECT *, row_number() OVER (PARTITION BY qid
+              ORDER BY qscore DESC, vec_id) AS crnk FROM scored2)
+           WHERE crnk <= $Sq8Pool),
+         rer AS (SELECT p.qid, p.vec_id, p.qdot,
+             ${r6Sql(sqlCosine("eq.embedding", "ev.embedding"))} AS cosine
+           FROM pool p
+           JOIN embeddings ev ON p.vec_id = ev.vec_id
+           JOIN embeddings eq ON p.qid = eq.vec_id)
+         SELECT qid, vec_id, qdot, cosine, rnk FROM
+           (SELECT *, row_number() OVER (PARTITION BY qid
+              ORDER BY cosine DESC, vec_id) AS rnk FROM rer)
+         WHERE rnk <= $K"""
+
   val oracles: Map[String, String] = Map(
+    "q166_sq8_ann" ->
+      s"SELECT * FROM ($sq8Sql) ORDER BY qid, rnk",
     "q158_ivf_kmeans" ->
       s"SELECT * FROM ($ivfKmeansSql) ORDER BY qid, rnk",
     "q132_hard_negatives" ->
@@ -884,6 +1024,7 @@ object VectorQueries {
          ivf AS (SELECT qid, vec_id FROM
            (WITH $ivfCtes SELECT qid, vec_id FROM ranked WHERE rnk <= $K)),
          ivfk AS (SELECT qid, vec_id FROM ($ivfKmeansSql)),
+         sq8c AS (SELECT qid, vec_id FROM ($sq8Sql)),
          rec AS (
            SELECT 'lsh' AS method, t.qid,
              CAST(count(*) AS BIGINT) AS k,
@@ -906,6 +1047,14 @@ object VectorQueries {
              CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
                AS BIGINT) AS hits
            FROM truth t LEFT JOIN ivfk a
+             ON t.qid = a.qid AND t.vec_id = a.vec_id
+           GROUP BY t.qid
+           UNION ALL
+           SELECT 'sq8' AS method, t.qid,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS hits
+           FROM truth t LEFT JOIN sq8c a
              ON t.qid = a.qid AND t.vec_id = a.vec_id
            GROUP BY t.qid)
          SELECT method, qid, k, hits, hits * 1000 // k AS recall_milli

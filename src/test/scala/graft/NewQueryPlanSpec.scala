@@ -589,6 +589,88 @@ class NewQueryPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q161: trained weights fold to literals — serving adds no join over the pair frame") {
+    // the Walker runs driver-side BEFORE the serving plan exists: the
+    // final incumbent arrives as three literal doubles, so the serving
+    // pass is the pair frame + a projection + the top-3 window — the
+    // weight table NEVER joins the scoring side. Contract is relative:
+    // q161's plan has exactly the joins the pair frame itself has
+    // (which legitimately includes the scalar n_docs broadcast), zero
+    // more, and nothing cartesians.
+    def joins(p: String): Int = finalPlan(p).sliding(4).count(_ == "Join")
+    val pairPlan = executed(
+      queries.MatchingQueries.weightPairScores3(spark, sf))
+    val plan = executed(queries.MatchingQueries.q161TrainedTotal(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"q161 serving must not cartesian:\n$plan")
+    assert(joins(plan) == joins(pairPlan),
+      s"q161's weights must fold to literals, not join a grid " +
+        s"(pair frame joins=${joins(pairPlan)}, serving joins=${joins(plan)}):\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"q161's top-3 must be the rank-pushed per-doc window:\n$plan")
+  }
+
+  test("q164: search is served from the persisted store, centroids broadcast") {
+    val df = queries.VectorQueries.q164PersistedIndex(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the probe-2 search must READ the written artifacts — both index
+    // files appear as parquet scans of the store path, proving a
+    // reader process needs only the store, not the builder's lineage
+    assert(plan.contains("ann_index/centroids") &&
+      plan.contains("ann_index/assignments"),
+      s"q164 must serve from the persisted parquet artifacts:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"q164 must not plan a non-broadcast cartesian:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"q164's centroid probe must broadcast the K-row dim:\n$plan")
+  }
+
+  test("q165: one per-source window; the corpus-derived quota broadcasts") {
+    val plan = executed(queries.PipelineQueries.q165SourceQuota(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"q165's quota scalar must broadcast, never cartesian:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"q165's 1-row quota must broadcast against the scored docs:\n$plan")
+    // rank and source size share ONE window partition: exactly two
+    // Window operators in the final plan, ADJACENT — no exchange (or
+    // anything else) between them, so the corpus shuffles on source
+    // once (the second source exchange in the plan is the quota's
+    // 1-row count-distinct leg, not corpus data)
+    val fp = finalPlan(plan)
+    val windowParts = fp.split("Window \\[")
+    assert(windowParts.length == 3,
+      s"q165 must plan exactly two window operators:\n$plan")
+    assert(!windowParts(1).contains("Exchange"),
+      s"q165's two windows must share the one source exchange:\n$plan")
+  }
+
+  test("q167: inference is scan -> project — no join, no pre-sort exchange") {
+    val plan = executed(queries.PipelineQueries.q167LinearQuality(spark, sf))
+    // the frozen weight table exists as a hash FORMULA inside one
+    // aggregate() HOF per row: the hot path must plan no join and no
+    // hash exchange — the only shuffle is the presentation ORDER BY
+    assert(!plan.contains("Join"),
+      s"q167's weight lookup must be a formula, not a join:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"q167 must not shuffle before the presentation sort:\n$plan")
+    assert(!plan.contains("HashAggregate"),
+      s"q167's per-doc sum must run inside the row projection:\n$plan")
+  }
+
+  test("q166: per-dim bounds combine map-side and broadcast; codes never shuffle") {
+    val plan = executed(queries.VectorQueries.q166Sq8Ann(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"q166's bounds/batch joins must broadcast, never cartesian:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"q166's Dim-row bounds and ≤20-query batch must broadcast:\n$plan")
+    assert(plan.contains("partial_min") && plan.contains("partial_max"),
+      s"q166's per-dimension bounds must combine map-side:\n$plan")
+  }
+
   test("q155: changelog reconstruction is one combinable agg — no window, no join") {
     import spark.implicits._
     val log = Seq(
