@@ -638,6 +638,93 @@ object VectorQueries {
   // before the exact re-rank keeps the final top-[[K]]
   private val Sq8Pool = 20
 
+  /** Neighbours per node in the q168 kNN graph. */
+  private val KnnK = 3
+
+  /** q168: kNN-GRAPH construction — top-[[KnnK]] neighbours for EVERY
+    * node (not a query batch), the graph primitive behind SemDeDup
+    * variants, label propagation, and graph-based dedup: candidates
+    * come from the SAME corpus-derived LSH buckets q31/q74 use (banded
+    * self-join — linear in the corpus at the derived width, never
+    * all-pairs), each undirected candidate pair scores its exact
+    * cosine ONCE, and the per-node top-k ranks the symmetrized edge
+    * list. Nodes whose buckets hold no other member are absent (an
+    * isolated node has no k-nearest edges at this resolution — the
+    * honest LSH answer; RECALL.md owns the quality number).
+    *
+    * Scale shape: bucket join bounded by the derived band width
+    * (buckets ~16 deep at any n), cosine touched once per candidate
+    * PAIR (half the symmetrized volume), one window over the per-node
+    * edge lists. */
+  def q168KnnGraph(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val (buckets, _) = bucketsOf(s, emb)
+    val cands = buckets.select(col("band"), col("key"), col("vec_id").as("v1"))
+      .join(buckets.select(col("band"), col("key"), col("vec_id").as("v2")),
+        Seq("band", "key"))
+      .filter(col("v1") < col("v2"))
+      .select("v1", "v2").distinct()
+    val scored = cands
+      .join(emb.select(col("vec_id").as("v1"), col("embedding").as("e1")), Seq("v1"))
+      .join(emb.select(col("vec_id").as("v2"), col("embedding").as("e2")), Seq("v2"))
+      .select(col("v1"), col("v2"), r6(cosine(col("e1"), col("e2"))).as("cosine"))
+    val sym = scored.select(col("v1").as("src"), col("v2").as("dst"), col("cosine"))
+      .unionByName(scored.select(col("v2").as("src"), col("v1").as("dst"),
+        col("cosine")))
+    val w = Window.partitionBy("src").orderBy(col("cosine").desc, col("dst"))
+    sym.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= KnnK)
+      .select("src", "dst", "cosine", "rnk")
+      .orderBy("src", "rnk")
+  }
+
+  /** q170: EMBEDDING-DISTRIBUTION DRIFT — the model-ops monitor that
+    * catches a shifted embedding space before it poisons retrieval or
+    * dedup: the held-out slice (`vec_id % 10 = 7`, the q116 batch
+    * split) is compared against the base corpus by assigning BOTH to
+    * the base corpus's frozen k-means cells (q116's machinery) and
+    * computing the Population Stability Index over the K-cell
+    * histograms (q136's smoothed PSI, micro-exact). Cells are the
+    * right binning for high-dimensional drift: a PSI over raw
+    * dimensions misses correlated shifts that cell occupancy sees.
+    *
+    * Scale shape: one Lloyd pass (broadcast centroids, map-side
+    * argmin) per side, two K-row histograms, a K-row full outer +
+    * broadcast totals — corpus touched exactly twice, no shuffle
+    * bigger than K rows. */
+  def q170EmbeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    val all = Tables.embeddings(s, dir)
+    val base = quantized(all.filter(col("vec_id") % 10 =!= 7))
+    val cur = quantized(all.filter(col("vec_id") % 10 === 7))
+    val k = semDedupK(base.count())
+    val c0 = base.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("cl"), col("qe").as("c"))
+    val cents = recomputeCentroids(lloyd2(base, c0))
+    def cells(q: DataFrame, side: String): DataFrame =
+      q.crossJoin(broadcast(cents))
+        .withColumn("d",
+          graft.functions.VectorExpressions.l2q(col("qe"), col("c")))
+        .groupBy("vec_id")
+        .agg(min(struct(col("d"), col("cl"))).as("best"))
+        .select(col("best.cl").as("cl"))
+        .groupBy("cl").agg(count(lit(1)).as(side))
+    val hist = cells(base, "base_n")
+      .join(cells(cur, "cur_n"), Seq("cl"), "full_outer")
+      .na.fill(0L, Seq("base_n", "cur_n"))
+    val tot = hist.agg(sum("base_n").as("base_tot"),
+      sum("cur_n").as("cur_tot"), count(lit(1)).as("n_cells"))
+    hist.crossJoin(broadcast(tot))
+      .withColumn("p_base",
+        (col("base_n") + 1) / (col("base_tot") + col("n_cells")))
+      .withColumn("p_cur",
+        (col("cur_n") + 1) / (col("cur_tot") + col("n_cells")))
+      .withColumn("psi_micro",
+        round((col("p_cur") - col("p_base"))
+          * log(col("p_cur") / col("p_base")) * 1e6).cast("long"))
+      .select("cl", "base_n", "cur_n", "psi_micro")
+      .orderBy("cl")
+  }
+
   /** q166: SCALAR-QUANTIZED (SQ8) ANN — the memory-side trick every
     * production vector store ships (FAISS `SQ8`, Lucene/Elasticsearch
     * `int8_hnsw`): compress each dimension to an 8-bit code against
@@ -753,6 +840,8 @@ object VectorQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "q168_knn_graph" -> (q168KnnGraph _),
+    "q170_embedding_drift" -> (q170EmbeddingDrift _),
     "q166_sq8_ann" -> (q166Sq8Ann _),
     "q164_persisted_index" -> (q164PersistedIndex _),
     "q163_mmr_rerank" -> (q163MmrRerank _),
@@ -874,6 +963,67 @@ object VectorQueries {
          WHERE rnk <= $K"""
 
   val oracles: Map[String, String] = Map(
+    "q168_knn_graph" ->
+      s"""WITH $bucketsCtes,
+         cand AS (SELECT DISTINCT b1.vec_id AS v1, b2.vec_id AS v2
+           FROM buckets b1 JOIN buckets b2
+             ON b1.band = b2.band AND b1.key = b2.key
+           WHERE b1.vec_id < b2.vec_id),
+         sc AS (SELECT v1, v2,
+             ${r6Sql(sqlCosine("e1.embedding", "e2.embedding"))} AS cosine
+           FROM cand
+           JOIN embeddings e1 ON e1.vec_id = v1
+           JOIN embeddings e2 ON e2.vec_id = v2),
+         sym AS (SELECT v1 AS src, v2 AS dst, cosine FROM sc
+           UNION ALL SELECT v2 AS src, v1 AS dst, cosine FROM sc),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY src
+             ORDER BY cosine DESC, dst) AS rnk FROM sym)
+         SELECT src, dst, cosine, rnk FROM rk
+         WHERE rnk <= $KnnK ORDER BY src, rnk""",
+    "q170_embedding_drift" ->
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE)*1e6) AS BIGINT) + 1000000) AS qe
+         FROM embeddings WHERE vec_id % 10 <> 7),
+       kk AS (SELECT least(65536, greatest(8, CAST(ceil(count(*) / 64.0) AS BIGINT))) AS k
+         FROM q),
+       c0 AS (SELECT vec_id AS cl, qe AS c FROM q
+         ORDER BY vec_id LIMIT (SELECT k FROM kk)),
+       ${kmeansIterSql(1, "c0")},
+       ${kmeansIterSql(2, "c1")},
+       qb AS (SELECT vec_id, list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE)*1e6) AS BIGINT) + 1000000) AS qe
+         FROM embeddings WHERE vec_id % 10 = 7),
+       dbb AS (SELECT vec_id, cl,
+           CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+             i -> (qe[i]-c[i])*(qe[i]-c[i]))) AS BIGINT) AS d
+         FROM q CROSS JOIN c2),
+       abb AS (SELECT vec_id, cl FROM
+         (SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY d, cl) AS rn FROM dbb) WHERE rn = 1),
+       dcc AS (SELECT vec_id, cl,
+           CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+             i -> (qe[i]-c[i])*(qe[i]-c[i]))) AS BIGINT) AS d
+         FROM qb CROSS JOIN c2),
+       acc AS (SELECT vec_id, cl FROM
+         (SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY d, cl) AS rn FROM dcc) WHERE rn = 1),
+       hb AS (SELECT cl, CAST(count(*) AS BIGINT) AS base_n
+         FROM abb GROUP BY cl),
+       hc AS (SELECT cl, CAST(count(*) AS BIGINT) AS cur_n
+         FROM acc GROUP BY cl),
+       hist AS (SELECT coalesce(hb.cl, hc.cl) AS cl,
+           coalesce(base_n, 0) AS base_n, coalesce(cur_n, 0) AS cur_n
+         FROM hb FULL OUTER JOIN hc ON hb.cl = hc.cl),
+       tot AS (SELECT CAST(sum(base_n) AS BIGINT) AS base_tot,
+           CAST(sum(cur_n) AS BIGINT) AS cur_tot,
+           CAST(count(*) AS BIGINT) AS n_cells FROM hist)
+       SELECT cl, base_n, cur_n,
+         CAST(round(((cur_n + 1) / (cur_tot + n_cells)
+             - (base_n + 1) / (base_tot + n_cells))
+           * ln(((cur_n + 1) / (cur_tot + n_cells))
+             / ((base_n + 1) / (base_tot + n_cells))) * 1e6) AS BIGINT)
+           AS psi_micro
+       FROM hist CROSS JOIN tot ORDER BY cl""",
     "q166_sq8_ann" ->
       s"SELECT * FROM ($sq8Sql) ORDER BY qid, rnk",
     "q158_ivf_kmeans" ->

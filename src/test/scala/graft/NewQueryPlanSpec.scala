@@ -671,6 +671,27 @@ class NewQueryPlanSpec extends AnyFunSuite {
       s"q166's per-dimension bounds must combine map-side:\n$plan")
   }
 
+  test("q168: candidate generation is the banded equi self-join, never all-pairs") {
+    val plan = executed(queries.VectorQueries.q168KnnGraph(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"q168's bucket self-join must stay keyed on (band, key):\n$plan")
+    // dedup of candidate pairs must combine map-side before the
+    // cosine joins touch the embedding arrays
+    assert(plan.contains("HashAggregate"),
+      s"q168's pair dedup must be a hash aggregate:\n$plan")
+  }
+
+  test("q170: frozen centroids broadcast; histograms are K-row aggregates") {
+    val plan = executed(queries.VectorQueries.q170EmbeddingDrift(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"q170's centroid assignment must broadcast, never cartesian:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"q170's K-row centroid table must broadcast for both sides:\n$plan")
+    assert(plan.contains("partial_min"),
+      s"q170's per-vector argmin must combine map-side (min(struct)):\n$plan")
+  }
+
   test("q155: changelog reconstruction is one combinable agg — no window, no join") {
     import spark.implicits._
     val log = Seq(
