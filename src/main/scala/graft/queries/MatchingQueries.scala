@@ -486,7 +486,7 @@ object MatchingQueries {
          FROM allscores GROUP BY doc1, doc2)
          WHERE s1 > 0.0 AND s2 > 0.0),
        yrs AS (SELECT o_orderkey AS doc_id, year(o_orderdate) AS yr FROM orders),
-       pairsc3 AS (SELECT p.doc1, p.doc2, p.s1, p.s2,
+       pairsc3 AS MATERIALIZED (SELECT p.doc1, p.doc2, p.s1, p.s2,
          100.0 / (1 + abs(y1.yr - y2.yr)) AS s3
          FROM pairsc p
          JOIN yrs y1 ON y1.doc_id = p.doc1
@@ -495,7 +495,14 @@ object MatchingQueries {
   /** The complete q160 walk as a CTE chain: 3-type pair scores →
     * full n/32 lattice errors → coarse pick `r0` → probe rounds
     * `r1`..`r3` (the final incumbent). Shared by the q160 oracle and
-    * q161's trained-weight application. */
+    * q161's trained-weight application.
+    *
+    * `pairsc3`/`errs` are MATERIALIZED (a DuckDB-only hint; this SQL
+    * never reaches Spark): the four walk rounds each reference `errs`,
+    * and DuckDB's default CTE inlining re-evaluated the whole
+    * TF-IDF + 561-point-lattice chain once per round CONCURRENTLY —
+    * at sf1 that blew past 60 GiB of temp spill; materialized, the
+    * identical query runs in ~2 min. */
   private def walkCtesSql: String =
     s"""$pairsc3Sql,
        lat AS (SELECT a.n1, b.n2, 32 - a.n1 - b.n2 AS n3
@@ -507,7 +514,7 @@ object MatchingQueries {
          FROM pairsc3, lat),
        wranked AS (SELECT *, row_number() OVER (PARTITION BY n1, n2, doc1
          ORDER BY total_micro DESC, doc2) AS rnk FROM wscored),
-       errs AS (SELECT n1, n2,
+       errs AS MATERIALIZED (SELECT n1, n2,
          CAST(sum(CASE WHEN accepted THEN rnk - 1 ELSE 0 END) AS BIGINT) AS error
          FROM wranked GROUP BY n1, n2),
        r0 AS (SELECT n1, n2, error FROM errs

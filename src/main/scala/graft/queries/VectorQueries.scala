@@ -678,6 +678,34 @@ object VectorQueries {
       .orderBy("src", "rnk")
   }
 
+  /** q169: PER-DIMENSION EMBEDDING PROFILE — the ANALYZE pass for a
+    * vector column (q127's column profile, embedding-side): count,
+    * exact integer mean/variance, and min/max per dimension over the
+    * micro-quantized grid. This is the stats pass that FEEDS the other
+    * vector operators — q166's SQ8 bounds, q170's drift baseline, a
+    * dead-dimension detector (var 0) — and like q18/q139 the moments
+    * are exact: sums in BIGINT, the second moment in DECIMAL(38,0)
+    * (n·Σx² − (Σx)² overflows a long at ~10⁵ vectors), variance as
+    * exact integer division — no float reaches the output, so the
+    * hash is partitioning-proof at any n. One combinable pass;
+    * Dim-row output regardless of corpus size. */
+  def q169EmbeddingProfile(s: SparkSession, dir: String): DataFrame =
+    quantized(Tables.embeddings(s, dir))
+      .select(posexplode(col("qe")).as(Seq("pos", "v")))
+      .groupBy("pos")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum("v").as("sum_micro"),
+        sum(col("v").cast("decimal(38,0)") * col("v")).as("sumsq"),
+        min("v").as("lo"), max("v").as("hi"))
+      .withColumn("mean_micro", expr("sum_micro DIV n_vecs"))
+      .withColumn("var_micro2", expr(
+        """CAST((n_vecs * sumsq - CAST(sum_micro AS DECIMAL(38,0))
+            * sum_micro) DIV (CAST(n_vecs AS DECIMAL(38,0)) * n_vecs)
+           AS BIGINT)"""))
+      .select("pos", "n_vecs", "sum_micro", "mean_micro", "var_micro2",
+        "lo", "hi")
+      .orderBy("pos")
+
   /** q170: EMBEDDING-DISTRIBUTION DRIFT — the model-ops monitor that
     * catches a shifted embedding space before it poisons retrieval or
     * dedup: the held-out slice (`vec_id % 10 = 7`, the q116 batch
@@ -841,6 +869,7 @@ object VectorQueries {
 
   val queries: Map[String, Q] = Map(
     "q168_knn_graph" -> (q168KnnGraph _),
+    "q169_embedding_profile" -> (q169EmbeddingProfile _),
     "q170_embedding_drift" -> (q170EmbeddingDrift _),
     "q166_sq8_ann" -> (q166Sq8Ann _),
     "q164_persisted_index" -> (q164PersistedIndex _),
@@ -963,6 +992,25 @@ object VectorQueries {
          WHERE rnk <= $K"""
 
   val oracles: Map[String, String] = Map(
+    "q169_embedding_profile" ->
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE)*1e6) AS BIGINT) + 1000000)
+           AS qe FROM embeddings),
+         ex AS (SELECT t.range - 1 AS pos, qe[t.range] AS v
+           FROM q, range(1, ${Dim + 1}) t),
+         g AS (SELECT pos, CAST(count(*) AS BIGINT) AS n_vecs,
+             CAST(sum(v) AS BIGINT) AS sum_micro,
+             sum(CAST(v AS HUGEINT) * v) AS sumsq,
+             min(v) AS lo, max(v) AS hi
+           FROM ex GROUP BY pos)
+         SELECT pos, n_vecs, sum_micro,
+           sum_micro // n_vecs AS mean_micro,
+           CAST((CAST(n_vecs AS HUGEINT) * sumsq
+               - CAST(sum_micro AS HUGEINT) * sum_micro)
+             // (CAST(n_vecs AS HUGEINT) * n_vecs)
+             AS BIGINT) AS var_micro2,
+           lo, hi
+         FROM g ORDER BY pos""",
     "q168_knn_graph" ->
       s"""WITH $bucketsCtes,
          cand AS (SELECT DISTINCT b1.vec_id AS v1, b2.vec_id AS v2

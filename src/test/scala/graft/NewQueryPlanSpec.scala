@@ -681,6 +681,15 @@ class NewQueryPlanSpec extends AnyFunSuite {
       s"q168's pair dedup must be a hash aggregate:\n$plan")
   }
 
+  test("q169: one combinable pass — single aggregate, no join, no window") {
+    val plan = executed(queries.VectorQueries.q169EmbeddingProfile(spark, sf))
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"q169's profile must be one aggregation pass:\n$plan")
+    assert(plan.contains("partial_min") && plan.contains("partial_max") &&
+      plan.contains("partial_sum"),
+      s"q169's moments must combine map-side:\n$plan")
+  }
+
   test("q170: frozen centroids broadcast; histograms are K-row aggregates") {
     val plan = executed(queries.VectorQueries.q170EmbeddingDrift(spark, sf))
     assert(!plan.contains("CartesianProduct"),
