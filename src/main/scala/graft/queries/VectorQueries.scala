@@ -417,6 +417,92 @@ object VectorQueries {
       .orderBy("method", "qid")
   }
 
+  /** q171: LABEL PROPAGATION over the q168 kNN graph — the
+    * semi-supervised labeling pass a curation pipeline runs when only
+    * a fraction of the corpus carries trusted labels (here: seeds =
+    * `vec_id % 4 = 0` keep their true label; 75% start unlabeled):
+    * two unrolled rounds where every non-seed node adopts the
+    * MAJORITY label among its kNN neighbours' current labels (ties to
+    * the smallest label; no labelled neighbour → keep the previous
+    * state), seeds immutable. Output grades itself against the held
+    * truth — the accuracy number a real pipeline would watch.
+    *
+    * Scale shape: per round, one keyed join of the 3n-row edge list
+    * against the n-row label frame, a combinable vote count, and a
+    * neighbour-count-sized window — all shuffles carry ids + labels,
+    * never embeddings. Rounds are a static unroll (fixed 2). */
+  def q171LabelProp(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label").cast("long").as("true_label"))
+    val edges = q168KnnGraph(s, dir).select("src", "dst")
+    val seeds = emb.select(col("vec_id"),
+      when(col("vec_id") % 4 === 0, col("true_label")).as("seed_lab"))
+    var labels = seeds.select(col("vec_id"), col("seed_lab").as("lab"))
+    for (_ <- 1 to 2) {
+      val votes = edges
+        .join(labels.select(col("vec_id").as("dst"), col("lab")), Seq("dst"))
+        .filter(col("lab").isNotNull)
+        .groupBy("src", "lab").agg(count(lit(1)).as("votes"))
+      val w = Window.partitionBy("src")
+        .orderBy(col("votes").desc, col("lab"))
+      val winner = votes.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("src").as("vec_id"), col("lab").as("vote_lab"))
+      labels = seeds
+        .join(labels.select(col("vec_id"), col("lab").as("prev")), Seq("vec_id"))
+        .join(winner, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("seed_lab"), col("vote_lab"), col("prev")).as("lab"))
+    }
+    emb.join(labels, Seq("vec_id"))
+      .withColumn("is_seed", col("vec_id") % 4 === 0)
+      .withColumn("predicted", col("lab"))
+      .withColumn("correct",
+        coalesce(col("predicted") === col("true_label"), lit(false)))
+      .select("vec_id", "true_label", "predicted", "is_seed", "correct")
+      .orderBy("vec_id")
+  }
+
+  /** q172: RANKING-AWARE retrieval metrics — MRR and nDCG@[[K]] for
+    * all four approximate index families against the q30 brute-force
+    * truth, completing q118's recall with ORDER sensitivity: recall
+    * treats a hit at rank 5 like a hit at rank 1; a production
+    * retrieval stack watches MRR/nDCG because the model consumes the
+    * top of the list first. Exact integers end-to-end: per-position
+    * DCG terms are micro-rounded (the q136 ln precedent — both
+    * engines compute the identical double before the round), the
+    * ideal DCG is the same Σ over ranks 1..K (the truth list always
+    * holds K entries), and MRR is 1000 DIV first-relevant-rank.
+    * Same fixed query batch as q30/q118 — O(batch·K) work after the
+    * index scans, at any corpus size. */
+  def q172RetrievalMetrics(s: SparkSession, dir: String): DataFrame = {
+    val truth = q30KnnBrute(s, dir).select("qid", "vec_id")
+      .withColumn("rel", lit(1L))
+    def metrics(approx: DataFrame, method: String): DataFrame =
+      approx.select("qid", "vec_id", "rnk")
+        .join(truth, Seq("qid", "vec_id"), "left")
+        .na.fill(0L, Seq("rel"))
+        .groupBy("qid")
+        .agg(count(lit(1)).as("k"),
+          sum("rel").as("hits"),
+          min(when(col("rel") === 1L, col("rnk"))).as("first_rel"),
+          sum(when(col("rel") === 1L,
+            expr("CAST(round(1e6 / log2(rnk + 1)) AS BIGINT)"))
+            .otherwise(0L)).as("dcg_micro"))
+        .withColumn("method", lit(method))
+    val idcg = (1 to K)
+      .map(i => math.round(1e6 / (math.log(i + 1) / math.log(2.0)))).sum
+    metrics(q31KnnLsh(s, dir), "lsh")
+      .unionByName(metrics(q70IvfAnn(s, dir), "ivf"))
+      .unionByName(metrics(q158IvfKmeans(s, dir), "ivf_kmeans"))
+      .unionByName(metrics(q166Sq8Ann(s, dir), "sq8"))
+      .withColumn("mrr_milli",
+        coalesce(expr("1000 DIV first_rel"), lit(0L)))
+      .withColumn("ndcg_micro", expr(s"dcg_micro * 1000000 DIV $idcg"))
+      .select("method", "qid", "k", "hits", "mrr_milli", "ndcg_micro")
+      .orderBy("method", "qid")
+  }
+
   private val SemDupTau = 0.35
   /** Target mean SemDeDup cell size; K = max(8, ceil(n/TargetCell)). */
   private val TargetCell = 64L
@@ -870,6 +956,8 @@ object VectorQueries {
   val queries: Map[String, Q] = Map(
     "q168_knn_graph" -> (q168KnnGraph _),
     "q169_embedding_profile" -> (q169EmbeddingProfile _),
+    "q171_label_prop" -> (q171LabelProp _),
+    "q172_retrieval_metrics" -> (q172RetrievalMetrics _),
     "q170_embedding_drift" -> (q170EmbeddingDrift _),
     "q166_sq8_ann" -> (q166Sq8Ann _),
     "q164_persisted_index" -> (q164PersistedIndex _),
@@ -992,6 +1080,98 @@ object VectorQueries {
          WHERE rnk <= $K"""
 
   val oracles: Map[String, String] = Map(
+    "q171_label_prop" ->
+      s"""WITH $bucketsCtes,
+         cand AS (SELECT DISTINCT b1.vec_id AS v1, b2.vec_id AS v2
+           FROM buckets b1 JOIN buckets b2
+             ON b1.band = b2.band AND b1.key = b2.key
+           WHERE b1.vec_id < b2.vec_id),
+         sc AS (SELECT v1, v2,
+             ${r6Sql(sqlCosine("e1.embedding", "e2.embedding"))} AS cosine
+           FROM cand
+           JOIN embeddings e1 ON e1.vec_id = v1
+           JOIN embeddings e2 ON e2.vec_id = v2),
+         sym AS (SELECT v1 AS src, v2 AS dst, cosine FROM sc
+           UNION ALL SELECT v2 AS src, v1 AS dst, cosine FROM sc),
+         knn AS MATERIALIZED (SELECT src, dst FROM
+           (SELECT *, row_number() OVER (PARTITION BY src
+              ORDER BY cosine DESC, dst) AS rnk FROM sym)
+           WHERE rnk <= $KnnK),
+         seeds AS MATERIALIZED (SELECT vec_id,
+             CASE WHEN vec_id % 4 = 0 THEN CAST(label AS BIGINT) END
+               AS seed_lab
+           FROM embeddings),
+         l0 AS MATERIALIZED (SELECT vec_id, seed_lab AS lab FROM seeds),
+         v1r AS (SELECT e.src, l.lab, count(*) AS votes
+           FROM knn e JOIN l0 l ON l.vec_id = e.dst
+           WHERE l.lab IS NOT NULL GROUP BY 1, 2),
+         w1 AS (SELECT src AS vec_id, lab AS vote_lab FROM
+           (SELECT *, row_number() OVER (PARTITION BY src
+              ORDER BY votes DESC, lab) AS rk FROM v1r) WHERE rk = 1),
+         l1 AS MATERIALIZED (SELECT s.vec_id,
+             coalesce(s.seed_lab, w.vote_lab, p.lab) AS lab
+           FROM seeds s
+           JOIN l0 p ON p.vec_id = s.vec_id
+           LEFT JOIN w1 w ON w.vec_id = s.vec_id),
+         v2r AS (SELECT e.src, l.lab, count(*) AS votes
+           FROM knn e JOIN l1 l ON l.vec_id = e.dst
+           WHERE l.lab IS NOT NULL GROUP BY 1, 2),
+         w2 AS (SELECT src AS vec_id, lab AS vote_lab FROM
+           (SELECT *, row_number() OVER (PARTITION BY src
+              ORDER BY votes DESC, lab) AS rk FROM v2r) WHERE rk = 1),
+         l2 AS (SELECT s.vec_id,
+             coalesce(s.seed_lab, w.vote_lab, p.lab) AS lab
+           FROM seeds s
+           JOIN l1 p ON p.vec_id = s.vec_id
+           LEFT JOIN w2 w ON w.vec_id = s.vec_id)
+         SELECT e.vec_id, CAST(e.label AS BIGINT) AS true_label,
+           l2.lab AS predicted, e.vec_id % 4 = 0 AS is_seed,
+           coalesce(l2.lab = CAST(e.label AS BIGINT), false) AS correct
+         FROM embeddings e JOIN l2 ON l2.vec_id = e.vec_id
+         ORDER BY e.vec_id""",
+    "q172_retrieval_metrics" ->
+      s"""WITH truth AS (SELECT qid, vec_id FROM
+           (WITH $bruteCtes SELECT qid, vec_id FROM ranked WHERE rnk <= $K)),
+         lsh AS (SELECT qid, vec_id, rnk FROM
+           (WITH $lshCtes SELECT qid, vec_id, rnk FROM ranked WHERE rnk <= $K)),
+         ivf AS (SELECT qid, vec_id, rnk FROM
+           (WITH $ivfCtes SELECT qid, vec_id, rnk FROM ranked WHERE rnk <= $K)),
+         ivfk AS (SELECT qid, vec_id, rnk FROM ($ivfKmeansSql)),
+         sq8c AS (SELECT qid, vec_id, rnk FROM ($sq8Sql)),
+         m AS (
+           SELECT 'lsh' AS method, a.qid, a.rnk,
+             CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+           FROM lsh a LEFT JOIN truth t
+             ON t.qid = a.qid AND t.vec_id = a.vec_id
+           UNION ALL
+           SELECT 'ivf', a.qid, a.rnk,
+             CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END
+           FROM ivf a LEFT JOIN truth t
+             ON t.qid = a.qid AND t.vec_id = a.vec_id
+           UNION ALL
+           SELECT 'ivf_kmeans', a.qid, a.rnk,
+             CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END
+           FROM ivfk a LEFT JOIN truth t
+             ON t.qid = a.qid AND t.vec_id = a.vec_id
+           UNION ALL
+           SELECT 'sq8', a.qid, a.rnk,
+             CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END
+           FROM sq8c a LEFT JOIN truth t
+             ON t.qid = a.qid AND t.vec_id = a.vec_id),
+         g AS (SELECT method, qid,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(rel) AS BIGINT) AS hits,
+             min(CASE WHEN rel = 1 THEN rnk END) AS first_rel,
+             CAST(sum(CASE WHEN rel = 1
+               THEN CAST(round(1e6 / log2(rnk + 1)) AS BIGINT)
+               ELSE 0 END) AS BIGINT) AS dcg_micro
+           FROM m GROUP BY 1, 2),
+         i AS (SELECT CAST(sum(CAST(round(1e6 / log2(t.range + 1))
+             AS BIGINT)) AS BIGINT) AS idcg FROM range(1, ${K + 1}) t)
+         SELECT method, qid, k, hits,
+           coalesce(CAST(1000 AS BIGINT) // first_rel, 0) AS mrr_milli,
+           dcg_micro * 1000000 // idcg AS ndcg_micro
+         FROM g CROSS JOIN i ORDER BY method, qid""",
     "q169_embedding_profile" ->
       s"""WITH q AS (SELECT vec_id, list_transform(embedding,
            x -> CAST(round(CAST(x AS DOUBLE)*1e6) AS BIGINT) + 1000000)

@@ -690,6 +690,22 @@ class NewQueryPlanSpec extends AnyFunSuite {
       s"q169's moments must combine map-side:\n$plan")
   }
 
+  test("q171: vote rounds shuffle ids+labels only — no embedding leaves the knn build") {
+    val plan = executed(queries.VectorQueries.q171LabelProp(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"q171's vote joins must stay keyed:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"q171's vote count must combine map-side:\n$plan")
+  }
+
+  test("q172: metric roll-up is one combinable agg per method over batch-sized lists") {
+    val plan = executed(queries.VectorQueries.q172RetrievalMetrics(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"q172's truth joins must stay keyed or broadcast:\n$plan")
+    assert(plan.contains("partial_sum") && plan.contains("partial_min"),
+      s"q172's DCG/first-rel must combine map-side:\n$plan")
+  }
+
   test("q170: frozen centroids broadcast; histograms are K-row aggregates") {
     val plan = executed(queries.VectorQueries.q170EmbeddingDrift(spark, sf))
     assert(!plan.contains("CartesianProduct"),
