@@ -328,7 +328,7 @@ object PipelineQueries {
     * pseudo-random weight table that exists as a FORMULA, so
     * inference needs no weight-table join at all. */
   private val linBuckets = 4096L
-  private def linWeightSql(tok: String): String =
+  private[graft] def linWeightSql(tok: String): String =
     s"""((((instr('0123456789abcdef', substring(md5('graft-lin:' || $tok), 1, 1)) - 1) * 256
         + (instr('0123456789abcdef', substring(md5('graft-lin:' || $tok), 2, 1)) - 1) * 16
         + (instr('0123456789abcdef', substring(md5('graft-lin:' || $tok), 3, 1)) - 1))

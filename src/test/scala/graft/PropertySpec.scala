@@ -161,6 +161,28 @@ class PropertySpec extends AnyFunSuite {
       Seq(0L, 0L, 0L, 0L))
   }
 
+  test("q167 hashed weight formula: bounded in [-1000, 1000], deterministic, non-degenerate") {
+    import TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // evaluate the PRODUCTION SQL string (not a re-spelling) over a
+    // token sample: every weight must land in the advertised milli
+    // range, identical tokens must hash identically, and the table
+    // must not be constant (a broken digit extraction would collapse
+    // every bucket to one weight)
+    val toks = (('a' to 'z').map(_.toString) ++
+      Seq("", "hello", "hello", "Σ", "0", "the quick brown fox"))
+      .toDF("t")
+    val w = toks.select(col("t"),
+      expr(queries.PipelineQueries.linWeightSql("t")).as("w"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(w.forall { case (_, v) => v >= -1000 && v <= 1000 },
+      s"weights out of milli range: ${w.filter(p => p._2 < -1000 || p._2 > 1000).mkString(",")}")
+    val hello = w.filter(_._1 == "hello").map(_._2).distinct
+    assert(hello.length == 1, "identical tokens must weigh identically")
+    assert(w.map(_._2).distinct.length > 5, "weight table must spread")
+  }
+
   test("zero-norm guard predicate: dot(v,v) == 0 iff v is all zeros") {
     // the exact predicate VectorSearch.cosine guards on (and the
     // oracle can replay with the same fold): self-dot is a sum of
