@@ -85,12 +85,22 @@ object VectorQueries {
 
   /** (band, key) buckets for the whole corpus at the corpus-derived
     * resolution; `bits` comes from a driver-side count (S9 shape, like
-    * q106's K). */
-  private def bucketsOf(s: SparkSession, emb: DataFrame): (DataFrame, Int) = {
-    val bits = lshBits(emb.count())
-    (VectorSearch.lshBuckets(
-      emb, "vec_id", "embedding",
-      VectorSearch.planesDF(s, planes.take(Bands * bits)), bits), bits)
+    * q106's K). MEMOIZED per (session, dir) — five query families
+    * (q31/q74/q118/q162 via q74/q168/q171 via q168) consume the same
+    * bucket table, and a user runs the signing scan once; partitioned
+    * on (band, key) so the banded self-joins in q74/q168 read both
+    * sides co-located. */
+  private val bitsMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
+  private def bucketsOf(s: SparkSession, dir: String): (DataFrame, Int) = {
+    val bits = bitsMemo.getOrElseUpdate(
+      s"${s.sparkContext.applicationId}|$dir",
+      lshBits(Tables.embeddings(s, dir).count()))
+    val df = Shared.memoized(s, dir, "lshBuckets", Seq("band", "key"))(
+      VectorSearch.lshBuckets(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        VectorSearch.planesDF(s, planes.take(Bands * bits)), bits))
+    (df, bits)
   }
 
   /** Fixed query-batch bound: ids are dense, so `% 50 = 0 AND
@@ -116,7 +126,7 @@ object VectorQueries {
     * query; exact cosine + top-k within candidates only. */
   def q31KnnLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val (buckets, _) = bucketsOf(s, emb)
+    val (buckets, _) = bucketsOf(s, dir)
     val qIds = queriesOf(emb).select("qid")
     val qBuckets = buckets
       .join(qIds, buckets("vec_id") === qIds("qid"))
@@ -195,7 +205,7 @@ object VectorQueries {
     * key AND cosine >= MinDupCosine" at that resolution. */
   def q74EmbeddingDups(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val (buckets, _) = bucketsOf(s, emb)
+    val (buckets, _) = bucketsOf(s, dir)
     val cands = buckets.select(col("band"), col("key"), col("vec_id").as("v1"))
       .join(buckets.select(col("band"), col("key"), col("vec_id").as("v2")),
         Seq("band", "key"))
@@ -744,7 +754,7 @@ object VectorQueries {
     * edge lists. */
   def q168KnnGraph(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val (buckets, _) = bucketsOf(s, emb)
+    val (buckets, _) = bucketsOf(s, dir)
     val cands = buckets.select(col("band"), col("key"), col("vec_id").as("v1"))
       .join(buckets.select(col("band"), col("key"), col("vec_id").as("v2")),
         Seq("band", "key"))
