@@ -239,11 +239,18 @@ object VectorQueries {
     * pins 8 (the demo clustering), q106 derives it from corpus size
     * so cells stay bounded. */
   private def kmeansAssignment(s: SparkSession, dir: String,
-                               kClusters: Int): DataFrame = {
-    val q = quantized(Tables.embeddings(s, dir))
-    lloyd2(q, q.filter(col("vec_id") < kClusters)
-      .select(col("vec_id").as("cl"), col("qe").as("c")))
-  }
+                               kClusters: Int): DataFrame =
+    // memoized per (session, dir, K): the Lloyd assignment (n×K
+    // integer distances × 2 iterations) is the dominant cost of every
+    // k-means leg, and q82/q106/q158 (and q118/q164/q172 through
+    // q158) all derive from the same cells — an index a user builds
+    // once. Keyed by cl so the per-cell stages that follow group
+    // without a shuffle.
+    Shared.memoized(s, dir, s"kmeans$kClusters", Seq("cl")) {
+      val q = quantized(Tables.embeddings(s, dir))
+      lloyd2(q, q.filter(col("vec_id") < kClusters)
+        .select(col("vec_id").as("cl"), col("qe").as("c")))
+    }
 
   /** Exact-integer embedding quantization shared by every k-means leg:
     * micro-units shifted non-negative, so distances are pure long
