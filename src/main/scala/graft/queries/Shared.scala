@@ -79,6 +79,7 @@ object Shared {
     Seq(
       Future(MatchingQueries.warmShared(s, dir)),
       Future(ParityQueries.warmShared(s, dir)),
+      Future(VectorQueries.warmShared(s, dir)),
       Future { dupPairs(s, dir).count(); () },
       Future { simhashes(s, dir).count(); () })
       .foreach(Await.result(_, Duration.Inf))

@@ -83,6 +83,17 @@ object VectorQueries {
   private val planes: Seq[Seq[Double]] =
     VectorSearch.hyperplanes(Bands * MaxBits, Dim, seed = 42L)
 
+  /** Materialize the vector-side shared caches (LSH buckets + the
+    * corpus-K Lloyd assignment) so a bench sweep pays their build in
+    * the explicit `cache_build` step instead of loading it onto the
+    * first alphabetical consumer (the MatchingQueries.warmShared
+    * precedent). */
+  private[queries] def warmShared(s: SparkSession, dir: String): Unit = {
+    bucketsOf(s, dir)._1.count()
+    kmeansAssignment(s, dir,
+      semDedupK(Tables.embeddings(s, dir).count())).count()
+  }
+
   /** (band, key) buckets for the whole corpus at the corpus-derived
     * resolution; `bits` comes from a driver-side count (S9 shape, like
     * q106's K). MEMOIZED per (session, dir) — five query families
