@@ -92,6 +92,8 @@ object VectorQueries {
     bucketsOf(s, dir)._1.count()
     kmeansAssignment(s, dir,
       semDedupK(Tables.embeddings(s, dir).count())).count()
+    pqIndex(s, dir)._2.count() // forces the codebook build too
+    ivfPqIndex(s, dir)._3.count() // forces the residual book too
   }
 
   /** (band, key) buckets for the whole corpus at the corpus-derived
@@ -411,10 +413,11 @@ object VectorQueries {
       .orderBy("vec_id")
   }
 
-  /** q118: ANN recall evaluation — recall@K of all three approximate
-    * search paths (q31 hyperplane-LSH, q70 probe-2 label-cell IVF,
-    * q158 content-derived k-means-cell IVF) against the q30
-    * brute-force ground truth, per query point. "Measure, don't
+  /** q118: ANN recall evaluation — recall@K of every approximate
+    * search path (q31 hyperplane-LSH, q70 probe-2 label-cell IVF,
+    * q158 content-derived k-means-cell IVF, q166 SQ8, q173 PQ,
+    * q174 IVF-PQ) against the q30 brute-force ground truth, per
+    * query point. "Measure, don't
     * guess": the approximate indexes' quality is a number the pipeline
     * watches, not an assertion — the q158 leg exists BECAUSE this
     * report exposed the label cells' clone-corpus failure (RECALL.md),
@@ -440,6 +443,8 @@ object VectorQueries {
       .unionByName(recall(q70IvfAnn(s, dir), "ivf"))
       .unionByName(recall(q158IvfKmeans(s, dir), "ivf_kmeans"))
       .unionByName(recall(q166Sq8Ann(s, dir), "sq8"))
+      .unionByName(recall(q173PqAnn(s, dir), "pq"))
+      .unionByName(recall(q174IvfPq(s, dir), "ivfpq"))
       .withColumn("recall_milli", expr("hits * 1000 div k"))
       .select("method", "qid", "k", "hits", "recall_milli")
       .orderBy("method", "qid")
@@ -492,7 +497,7 @@ object VectorQueries {
   }
 
   /** q172: RANKING-AWARE retrieval metrics — MRR and nDCG@[[K]] for
-    * all four approximate index families against the q30 brute-force
+    * all six approximate index families against the q30 brute-force
     * truth, completing q118's recall with ORDER sensitivity: recall
     * treats a hit at rank 5 like a hit at rank 1; a production
     * retrieval stack watches MRR/nDCG because the model consumes the
@@ -524,6 +529,8 @@ object VectorQueries {
       .unionByName(metrics(q70IvfAnn(s, dir), "ivf"))
       .unionByName(metrics(q158IvfKmeans(s, dir), "ivf_kmeans"))
       .unionByName(metrics(q166Sq8Ann(s, dir), "sq8"))
+      .unionByName(metrics(q173PqAnn(s, dir), "pq"))
+      .unionByName(metrics(q174IvfPq(s, dir), "ivfpq"))
       .withColumn("mrr_milli",
         coalesce(expr("1000 DIV first_rel"), lit(0L)))
       .withColumn("ndcg_micro", expr(s"dcg_micro * 1000000 DIV $idcg"))
@@ -933,6 +940,211 @@ object VectorQueries {
       .orderBy("qid", "rnk")
   }
 
+  // PQ constants: M subspaces of Dim/M dims, Ks codes per subspace —
+  // M·log2(Ks) = 16 bits/vector vs 2048 for float32 (the FAISS
+  // `PQ4x4`/IndexPQ shape); candidate pool fetched on the ADC scores
+  // before the exact re-rank keeps the final top-[[K]].
+  private val PqM = 4
+  private val PqDs = Dim / PqM
+  private val PqKs = 16
+  private val PqPool = 100
+
+  /** Per-vector subspace slices of a micro-quantized frame:
+    * `(vec_id, m, sub)` with m ∈ [0, [[PqM]]) and |sub| = [[PqDs]]. */
+  private[graft] def pqSubs(q: DataFrame): DataFrame =
+    q.select(col("vec_id"), col("qe"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"))
+      .select(col("vec_id"), col("m"),
+        slice(col("qe"), col("m") * lit(PqDs) + lit(1), lit(PqDs)).as("sub"))
+
+  /** Per-subspace Lloyd assignment: nearest codebook entry within the
+    * OWN subspace only (the codebook is keyed by m), integer L2, ties
+    * to the smallest cl — [[lloydAssign]] with `m` joined through the
+    * group keys. */
+  private[graft] def pqAssign(subs: DataFrame, cents: DataFrame): DataFrame =
+    subs.join(broadcast(cents), Seq("m"))
+      .withColumn("d",
+        graft.functions.VectorExpressions.l2q(col("sub"), col("c")))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("d"), col("cl"))).as("best"),
+        first("sub").as("sub"))
+      .select(col("vec_id"), col("m"), col("sub"), col("best.cl").as("cl"))
+
+  /** Integer-mean codebook recompute per (m, cl) — [[recomputeCentroids]]
+    * with the subspace id carried through. */
+  private[graft] def pqRecompute(a: DataFrame): DataFrame =
+    a.select(col("m"), col("cl"), posexplode(col("sub")).as(Seq("i", "v")))
+      .groupBy("m", "cl", "i").agg(expr("sum(v) div count(1)").as("v"))
+      .groupBy("m", "cl")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("v")))),
+        x => x.getField("v")).as("c"))
+
+  /** Trained PQ index: codebook `(m, cl, c)` (M·Ks rows — a broadcast
+    * dim) and corpus codes `(vec_id, m, cl)` (M small integers per
+    * vector — the 128×-compressed representation a PQ store actually
+    * holds). Training is the q82/q106 chain per subspace: seed from
+    * the [[PqKs]] smallest vec_ids, two Lloyd iterations, final
+    * integer-mean recompute; encoding is one more broadcast-argmin
+    * pass against the trained book. MEMOIZED per (session, dir): the
+    * index is built once and served many times (q173 search, the q118
+    * recall leg, the q172 metrics leg — the LSH-bucket precedent). */
+  private def pqIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val book = Shared.memoized(s, dir, "pqCodebook", Seq("m")) {
+      val subs = pqSubs(quantized(Tables.embeddings(s, dir)))
+      val c0 = subs.filter(col("vec_id") < PqKs)
+        .select(col("m"), col("vec_id").as("cl"), col("sub").as("c"))
+      pqRecompute(pqAssign(subs, pqRecompute(pqAssign(subs, c0))))
+    }
+    val codes = Shared.memoized(s, dir, "pqCodes", Seq("vec_id")) {
+      pqAssign(pqSubs(quantized(Tables.embeddings(s, dir))), book)
+        .select("vec_id", "m", "cl")
+    }
+    (book, codes)
+  }
+
+  /** q173: PRODUCT-QUANTIZATION ANN (Jégou, Douze & Schmid 2011,
+    * "Product quantization for nearest neighbor search" — FAISS
+    * `IndexPQ`): the memory-scale companion to q166's SQ8 — each
+    * vector is M codebook ids (16 bits here vs 2048-bit float32), and
+    * search is ASYMMETRIC DISTANCE COMPUTATION: the query precomputes
+    * its distance to every codebook entry (an M×Ks table — batch ×
+    * [[PqM]]·[[PqKs]] rows, dimension-sized), so scoring a corpus
+    * vector is M table lookups summed — no float arithmetic touches
+    * the corpus at serve time. Candidates ranked by ADC integer L2
+    * (the micro-unit shift cancels in differences, and the corpus is
+    * unit-normalized so L2 order = cosine order up to quantization),
+    * top-[[PqPool]] re-ranked with the exact cosine so compression
+    * error never reaches the served ordering — the q166 contract.
+    *
+    * Scale shape: training/encoding is the broadcast-codebook argmin
+    * (n·M·Ks subspace distances per pass — the q106 Lloyd shape, and
+    * the book is M·Ks rows at ANY corpus size); the ADC table is a
+    * broadcast dim; the candidate stage is one map-side-combinable
+    * sum over the codes scan (shuffle carries (qid, vec_id, partial
+    * sum) — embeddings never move); the exact re-rank touches
+    * batch·pool rows. */
+  def q173PqAnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val (book, codes) = pqIndex(s, dir)
+    val qsub = pqSubs(quantized(
+        emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < QBatchMax)))
+      .select(col("vec_id").as("qid"), col("m"), col("sub").as("qsub"))
+    val dtab = qsub.join(broadcast(book), Seq("m"))
+      .select(col("qid"), col("m"), col("cl"),
+        graft.functions.VectorExpressions.l2q(col("qsub"), col("c")).as("d"))
+    val scored = codes.join(broadcast(dtab), Seq("m", "cl"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id")
+      .agg(sum("d").as("adist"))
+    val wq = Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))
+    val pool = scored.withColumn("crnk", row_number().over(wq))
+      .filter(col("crnk") <= PqPool)
+      .select("qid", "vec_id", "adist")
+    val rer = pool
+      .join(emb.select("vec_id", "embedding"), Seq("vec_id"))
+      .join(emb.select(col("vec_id").as("qid"),
+        col("embedding").as("qemb")), Seq("qid"))
+      .withColumn("cosine", r6(cosine(col("qemb"), col("embedding"))))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
+    rer.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select("qid", "vec_id", "adist", "cosine", "rnk")
+      .orderBy("qid", "rnk")
+  }
+
+  /** Residual-PQ index over the q158 coarse cells: `(book, codes)`
+    * where codes carry the coarse cell — the IVF-PQ layout (each
+    * vector stored as cell id + M residual codes). The residual is
+    * `qe − centroid(assigned cell)` with the centroid from the FINAL
+    * recompute (the q158 probe table), so query-side residuals
+    * against the same table are consistent. MEMOIZED per (session,
+    * dir) — q174 search, its q118 recall leg, and its q172 metrics
+    * leg serve from one build. */
+  private def ivfPqIndex(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val k = semDedupK(Tables.embeddings(s, dir).count())
+    val asg = kmeansAssignment(s, dir, k)
+    val cents = recomputeCentroids(asg)
+    def residuals: DataFrame =
+      asg.join(broadcast(cents), Seq("cl"))
+        .select(col("vec_id"), col("cl").as("cell"),
+          zip_with(col("qe"), col("c"), (a, b) => a - b).as("qe"))
+    val book = Shared.memoized(s, dir, "ivfpqBook", Seq("m")) {
+      val subs = pqSubs(residuals)
+      val c0 = subs.filter(col("vec_id") < PqKs)
+        .select(col("m"), col("vec_id").as("cl"), col("sub").as("c"))
+      pqRecompute(pqAssign(subs, pqRecompute(pqAssign(subs, c0))))
+    }
+    val codes = Shared.memoized(s, dir, "ivfpqCodes", Seq("cell")) {
+      pqAssign(pqSubs(residuals), book)
+        .select(col("vec_id"), col("m"), col("cl").as("pqcl"))
+        .join(residuals.select("vec_id", "cell"), Seq("vec_id"))
+    }
+    (cents, book, codes)
+  }
+
+  /** q174: IVF-PQ ANN — the composition every production
+    * billion-vector index ships (FAISS `IVFx,PQy`): the q158 coarse
+    * k-means cells PRUNE (a probe reads [[NProbe]] cells' codes
+    * only — the scanned fraction falls as the corpus grows, q158's
+    * property), and PQ codes over the CELL RESIDUALS compress
+    * (residuals are small, so the same 16-bit budget quantizes a
+    * tighter distribution than q173's raw-vector codes — the reason
+    * IVFPQ beats flat PQ at equal bits). Search: probe the NProbe
+    * nearest centroids, form the query residual PER PROBED CELL,
+    * precompute the ADC table against the residual codebook
+    * (batch·NProbe·M·Ks rows — dimension-sized, broadcast), score
+    * only the probed cells' codes via the (cell, m, code) equi join,
+    * exact-cosine re-rank of the top-[[PqPool]].
+    *
+    * Scale shape: cells and codebook are the memoized q158/q173
+    * builds; the candidate stage touches NProbe cells per query with
+    * M lookups per member — no corpus-sized shuffle anywhere (codes
+    * are pre-partitioned by cell; the ADC table broadcasts); the
+    * re-rank is batch·pool rows. */
+  def q174IvfPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val (cents, book, codes) = ivfPqIndex(s, dir)
+    val q = quantized(
+        emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < QBatchMax))
+      .select(col("vec_id").as("qid"), col("qe"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("d",
+        graft.functions.VectorExpressions.l2q(col("qe"), col("c")))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("d"), col("cl"))))
+      .filter(col("crnk") <= NProbe)
+      .select(col("qid"), col("cl").as("cell"),
+        zip_with(col("qe"), col("c"), (a, b) => a - b).as("qres"))
+    val qsub = probes
+      .select(col("qid"), col("cell"), col("qres"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"))
+      .select(col("qid"), col("cell"), col("m"),
+        slice(col("qres"), col("m") * lit(PqDs) + lit(1), lit(PqDs))
+          .as("qsub"))
+    val dtab = qsub.join(broadcast(book), Seq("m"))
+      .select(col("qid"), col("cell"), col("m"), col("cl").as("pqcl"),
+        graft.functions.VectorExpressions.l2q(col("qsub"), col("c")).as("d"))
+    val scored = codes.join(broadcast(dtab), Seq("cell", "m", "pqcl"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id")
+      .agg(sum("d").as("adist"))
+    val wq = Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))
+    val pool = scored.withColumn("crnk", row_number().over(wq))
+      .filter(col("crnk") <= PqPool)
+      .select("qid", "vec_id", "adist")
+    val rer = pool
+      .join(emb.select("vec_id", "embedding"), Seq("vec_id"))
+      .join(emb.select(col("vec_id").as("qid"),
+        col("embedding").as("qemb")), Seq("qid"))
+      .withColumn("cosine", r6(cosine(col("qemb"), col("embedding"))))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
+    rer.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select("qid", "vec_id", "adist", "cosine", "rnk")
+      .orderBy("qid", "rnk")
+  }
+
   /** q164: PERSISTED ANN index — the build-once/serve-many lifecycle
     * a production vector index actually lives (build is a full-corpus
     * job, searches are cheap reads): the q158 k-means index artifacts
@@ -982,6 +1194,8 @@ object VectorQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "q173_pq_ann" -> (q173PqAnn _),
+    "q174_ivf_pq" -> (q174IvfPq _),
     "q168_knn_graph" -> (q168KnnGraph _),
     "q169_embedding_profile" -> (q169EmbeddingProfile _),
     "q171_label_prop" -> (q171LabelProp _),
@@ -1107,7 +1321,147 @@ object VectorQueries {
               ORDER BY cosine DESC, vec_id) AS rnk FROM rer)
          WHERE rnk <= $K"""
 
+  /** One unrolled PER-SUBSPACE Lloyd iteration over `sub(vec_id, m,
+    * sub)`: assign within the own subspace (integer L2, ties to the
+    * smallest cl), then integer-mean codebooks per (m, cl) —
+    * [[kmeansIterSql]] with the subspace id carried through every
+    * key. Produces `pa$n` (assignment) and `pc$n` (codebook). */
+  private def pqIterSql(n: Int, cents: String): String =
+    s"""pd$n AS (SELECT s.vec_id, s.m, s.sub, c.cl,
+         CAST(list_sum(list_transform(range(1, ${PqDs + 1}),
+           i -> (s.sub[i]-c.c[i])*(s.sub[i]-c.c[i]))) AS BIGINT) AS d
+       FROM sub s JOIN $cents c ON c.m = s.m),
+     pa$n AS (SELECT vec_id, m, sub, cl FROM
+       (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+          ORDER BY d, cl) AS rn FROM pd$n) WHERE rn = 1),
+     pm$n AS (SELECT m, cl, i, CAST(sum(sub[i]) AS BIGINT) // count(*) AS v
+       FROM pa$n, range(1, ${PqDs + 1}) t(i) GROUP BY m, cl, i),
+     pc$n AS (SELECT m, cl, list(v ORDER BY i) AS c FROM pm$n GROUP BY m, cl)"""
+
+  /** The q173 PQ-ADC chain as a standalone SELECT (the sq8Sql
+    * precedent, shared with the q118/q172 oracles): per-subspace
+    * codebooks (two Lloyd iterations + final integer-mean recompute =
+    * `pc2`), corpus encoded by a third assignment pass (`pa3`), query
+    * ADC tables against `pc2`, candidates = sum of M lookups, exact
+    * cosine re-rank of the top-[[PqPool]]. `sub` and `codes` are
+    * MATERIALIZED — the q160 lesson: the training chain is referenced
+    * by every later stage and DuckDB would otherwise inline and
+    * re-evaluate it per reference. */
+  private lazy val pqSql: String =
+    s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE)*1e6) AS BIGINT) + 1000000)
+           AS qe FROM embeddings),
+         sub AS MATERIALIZED (SELECT vec_id, t.range AS m,
+             list_transform(range(1, ${PqDs + 1}),
+               i -> qe[t.range * $PqDs + i]) AS sub
+           FROM q, range(0, $PqM) t),
+         pc0 AS (SELECT m, vec_id AS cl, sub AS c FROM sub
+           WHERE vec_id < $PqKs),
+         ${pqIterSql(1, "pc0")},
+         ${pqIterSql(2, "pc1")},
+         ${pqIterSql(3, "pc2")},
+         codes AS MATERIALIZED (SELECT vec_id, m, cl FROM pa3),
+         qb AS (SELECT vec_id AS qid, m, sub AS qsub FROM sub
+           WHERE vec_id % 50 = 0 AND vec_id < $QBatchMax),
+         dtab AS (SELECT qid, c.m, c.cl,
+             CAST(list_sum(list_transform(range(1, ${PqDs + 1}),
+               i -> (qsub[i]-c.c[i])*(qsub[i]-c.c[i]))) AS BIGINT) AS d
+           FROM qb JOIN pc2 c ON c.m = qb.m),
+         adc AS (SELECT qid, codes.vec_id,
+             CAST(sum(d) AS BIGINT) AS adist
+           FROM codes JOIN dtab ON dtab.m = codes.m AND dtab.cl = codes.cl
+           WHERE codes.vec_id <> qid GROUP BY 1, 2),
+         pool AS (SELECT qid, vec_id, adist FROM
+           (SELECT *, row_number() OVER (PARTITION BY qid
+              ORDER BY adist, vec_id) AS crnk FROM adc)
+           WHERE crnk <= $PqPool),
+         rer AS (SELECT p.qid, p.vec_id, p.adist,
+             ${r6Sql(sqlCosine("eq.embedding", "ev.embedding"))} AS cosine
+           FROM pool p
+           JOIN embeddings ev ON p.vec_id = ev.vec_id
+           JOIN embeddings eq ON p.qid = eq.vec_id)
+         SELECT qid, vec_id, adist, cosine, rnk FROM
+           (SELECT *, row_number() OVER (PARTITION BY qid
+              ORDER BY cosine DESC, vec_id) AS rnk FROM rer)
+         WHERE rnk <= $K"""
+
+  /** The q174 IVF-PQ chain as a standalone SELECT: coarse cells via
+    * the q158 Lloyd unroll (`a2`/`c2`), per-vector residuals vs the
+    * FINAL centroid table, the per-subspace PQ unroll over the
+    * residual `sub` CTE ([[pqIterSql]] — the CTE name is the
+    * contract), probe-NProbe query residuals, ADC on (cell, m, code),
+    * exact re-rank. Heavy shared CTEs MATERIALIZED (the q160
+    * lesson). */
+  private lazy val ivfPqSql: String =
+    s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE)*1e6) AS BIGINT) + 1000000)
+           AS qe FROM embeddings),
+         kk AS (SELECT least(65536, greatest(8,
+             CAST(ceil(count(*) / 64.0) AS BIGINT))) AS k FROM embeddings),
+         c0 AS (SELECT vec_id AS cl, qe AS c FROM q
+           WHERE vec_id < (SELECT k FROM kk)),
+         ${kmeansIterSql(1, "c0")},
+         ${kmeansIterSql(2, "c1")},
+         res AS MATERIALIZED (SELECT a2.vec_id, a2.cl AS cell,
+             list_transform(range(1, ${Dim + 1}),
+               i -> a2.qe[i] - c.c[i]) AS qe
+           FROM a2 JOIN c2 c ON c.cl = a2.cl),
+         sub AS MATERIALIZED (SELECT vec_id, t.range AS m,
+             list_transform(range(1, ${PqDs + 1}),
+               i -> qe[t.range * $PqDs + i]) AS sub
+           FROM res, range(0, $PqM) t),
+         pc0 AS (SELECT m, vec_id AS cl, sub AS c FROM sub
+           WHERE vec_id < $PqKs),
+         ${pqIterSql(1, "pc0")},
+         ${pqIterSql(2, "pc1")},
+         ${pqIterSql(3, "pc2")},
+         codes AS MATERIALIZED (SELECT pa3.vec_id, pa3.m,
+             pa3.cl AS pqcl, r.cell
+           FROM pa3 JOIN res r ON r.vec_id = pa3.vec_id),
+         qb AS (SELECT vec_id AS qid, qe FROM q
+           WHERE vec_id % 50 = 0 AND vec_id < $QBatchMax),
+         pdq AS (SELECT qid, cl, qe, c,
+             CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+               i -> (qe[i]-c[i])*(qe[i]-c[i]))) AS BIGINT) AS d
+           FROM qb CROSS JOIN c2),
+         probes AS (SELECT qid, cl AS cell,
+             list_transform(range(1, ${Dim + 1}), i -> qe[i] - c[i])
+               AS qres
+           FROM (SELECT *, row_number() OVER (PARTITION BY qid
+              ORDER BY d, cl) AS crnk FROM pdq)
+           WHERE crnk <= $NProbe),
+         qsub AS (SELECT qid, cell, t.range AS m,
+             list_transform(range(1, ${PqDs + 1}),
+               i -> qres[t.range * $PqDs + i]) AS qsub
+           FROM probes, range(0, $PqM) t),
+         dtab AS (SELECT qid, cell, b.m, b.cl AS pqcl,
+             CAST(list_sum(list_transform(range(1, ${PqDs + 1}),
+               i -> (qsub[i]-b.c[i])*(qsub[i]-b.c[i]))) AS BIGINT) AS d
+           FROM qsub JOIN pc2 b ON b.m = qsub.m),
+         adc AS (SELECT qid, codes.vec_id,
+             CAST(sum(d) AS BIGINT) AS adist
+           FROM codes JOIN dtab ON dtab.cell = codes.cell
+             AND dtab.m = codes.m AND dtab.pqcl = codes.pqcl
+           WHERE codes.vec_id <> qid GROUP BY 1, 2),
+         pool AS (SELECT qid, vec_id, adist FROM
+           (SELECT *, row_number() OVER (PARTITION BY qid
+              ORDER BY adist, vec_id) AS crnk FROM adc)
+           WHERE crnk <= $PqPool),
+         rer AS (SELECT p.qid, p.vec_id, p.adist,
+             ${r6Sql(sqlCosine("eq.embedding", "ev.embedding"))} AS cosine
+           FROM pool p
+           JOIN embeddings ev ON p.vec_id = ev.vec_id
+           JOIN embeddings eq ON p.qid = eq.vec_id)
+         SELECT qid, vec_id, adist, cosine, rnk FROM
+           (SELECT *, row_number() OVER (PARTITION BY qid
+              ORDER BY cosine DESC, vec_id) AS rnk FROM rer)
+         WHERE rnk <= $K"""
+
   val oracles: Map[String, String] = Map(
+    "q173_pq_ann" ->
+      s"SELECT * FROM ($pqSql) ORDER BY qid, rnk",
+    "q174_ivf_pq" ->
+      s"SELECT * FROM ($ivfPqSql) ORDER BY qid, rnk",
     "q171_label_prop" ->
       s"""WITH $bucketsCtes,
          cand AS (SELECT DISTINCT b1.vec_id AS v1, b2.vec_id AS v2
@@ -1166,6 +1520,8 @@ object VectorQueries {
            (WITH $ivfCtes SELECT qid, vec_id, rnk FROM ranked WHERE rnk <= $K)),
          ivfk AS (SELECT qid, vec_id, rnk FROM ($ivfKmeansSql)),
          sq8c AS (SELECT qid, vec_id, rnk FROM ($sq8Sql)),
+         pqc AS (SELECT qid, vec_id, rnk FROM ($pqSql)),
+         ivfpqc AS (SELECT qid, vec_id, rnk FROM ($ivfPqSql)),
          m AS (
            SELECT 'lsh' AS method, a.qid, a.rnk,
              CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END AS rel
@@ -1185,6 +1541,16 @@ object VectorQueries {
            SELECT 'sq8', a.qid, a.rnk,
              CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END
            FROM sq8c a LEFT JOIN truth t
+             ON t.qid = a.qid AND t.vec_id = a.vec_id
+           UNION ALL
+           SELECT 'pq', a.qid, a.rnk,
+             CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END
+           FROM pqc a LEFT JOIN truth t
+             ON t.qid = a.qid AND t.vec_id = a.vec_id
+           UNION ALL
+           SELECT 'ivfpq', a.qid, a.rnk,
+             CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END
+           FROM ivfpqc a LEFT JOIN truth t
              ON t.qid = a.qid AND t.vec_id = a.vec_id),
          g AS (SELECT method, qid,
              CAST(count(*) AS BIGINT) AS k,
@@ -1431,6 +1797,8 @@ object VectorQueries {
            (WITH $ivfCtes SELECT qid, vec_id FROM ranked WHERE rnk <= $K)),
          ivfk AS (SELECT qid, vec_id FROM ($ivfKmeansSql)),
          sq8c AS (SELECT qid, vec_id FROM ($sq8Sql)),
+         pqc AS (SELECT qid, vec_id FROM ($pqSql)),
+         ivfpqc AS (SELECT qid, vec_id FROM ($ivfPqSql)),
          rec AS (
            SELECT 'lsh' AS method, t.qid,
              CAST(count(*) AS BIGINT) AS k,
@@ -1461,6 +1829,22 @@ object VectorQueries {
              CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
                AS BIGINT) AS hits
            FROM truth t LEFT JOIN sq8c a
+             ON t.qid = a.qid AND t.vec_id = a.vec_id
+           GROUP BY t.qid
+           UNION ALL
+           SELECT 'pq' AS method, t.qid,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS hits
+           FROM truth t LEFT JOIN pqc a
+             ON t.qid = a.qid AND t.vec_id = a.vec_id
+           GROUP BY t.qid
+           UNION ALL
+           SELECT 'ivfpq' AS method, t.qid,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS hits
+           FROM truth t LEFT JOIN ivfpqc a
              ON t.qid = a.qid AND t.vec_id = a.vec_id
            GROUP BY t.qid)
          SELECT method, qid, k, hits, hits * 1000 // k AS recall_milli

@@ -74,6 +74,33 @@ class BoundarySpec extends AnyFunSuite {
     assert(buckets.forall(r => r.getLong(2) >= 0 && r.getLong(2) < 16))
   }
 
+  test("PQ training on a corpus smaller than the codebook is total") {
+    import queries.VectorQueries
+    // 3 vectors (< PqKs = 16 seeds), 64 dims — the codebook simply
+    // ends up smaller, encoding stays total, codes stay in range
+    val emb = (0L to 2L).map { v =>
+      (v, Seq.tabulate(64)(i => ((v + 1) * (i + 1) % 7).toFloat / 7f))
+    }.toDF("vec_id", "embedding")
+    val q = emb.select(col("vec_id"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * 1e6).cast("long") + 1000000L).as("qe"))
+    val subs = VectorQueries.pqSubs(q)
+    assert(subs.count() == 12, "3 vectors x 4 subspaces")
+    assert(subs.select(max(size(col("sub")))).head.getInt(0) == 16)
+    val c0 = subs.filter(col("vec_id") < 16)
+      .select(col("m"), col("vec_id").as("cl"), col("sub").as("c"))
+    val book = VectorQueries.pqRecompute(VectorQueries.pqAssign(subs,
+      VectorQueries.pqRecompute(VectorQueries.pqAssign(subs, c0))))
+    assert(book.groupBy("m").count().collect()
+      .forall(_.getLong(1) <= 3), "codebook never larger than the corpus")
+    val codes = VectorQueries.pqAssign(subs, book).select("vec_id", "m", "cl")
+    assert(codes.count() == 12, "every (vector, subspace) gets a code")
+    val bookKeys = book.select("m", "cl").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(codes.collect().forall(r =>
+      bookKeys((r.getInt(1), r.getLong(2)))), "codes index the book")
+  }
+
   test("shingleSets: empty corpus, single doc, empty-text doc") {
     val docs = Seq((1L, ""), (2L, "one"), (3L, "a b c d e f g"))
       .toDF("doc_id", "text")

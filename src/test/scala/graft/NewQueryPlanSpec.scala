@@ -706,6 +706,30 @@ class NewQueryPlanSpec extends AnyFunSuite {
       s"q172's DCG/first-rel must combine map-side:\n$plan")
   }
 
+  test("q173: codebook and ADC tables broadcast; candidate sum combines map-side") {
+    val plan = executed(queries.VectorQueries.q173PqAnn(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"q173's codebook/ADC joins must broadcast, never cartesian:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q173's M·Ks codebook and batch ADC tables must broadcast:\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"q173's ADC candidate sum must combine map-side:\n$plan")
+    assert(plan.contains("partial_min"),
+      s"q173's encode argmin must combine map-side (min(struct)):\n$plan")
+  }
+
+  test("q174: probes prune to NProbe cells; ADC join keyed on (cell, m, code)") {
+    val plan = executed(queries.VectorQueries.q174IvfPq(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"q174's centroid/codebook/ADC joins must broadcast, never cartesian:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q174's ADC tables and codebooks must broadcast:\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"q174's ADC candidate sum must combine map-side:\n$plan")
+    assert(plan.contains("partial_min"),
+      s"q174's argmins must combine map-side (min(struct)):\n$plan")
+  }
+
   test("q170: frozen centroids broadcast; histograms are K-row aggregates") {
     val plan = executed(queries.VectorQueries.q170EmbeddingDrift(spark, sf))
     assert(!plan.contains("CartesianProduct"),
