@@ -463,7 +463,69 @@ object EventQueries {
       .orderBy("outcome")
   }
 
+  /** q175: SCD TYPE-2 DIMENSION MERGE — the versioned-dimension
+    * maintenance every warehouse runs nightly at 100 TB: an existing
+    * versioned dimension (history of `signup` profile changes up to a
+    * cutoff, each with valid_from / valid_to / version / is_current)
+    * absorbs an incoming change batch. The merge is INCREMENTAL by
+    * construction: closed versions pass through UNTOUCHED (no shuffle
+    * re-keys history — at scale they are not even read back; here the
+    * union makes that explicit), only the one open version per
+    * batch-affected user is closed (a keyed join against the batch's
+    * first change), and the batch itself is versioned with numbering
+    * continued from each user's open version. The ORACLE rebuilds the
+    * dimension from FULL history in one pass — the SCD2 merge
+    * invariant (incremental merge ≡ full rebuild) is exactly what the
+    * hash compare proves, the same identity discipline as q140's MV
+    * maintenance.
+    *
+    * Scale shape: two user-keyed window passes (history ≤ cutoff once
+    * — in production read from the stored dim, not recomputed — and
+    * the batch, which is small by definition), one broadcast-sized
+    * keyed join to close open versions. Nothing global; the closed
+    * partition of the dimension never moves. */
+  def q175Scd2Merge(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("2024-01-21").cast("timestamp")
+    val changes = Tables.events(s, dir)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        graft.functions.Exact.cents(col("value")).as("cents"))
+    // ordered versions of a change set; (ts, event_id) is a unique
+    // total order so ties cannot flake the hash
+    def versioned(ch: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      ch.withColumn("valid_from", col("ts"))
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .withColumn("version", row_number().over(w))
+        .drop("ts")
+    }
+    val dim = versioned(changes.filter(col("ts") < cutoff))
+    val batch = changes.filter(col("ts") >= cutoff)
+    val closed = dim.filter(col("valid_to").isNotNull)
+    val open = dim.filter(col("valid_to").isNull)
+    // first batch change per user closes that user's open version
+    val firstBatch = batch.groupBy("user_id")
+      .agg(min(struct(col("ts"), col("event_id"))).as("f"))
+      .select(col("user_id"), col("f.ts").as("first_ts"))
+    val openMerged = open.join(firstBatch, Seq("user_id"), "left")
+      .withColumn("valid_to", col("first_ts")).drop("first_ts")
+    // batch versions continue each user's numbering (0 for new users)
+    val baseVer = open.select(col("user_id"), col("version").as("base_ver"))
+    val batchVers = versioned(batch)
+      .join(baseVer, Seq("user_id"), "left")
+      .withColumn("version",
+        col("version") + coalesce(col("base_ver"), lit(0)))
+      .drop("base_ver")
+    closed.unionByName(openMerged).unionByName(batchVers)
+      .withColumn("is_current", col("valid_to").isNull)
+      .select("user_id", "version", "event_id", "cents",
+        "valid_from", "valid_to", "is_current")
+      .orderBy("user_id", "version")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q175_scd2_merge" -> (q175Scd2Merge _),
     "q139_ab_test" -> (q139AbTest _),
     "q143_stream_compact" -> (q143StreamCompact _),
     "q155_cdc_update" -> (q155CdcUpdate _),
@@ -540,6 +602,23 @@ object EventQueries {
        ORDER BY user_id"""
 
   val oracles: Map[String, String] = Map(
+    // full-history rebuild: one window pass over ALL signup changes —
+    // hash-equality against the Spark side's incremental merge IS the
+    // SCD2 invariant (merge ≡ rebuild)
+    "q175_scd2_merge" ->
+      s"""WITH $evCte,
+         ch AS (SELECT user_id, ts, event_id,
+             CAST(round(value*100) AS BIGINT) AS cents
+           FROM ev WHERE event_type = 'signup'),
+         v AS (SELECT user_id, event_id, cents, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to,
+             CAST(row_number() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS INTEGER) AS version
+           FROM ch)
+         SELECT user_id, version, event_id, cents, valid_from, valid_to,
+           valid_to IS NULL AS is_current
+         FROM v ORDER BY user_id, version""",
     "q151_churn_risk" ->
       s"""WITH $evCte,
          p AS (SELECT user_id, ts, event_id,

@@ -456,7 +456,131 @@ object MatchingQueries {
       .orderBy("doc1", "doc2")
   }
 
+  // Fellegi-Sunter blocking resolution: sub-blocks per nation so block
+  // size stays ~O(64) at ANY corpus size — the q74 lshBits discipline
+  // (a fixed resolution is a hidden quadratic; sf3 proved it).
+  // Smallest power of two with n <= 1600 * 2^j; capped at 4096.
+  private val FsMaxSubPow = 12
+  private[graft] def fsSubBlocks(n: Long): Int =
+    (0 until FsMaxSubPow).find(j => n <= (1600L << j))
+      .map(1 << _).getOrElse(1 << FsMaxSubPow)
+  private def fsSubBlocksSql(nExpr: String): String =
+    (0 until FsMaxSubPow)
+      .map(j => s"WHEN $nExpr <= ${1600L << j} THEN ${1 << j}")
+      .mkString("CASE ", " ", s" ELSE ${1 << FsMaxSubPow} END")
+
+  /** q176: FELLEGI-SUNTER m/u-PROBABILITY ESTIMATION (Fellegi & Sunter
+    * 1969; the EM formulation of Winkler 1988 — the model every
+    * probabilistic record-linkage engine fits before it scores): over
+    * blocked candidate pairs with k binary agreement fields, EM
+    * estimates m_i = P(field i agrees | match), u_i = P(agrees |
+    * non-match) and the match prevalence p, UNSUPERVISED — the
+    * latent match indicator is integrated out. This is the
+    * principled version of the reference's hand-tuned score weights
+    * (`WeightTrainerStage` searches a weight simplex against labeled
+    * ranks; FS-EM derives log2(m/u) evidence weights from the pair
+    * corpus itself — the two approaches bracket how real matchers get
+    * their weights).
+    *
+    * Agreement fields over customer pairs: thousand-dollar balance
+    * band, market segment, id check digit (the synthetic stand-in for
+    * the reference's phonetic/name fields — its names are unique
+    * strings by construction).
+    *
+    * Determinism at the hash-compare bar: every EM update is computed
+    * from INTEGER sums (per-pair responsibilities are micro-rounded
+    * doubles — q136 ln precedent: identical IEEE inputs, identical
+    * operations — then summed as longs, which is partition-order
+    * independent), and each round's (m, u, p) are integer-division
+    * micro units, so both engines walk the identical parameter
+    * trajectory. DECIMAL(38,0) guards the sum-product against long
+    * overflow (the q169 second-moment precedent).
+    *
+    * Scale shape: pairs are generated inside (nation, custkey mod
+    * [[fsSubBlocks]]) blocks — block size ~O(64) at any n, so the
+    * pair frame grows linearly — and each EM round is ONE map-side
+    * combinable aggregation over it with the 7 parameters riding in
+    * as broadcast literals (a 1-row frame cross-joined, never a
+    * driver collect); 3 statically-unrolled rounds = 3 passes. */
+  def q176FellegiSunter(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val nSub = fsSubBlocks(cust.count())
+    val side = cust.select(col("c_custkey").as("k"),
+      col("c_nationkey").as("nat"),
+      pmod(col("c_custkey"), lit(nSub)).as("sub"),
+      // +10^6 cents shifts balances positive so trunc-div == floor-div
+      // in both engines (acctbal can be negative)
+      expr("(CAST(round(c_acctbal*100) AS BIGINT) + 1000000) div 100000")
+        .as("band"),
+      col("c_mktsegment").as("seg"),
+      pmod(col("c_custkey"), lit(10)).as("chk"))
+    def ag(c: String) = when(col(s"${c}1") === col(s"${c}2"), 1L)
+      .otherwise(0L).as(s"g_$c")
+    val pairs = side.select(col("nat"), col("sub"), col("k").as("k1"),
+        col("band").as("band1"), col("seg").as("seg1"),
+        col("chk").as("chk1"))
+      .join(side.select(col("nat"), col("sub"), col("k").as("k2"),
+        col("band").as("band2"), col("seg").as("seg2"),
+        col("chk").as("chk2")), Seq("nat", "sub"))
+      .filter(col("k1") < col("k2"))
+      .select(ag("band"), ag("seg"), ag("chk"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // one EM round: P(pair | class) under conditional independence,
+    // responsibility r, then integer-exact M-step ratios in micro units
+    def round1(prev: DataFrame): DataFrame = {
+      val withR = pairs.crossJoin(broadcast(prev))
+        .withColumn("pm", expr(
+          """ (p_mic/1e6)
+            * CASE g_band WHEN 1 THEN m1_mic/1e6 ELSE 1 - m1_mic/1e6 END
+            * CASE g_seg  WHEN 1 THEN m2_mic/1e6 ELSE 1 - m2_mic/1e6 END
+            * CASE g_chk  WHEN 1 THEN m3_mic/1e6 ELSE 1 - m3_mic/1e6 END"""))
+        .withColumn("pu", expr(
+          """ (1 - p_mic/1e6)
+            * CASE g_band WHEN 1 THEN u1_mic/1e6 ELSE 1 - u1_mic/1e6 END
+            * CASE g_seg  WHEN 1 THEN u2_mic/1e6 ELSE 1 - u2_mic/1e6 END
+            * CASE g_chk  WHEN 1 THEN u3_mic/1e6 ELSE 1 - u3_mic/1e6 END"""))
+        .withColumn("r_mic",
+          expr("CAST(round(pm / (pm + pu) * 1e6) AS BIGINT)"))
+      withR.agg(
+          count(lit(1)).as("n"), sum("r_mic").as("sr"),
+          sum(expr("r_mic * g_band")).as("srg1"),
+          sum(expr("r_mic * g_seg")).as("srg2"),
+          sum(expr("r_mic * g_chk")).as("srg3"),
+          sum(expr("(1000000 - r_mic) * g_band")).as("sug1"),
+          sum(expr("(1000000 - r_mic) * g_seg")).as("sug2"),
+          sum(expr("(1000000 - r_mic) * g_chk")).as("sug3"))
+        .select(
+          expr("CAST(CAST(srg1 AS DECIMAL(38,0)) * 1000000 DIV sr AS BIGINT)").as("m1_mic"),
+          expr("CAST(CAST(srg2 AS DECIMAL(38,0)) * 1000000 DIV sr AS BIGINT)").as("m2_mic"),
+          expr("CAST(CAST(srg3 AS DECIMAL(38,0)) * 1000000 DIV sr AS BIGINT)").as("m3_mic"),
+          expr("CAST(CAST(sug1 AS DECIMAL(38,0)) * 1000000 DIV (CAST(n AS DECIMAL(38,0))*1000000 - sr) AS BIGINT)").as("u1_mic"),
+          expr("CAST(CAST(sug2 AS DECIMAL(38,0)) * 1000000 DIV (CAST(n AS DECIMAL(38,0))*1000000 - sr) AS BIGINT)").as("u2_mic"),
+          expr("CAST(CAST(sug3 AS DECIMAL(38,0)) * 1000000 DIV (CAST(n AS DECIMAL(38,0))*1000000 - sr) AS BIGINT)").as("u3_mic"),
+          expr("sr DIV n").as("p_mic"))
+    }
+    val init = s.sql(
+      """SELECT CAST(900000 AS BIGINT) m1_mic, CAST(900000 AS BIGINT) m2_mic,
+                CAST(900000 AS BIGINT) m3_mic, CAST(200000 AS BIGINT) u1_mic,
+                CAST(200000 AS BIGINT) u2_mic, CAST(200000 AS BIGINT) u3_mic,
+                CAST(50000 AS BIGINT) p_mic""")
+    val t1 = round1(init)
+    val t2 = round1(t1)
+    val t3 = round1(t2)
+    val out = Seq(init -> 0, t1 -> 1, t2 -> 2, t3 -> 3).map {
+      case (df, i) => df.withColumn("iter", lit(i.toLong))
+    }.reduce(_.unionByName(_))
+    val res = out.select("iter", "m1_mic", "m2_mic", "m3_mic",
+        "u1_mic", "u2_mic", "u3_mic", "p_mic")
+      .orderBy("iter")
+      // materialize before unpersist: the returned frame must not
+      // recompute the EM chain against a dropped cache
+      .localCheckpoint()
+    pairs.unpersist()
+    res
+  }
+
   val queries: Map[String, Q] = Map(
+    "q176_fellegi_sunter" -> (q176FellegiSunter _),
     "q94_matcher_pipeline" -> (q94MatcherPipeline _),
     "q13_entity_candidates" -> (q13Candidates _),
     "q14_entity_scores" -> (q14EntityScores _),
@@ -544,7 +668,73 @@ object MatchingQueries {
     s"(e.n1 = $prev.n1 - $s AND e.n2 = $prev.n2 + $s)",
     s"(e.n1 = $prev.n1 AND e.n2 = $prev.n2)").mkString(" OR ")
 
+  /** One unrolled FS-EM round as a DuckDB CTE: params from `prev`,
+    * responsibilities micro-rounded, M-step in HUGEINT integer
+    * division — the mirror of q176's round1. */
+  private def fsRoundSql(i: Int, prev: String): String = {
+    def caseP(g: String, mic: String) =
+      s"(CASE $g WHEN 1 THEN t.$mic/1e6 ELSE 1 - t.$mic/1e6 END)"
+    s"""r$i AS (SELECT g_band, g_seg, g_chk,
+         CAST(round(pm / (pm + pu) * 1e6) AS BIGINT) AS r_mic
+       FROM (SELECT p.g_band, p.g_seg, p.g_chk,
+           (t.p_mic/1e6) * ${caseP("g_band", "m1_mic")}
+             * ${caseP("g_seg", "m2_mic")}
+             * ${caseP("g_chk", "m3_mic")} AS pm,
+           (1 - t.p_mic/1e6) * ${caseP("g_band", "u1_mic")}
+             * ${caseP("g_seg", "u2_mic")}
+             * ${caseP("g_chk", "u3_mic")} AS pu
+         FROM pairs p CROSS JOIN $prev t)),
+       t$i AS (SELECT
+         CAST(CAST(sum(r_mic*g_band) AS HUGEINT) * 1000000
+           // sum(r_mic) AS BIGINT) AS m1_mic,
+         CAST(CAST(sum(r_mic*g_seg) AS HUGEINT) * 1000000
+           // sum(r_mic) AS BIGINT) AS m2_mic,
+         CAST(CAST(sum(r_mic*g_chk) AS HUGEINT) * 1000000
+           // sum(r_mic) AS BIGINT) AS m3_mic,
+         CAST(CAST(sum((1000000-r_mic)*g_band) AS HUGEINT) * 1000000
+           // (CAST(count(*) AS HUGEINT)*1000000 - sum(r_mic))
+           AS BIGINT) AS u1_mic,
+         CAST(CAST(sum((1000000-r_mic)*g_seg) AS HUGEINT) * 1000000
+           // (CAST(count(*) AS HUGEINT)*1000000 - sum(r_mic))
+           AS BIGINT) AS u2_mic,
+         CAST(CAST(sum((1000000-r_mic)*g_chk) AS HUGEINT) * 1000000
+           // (CAST(count(*) AS HUGEINT)*1000000 - sum(r_mic))
+           AS BIGINT) AS u3_mic,
+         CAST(sum(r_mic) // count(*) AS BIGINT) AS p_mic
+       FROM r$i)"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "q176_fellegi_sunter" ->
+      s"""WITH ns AS (SELECT ${fsSubBlocksSql("count(*)")} AS v
+           FROM customer),
+         c AS (SELECT c_custkey AS k, c_nationkey AS nat,
+             c_custkey % (SELECT v FROM ns) AS sub,
+             (CAST(round(c_acctbal*100) AS BIGINT) + 1000000) // 100000
+               AS band,
+             c_mktsegment AS seg, c_custkey % 10 AS chk
+           FROM customer),
+         pairs AS MATERIALIZED (SELECT
+             CASE WHEN a.band = b.band THEN 1 ELSE 0 END AS g_band,
+             CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS g_seg,
+             CASE WHEN a.chk = b.chk THEN 1 ELSE 0 END AS g_chk
+           FROM c a JOIN c b ON a.nat = b.nat AND a.sub = b.sub
+             AND a.k < b.k),
+         t0 AS (SELECT CAST(900000 AS BIGINT) m1_mic,
+           CAST(900000 AS BIGINT) m2_mic, CAST(900000 AS BIGINT) m3_mic,
+           CAST(200000 AS BIGINT) u1_mic, CAST(200000 AS BIGINT) u2_mic,
+           CAST(200000 AS BIGINT) u3_mic, CAST(50000 AS BIGINT) p_mic),
+         ${fsRoundSql(1, "t0")},
+         ${fsRoundSql(2, "t1")},
+         ${fsRoundSql(3, "t2")},
+         trj AS (
+           SELECT CAST(0 AS BIGINT) AS iter, * FROM t0
+           UNION ALL SELECT 1, * FROM t1
+           UNION ALL SELECT 2, * FROM t2
+           UNION ALL SELECT 3, * FROM t3)
+         SELECT iter, m1_mic, m2_mic, m3_mic, u1_mic, u2_mic, u3_mic,
+           p_mic
+         FROM trj ORDER BY iter""",
     "q161_trained_total" ->
       s"""WITH $walkCtesSql,
          tot AS (SELECT p.doc1, p.doc2,
