@@ -579,7 +579,62 @@ object MatchingQueries {
     res
   }
 
+  private val SnWindow = 4 // sorted-neighborhood window size
+
+  /** q177: SORTED-NEIGHBORHOOD BLOCKING (Hernández & Stolfo 1995) —
+    * the third classic blocking family next to the engine's equality
+    * blocks (J8) and LSH buckets (J9): sort the corpus by a fuzzy key
+    * and take every pair within a sliding window of [[SnWindow]], so
+    * near-misses that equality blocking separates (a balance of
+    * 1863.84 vs 1863.90 lands in different thousand-dollar bands but
+    * adjacent sort positions) still become candidates, and the
+    * candidate count is EXACTLY n·(w−1) — linear by construction, no
+    * hot-block cap needed.
+    *
+    * Scale shape: the global sort position is NOT a single-partition
+    * window (the 100 TB killer) — it is the q92 two-phase distributed
+    * rank: value-range buckets over the sort key, per-bucket counts
+    * broadcast as prefix offsets, then a per-bucket row_number; the
+    * window join is offsets 1..w−1 exploded against a rank equi-join,
+    * so the only corpus-sized shuffles are the bucket window and one
+    * keyed join. The oracle spells the same semantics as one flat
+    * row_number window — hash equality proves the two-phase rank
+    * IS the global rank. */
+  def q177SortedNeighborhood(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select(
+      col("c_custkey").as("k"),
+      expr("CAST(round(c_acctbal*100) AS BIGINT)").as("cents"),
+      col("c_mktsegment").as("seg"))
+    // the key domain is fixed ([-999.99, 9999.99] dollars), so a fixed
+    // bucket width gives ~67 balanced buckets; an open-domain key
+    // would derive the width from corpus min/max (the q166 bounds)
+    val bucketed = c.withColumn("bucket",
+      expr("(cents + 1000000) div 16384"))
+    val offsets = bucketed.groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("offset", coalesce(
+        sum("n").over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "offset")
+    val wIn = Window.partitionBy("bucket").orderBy(col("cents"), col("k"))
+    val ranked = bucketed.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("rnk", row_number().over(wIn) + col("offset"))
+      .select("k", "cents", "seg", "rnk")
+    val right = ranked.select(col("rnk").as("rrnk"), col("k").as("k2"),
+      col("cents").as("cents2"), col("seg").as("seg2"))
+    ranked
+      .withColumn("dist",
+        explode(sequence(lit(1L), lit((SnWindow - 1).toLong))))
+      .withColumn("rrnk", col("rnk") + col("dist"))
+      .join(right, Seq("rrnk"))
+      .select(col("k").as("k1"), col("k2"), col("dist"),
+        (col("cents2") - col("cents")).as("bal_diff_cents"),
+        when(col("seg") === col("seg2"), 1L).otherwise(0L).as("same_seg"))
+      .orderBy("k1", "k2")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q177_sorted_neighborhood" -> (q177SortedNeighborhood _),
     "q176_fellegi_sunter" -> (q176FellegiSunter _),
     "q94_matcher_pipeline" -> (q94MatcherPipeline _),
     "q13_entity_candidates" -> (q13Candidates _),
@@ -705,6 +760,21 @@ object MatchingQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // one flat global row_number window — semantically identical to the
+    // Spark side's two-phase distributed rank (that identity is what
+    // the hash compare proves)
+    "q177_sorted_neighborhood" ->
+      s"""WITH c AS (SELECT c_custkey AS k,
+             CAST(round(c_acctbal*100) AS BIGINT) AS cents,
+             c_mktsegment AS seg FROM customer),
+         r AS (SELECT k, cents, seg,
+             row_number() OVER (ORDER BY cents, k) AS rnk FROM c)
+         SELECT a.k AS k1, b.k AS k2, b.rnk - a.rnk AS dist,
+           b.cents - a.cents AS bal_diff_cents,
+           CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS same_seg
+         FROM r a JOIN r b
+           ON b.rnk BETWEEN a.rnk + 1 AND a.rnk + ${SnWindow - 1}
+         ORDER BY k1, k2""",
     "q176_fellegi_sunter" ->
       s"""WITH ns AS (SELECT ${fsSubBlocksSql("count(*)")} AS v
            FROM customer),
