@@ -762,6 +762,80 @@ object VectorQueries {
   /** Neighbours per node in the q168 kNN graph. */
   private val KnnK = 3
 
+  // DBSCAN parameters: eps as a cosine floor (lower than q74's 0.3
+  // near-dup bar — density needs a denser neighbour graph), and the
+  // minimum neighbour count that makes a point a CORE point
+  private val DbscanEps = 0.25
+  private val DbscanMinPts = 3
+
+  /** q178: DBSCAN-STYLE DENSITY CLUSTERING (Ester et al. 1996) over
+    * the LSH candidate graph — the density-based complement to q162's
+    * single-threshold connected components: a point is CORE when it
+    * has ≥ [[DbscanMinPts]] neighbours within cosine ≥ [[DbscanEps]],
+    * clusters are connected components of the CORE-CORE subgraph,
+    * non-core points with a core neighbour join that neighbour's
+    * cluster as BORDER points (smallest cluster id — deterministic),
+    * everything else is NOISE. The core/border/noise triage is what
+    * q162 cannot express: a chain of weak pairwise links no longer
+    * merges two dense clusters through a sparse bridge point, and the
+    * noise class is exactly the outlier report a curation pipeline
+    * sends to review.
+    *
+    * Scale shape: neighbourhood candidates are the SAME corpus-derived
+    * LSH buckets as q31/q74/q168 (bounded depth at any n — never
+    * all-pairs; the memoized bucket table is built once per session),
+    * degrees are one combinable count over the symmetrized pair list,
+    * and the component loop runs on the CORE subgraph only (≤ the
+    * near-dup graph q162 already iterates). The oracle replays the
+    * same construction with a recursive-CTE closure. */
+  def q178Dbscan(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val (buckets, _) = bucketsOf(s, dir)
+    val cands = buckets.select(col("band"), col("key"), col("vec_id").as("v1"))
+      .join(buckets.select(col("band"), col("key"), col("vec_id").as("v2")),
+        Seq("band", "key"))
+      .filter(col("v1") < col("v2"))
+      .select("v1", "v2").distinct()
+    val nb = cands
+      .join(emb.select(col("vec_id").as("v1"), col("embedding").as("e1")),
+        Seq("v1"))
+      .join(emb.select(col("vec_id").as("v2"), col("embedding").as("e2")),
+        Seq("v2"))
+      .select(col("v1"), col("v2"),
+        r6(cosine(col("e1"), col("e2"))).as("cosine"))
+      .filter(col("cosine") >= DbscanEps)
+      .select("v1", "v2")
+    val sym = nb.select(col("v1").as("a"), col("v2").as("b"))
+      .unionByName(nb.select(col("v2").as("a"), col("v1").as("b")))
+    val deg = sym.groupBy("a").agg(count(lit(1)).as("deg"))
+    val core = deg.filter(col("deg") >= DbscanMinPts).select("a")
+    val coreEdges = sym
+      .join(core, Seq("a"), "semi")
+      .join(core.select(col("a").as("b")), Seq("b"), "semi")
+      .select(col("a").as("src"), col("b").as("dst"))
+    val comp = graft.operators.GraphComponents.connectedComponents(
+        core.select(col("a").as("node")), coreEdges)
+      .select(col("node").as("a"), col("comp").as("cluster"))
+    val border = sym
+      .join(core, Seq("a"), "anti")
+      .join(comp.select(col("a").as("b"), col("cluster")), Seq("b"))
+      .groupBy("a").agg(min("cluster").as("cluster"))
+    emb.select(col("vec_id"))
+      .join(deg.select(col("a").as("vec_id"), col("deg")), Seq("vec_id"),
+        "left")
+      .join(comp.select(col("a").as("vec_id"),
+        col("cluster").as("core_cl")), Seq("vec_id"), "left")
+      .join(border.select(col("a").as("vec_id"),
+        col("cluster").as("border_cl")), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("deg"), lit(0L)).as("deg"),
+        when(col("core_cl").isNotNull, "core")
+          .when(col("border_cl").isNotNull, "border")
+          .otherwise("noise").as("role"),
+        coalesce(col("core_cl"), col("border_cl"), lit(-1L)).as("cluster"))
+      .orderBy("vec_id")
+  }
+
   /** q168: kNN-GRAPH construction — top-[[KnnK]] neighbours for EVERY
     * node (not a query batch), the graph primitive behind SemDeDup
     * variants, label propagation, and graph-based dedup: candidates
@@ -1205,6 +1279,7 @@ object VectorQueries {
     "q164_persisted_index" -> (q164PersistedIndex _),
     "q163_mmr_rerank" -> (q163MmrRerank _),
     "q162_embedding_dup_clusters" -> (q162EmbeddingDupClusters _),
+    "q178_dbscan" -> (q178Dbscan _),
     "q158_ivf_kmeans" -> (q158IvfKmeans _),
     "q116_incremental_ann" -> (q116IncrementalAnn _),
     "q106_semdedup" -> (q106SemDedup _),
@@ -1746,6 +1821,43 @@ object VectorQueries {
     "q164_persisted_index" ->
       s"SELECT * FROM ($ivfKmeansSql) ORDER BY qid, rnk",
     "q163_mmr_rerank" -> mmrSql,
+    "q178_dbscan" ->
+      s"""WITH RECURSIVE $bucketsCtes,
+         cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+           FROM buckets a JOIN buckets b
+             ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+         nbr AS (SELECT v1, v2 FROM (SELECT v1, v2,
+             ${r6Sql(sqlCosine("e1.embedding", "e2.embedding"))} AS cosine
+           FROM cand
+           JOIN embeddings e1 ON e1.vec_id = v1
+           JOIN embeddings e2 ON e2.vec_id = v2)
+           WHERE cosine >= $DbscanEps),
+         sym AS (SELECT v1 AS a, v2 AS b FROM nbr
+                 UNION ALL SELECT v2, v1 FROM nbr),
+         deg AS (SELECT a, CAST(count(*) AS BIGINT) AS deg
+           FROM sym GROUP BY a),
+         core AS (SELECT a FROM deg WHERE deg >= $DbscanMinPts),
+         ce AS (SELECT s.a, s.b FROM sym s
+           JOIN core c1 ON s.a = c1.a JOIN core c2 ON s.b = c2.a),
+         reach(a, b) AS (
+           SELECT a, a FROM core
+           UNION
+           SELECT r.a, ce.b FROM reach r JOIN ce ON r.b = ce.a),
+         comp AS (SELECT a, min(b) AS cluster FROM reach GROUP BY a),
+         border AS (SELECT s.a, min(c.cluster) AS cluster
+           FROM sym s JOIN comp c ON s.b = c.a
+           WHERE s.a NOT IN (SELECT a FROM core)
+           GROUP BY s.a)
+         SELECT e.vec_id, coalesce(d.deg, 0) AS deg,
+           CASE WHEN cm.cluster IS NOT NULL THEN 'core'
+                WHEN bd.cluster IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           coalesce(cm.cluster, bd.cluster, -1) AS cluster
+         FROM embeddings e
+         LEFT JOIN deg d ON d.a = e.vec_id
+         LEFT JOIN comp cm ON cm.a = e.vec_id
+         LEFT JOIN border bd ON bd.a = e.vec_id
+         ORDER BY e.vec_id""",
     "q162_embedding_dup_clusters" ->
       s"""WITH RECURSIVE $bucketsCtes,
          cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
