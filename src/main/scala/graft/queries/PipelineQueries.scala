@@ -694,7 +694,51 @@ object PipelineQueries {
         col("gini_milli"), col("top_decile_milli"))
   }
 
+  private val EsSampleK = 100 // weighted-sample size
+
+  /** q179: WEIGHTED SAMPLING WITHOUT REPLACEMENT (Efraimidis &
+    * Spirakis 2006, algorithm A-Res — the one-pass weighted reservoir
+    * every data-mixing pipeline uses when "sample documents
+    * proportionally to token count" must NOT mean sampling with
+    * replacement): each document draws key = ln(u)/w with u uniform
+    * and w its token count; the [[EsSampleK]] LARGEST keys are exactly
+    * a weight-proportional sample without replacement. Deterministic
+    * at the hash-compare bar: u comes from a Knuth multiplicative
+    * integer hash of doc_id — pure BIGINT arithmetic both engines
+    * evaluate identically (the q114 no-RNG rule) — and the key is
+    * nano-rounded before ranking so both engines rank the identical
+    * integers (ties, if any, break by doc_id).
+    *
+    * Scale shape: the key is map-side per document (no shuffle), and
+    * the top-K is orderBy+limit — Spark's TakeOrdered (per-partition
+    * top-K then a K-row merge at the driver), NOT a global sort or a
+    * single-partition window; K rows move regardless of corpus size.
+    * The complement of q114's rate-threshold sampler: q114 draws an
+    * EXPECTED fraction per source, this draws an EXACT-size sample
+    * with per-document weights. */
+  def q179WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      // Knuth multiplicative hash, two mixing rounds, 32-bit state:
+      // identical integer sequence in Spark and DuckDB (no RNG, no
+      // engine hash function)
+      .withColumn("h", expr(
+        """((doc_id * 2654435761 + 104729) % 4294967296) * 48271
+           % 4294967296"""))
+      .withColumn("key_nano", expr(
+        "CAST(round(ln((h + 0.5) / 4294967296.0) / n_tokens * 1e9) AS BIGINT)"))
+    val top = d.orderBy(col("key_nano").desc, col("doc_id"))
+      .limit(EsSampleK)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("key_nano").desc, col("doc_id"))))
+      .select("rank", "doc_id", "n_tokens", "key_nano")
+      .orderBy("rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q179_weighted_sample" -> (q179WeightedSample _),
     "q165_source_quota" -> (q165SourceQuota _),
     "q167_linear_quality" -> (q167LinearQuality _),
     "q154_token_gini" -> (q154TokenGini _),
@@ -750,6 +794,21 @@ object PipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q179_weighted_sample" ->
+      s"""WITH d AS (SELECT doc_id,
+           CAST(len(${TextFns.sqlTokens("text")}) AS BIGINT) AS n_tokens
+           FROM documents
+           WHERE len(${TextFns.sqlTokens("text")}) > 0),
+         keyed AS (SELECT doc_id, n_tokens,
+           CAST(round(ln(((((doc_id * 2654435761 + 104729) % 4294967296)
+               * 48271 % 4294967296) + 0.5) / 4294967296.0)
+             / n_tokens * 1e9) AS BIGINT) AS key_nano
+           FROM d),
+         r AS (SELECT *, row_number() OVER
+             (ORDER BY key_nano DESC, doc_id) AS rank
+           FROM keyed)
+         SELECT rank, doc_id, n_tokens, key_nano FROM r
+         WHERE rank <= $EsSampleK ORDER BY rank""",
     "q165_source_quota" ->
       s"""WITH scored AS (SELECT doc_id, source,
            CAST(len(${TextFns.sqlTokens("text")}) AS BIGINT) AS n_tokens,
