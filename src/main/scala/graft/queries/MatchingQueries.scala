@@ -503,6 +503,21 @@ object MatchingQueries {
     * as broadcast literals (a 1-row frame cross-joined, never a
     * driver collect); 3 statically-unrolled rounds = 3 passes. */
   def q176FellegiSunter(s: SparkSession, dir: String): DataFrame = {
+    val (pairs, out) = fsTrajectory(s, dir)
+    val res = out.orderBy("iter")
+      // materialize before unpersist: the returned frame must not
+      // recompute the EM chain against a dropped cache
+      .localCheckpoint()
+    pairs.unpersist()
+    res
+  }
+
+  /** The q176 EM chain BEFORE the checkpoint/unpersist epilogue —
+    * split out so NewQueryPlanSpec can pin the physical plan (a
+    * localCheckpoint'd frame reports only its RDD scan). Returns
+    * (cached pairs frame to unpersist, trajectory frame). */
+  private[graft] def fsTrajectory(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val cust = Tables.customer(s, dir)
     val nSub = fsSubBlocks(cust.count())
     val side = cust.select(col("c_custkey").as("k"),
@@ -569,14 +584,9 @@ object MatchingQueries {
     val out = Seq(init -> 0, t1 -> 1, t2 -> 2, t3 -> 3).map {
       case (df, i) => df.withColumn("iter", lit(i.toLong))
     }.reduce(_.unionByName(_))
-    val res = out.select("iter", "m1_mic", "m2_mic", "m3_mic",
+      .select("iter", "m1_mic", "m2_mic", "m3_mic",
         "u1_mic", "u2_mic", "u3_mic", "p_mic")
-      .orderBy("iter")
-      // materialize before unpersist: the returned frame must not
-      // recompute the EM chain against a dropped cache
-      .localCheckpoint()
-    pairs.unpersist()
-    res
+    (pairs, out)
   }
 
   private val SnWindow = 4 // sorted-neighborhood window size

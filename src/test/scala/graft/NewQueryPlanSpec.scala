@@ -741,6 +741,53 @@ class NewQueryPlanSpec extends AnyFunSuite {
       s"q170's per-vector argmin must combine map-side (min(struct)):\n$plan")
   }
 
+  test("q175: SCD2 merge — keyed joins only, no cartesian, history unioned through") {
+    val plan = executed(queries.EventQueries.q175Scd2Merge(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"q175's open-version close must be a keyed join:\n$plan")
+    assert(plan.contains("Union"),
+      s"q175 must union closed history through untouched:\n$plan")
+  }
+
+  test("q176: FS-EM — params broadcast into each round, sums combine map-side") {
+    // probe the pre-checkpoint chain: q176 itself localCheckpoints (its
+    // executed plan is an RDD scan by design)
+    val (pairs, out) = queries.MatchingQueries.fsTrajectory(spark, sf)
+    val plan = try executed(out) finally pairs.unpersist()
+    assert(!plan.contains("CartesianProduct"),
+      s"q176's 1-row parameter frame must broadcast, never cartesian:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"q176's EM parameters must ride in as a broadcast:\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"q176's M-step sums must combine map-side:\n$plan")
+  }
+
+  test("q177: sorted-neighborhood — offsets broadcast, window join is an equi join") {
+    val plan = executed(
+      queries.MatchingQueries.q177SortedNeighborhood(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"q177's rank-offset window join must be an equi join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q177's 67-row bucket-offset frame must broadcast:\n$plan")
+  }
+
+  test("q178: DBSCAN — bucket candidates equi-join, degree agg combines map-side") {
+    val plan = executed(queries.VectorQueries.q178Dbscan(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"q178's candidate generation must stay bucketed:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"q178's degree count must combine map-side:\n$plan")
+  }
+
+  test("q179: weighted sample — distributed TakeOrdered, no global sort/window") {
+    val df = queries.PipelineQueries.q179WeightedSample(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q179's top-K must be TakeOrdered (per-partition top-K + K-row merge):\n$plan")
+  }
+
   test("q155: changelog reconstruction is one combinable agg — no window, no join") {
     import spark.implicits._
     val log = Seq(

@@ -132,6 +132,26 @@ class PropertySpec extends AnyFunSuite {
     assert(queries.VectorQueries.semDedupK(513L) == 9)
   }
 
+  test("fsSubBlocks: monotone in n, power of two, block size stays bounded") {
+    val n = Gen.chooseNum(0L, 100000000000L)
+    check("monotone-pow2")(Prop.forAll(n, n) { (a, b) =>
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      val (slo, shi) = (queries.MatchingQueries.fsSubBlocks(lo),
+        queries.MatchingQueries.fsSubBlocks(hi))
+      slo <= shi && (slo & (slo - 1)) == 0 && slo >= 1 && shi <= 4096
+    })
+    check("bounded-block")(Prop.forAll(n) { v =>
+      val s = queries.MatchingQueries.fsSubBlocks(v)
+      // inside the ladder (n <= 1600·4096) the implied per-nation
+      // block expectation stays <= 64 customers
+      v > 1600L * 4096 || v.toDouble / s <= 1600.0
+    })
+    // degenerate and boundary corpora
+    assert(queries.MatchingQueries.fsSubBlocks(0L) == 1)
+    assert(queries.MatchingQueries.fsSubBlocks(1600L) == 1)
+    assert(queries.MatchingQueries.fsSubBlocks(1601L) == 2)
+  }
+
   test("empty-text cores are total: shingle/minhash/simhash at n = 0, 1, < k") {
     val empty = new GenericArrayData(Array.empty[Any])
     val one = new GenericArrayData(Array[Any](UTF8String.fromString("a")))
