@@ -762,6 +762,80 @@ object VectorQueries {
   /** Neighbours per node in the q168 kNN graph. */
   private val KnnK = 3
 
+  /** q180: TOP PRINCIPAL COMPONENT of the embedding distribution —
+    * exact-integer covariance accumulation + three unrolled power
+    * iterations (the PCA pass an embedding pipeline runs before
+    * whitening, dead-direction removal, or PCA-based dimensionality
+    * reduction; complements q169's per-dimension marginals with the
+    * CROSS-dimension structure they cannot see). The covariance uses
+    * the shift-invariant form n·Σxᵢxⱼ − Σxᵢ·Σxⱼ in DECIMAL(38,0)
+    * (q169's overflow discipline — the micro grid's +1e6 shift
+    * cancels exactly), so the Dim×Dim matrix is EXACT at any corpus
+    * size and partitioning. Power iterations run on that Dim²-row
+    * frame entirely: w = C·v via a broadcast join + combinable sum,
+    * truncating integer rescale (DIV 10¹², spelled sign-aware in the
+    * oracle because DuckDB's // floors), one sqrt per iteration on an
+    * exactly-summed integer norm² — both engines walk the identical
+    * trajectory, and ties/signs are fixed by the all-ones start.
+    * Output: the micro-quantized eigenvector plus the explained-
+    * variance share (Rayleigh quotient over the trace) in milli.
+    *
+    * Scale shape: ONE combinable pass over the corpus accumulates all
+    * Dim² sums (the per-vector Dim² fan-out is map-side and combines
+    * before the shuffle — Dim²-row traffic at any n); every
+    * iteration is dimension-sized (4096-row joins against a 64-row
+    * broadcast vector). */
+  def q180PcaPower(s: SparkSession, dir: String): DataFrame = {
+    val q = quantized(Tables.embeddings(s, dir))
+    val xi = q.select(col("vec_id"), posexplode(col("qe")).as(Seq("i", "xi")))
+    val xj = q.select(col("vec_id"), posexplode(col("qe")).as(Seq("j", "xj")))
+    val sxy = xi.join(xj, Seq("vec_id"))
+      .groupBy("i", "j")
+      .agg(sum(col("xi").cast("decimal(38,0)") * col("xj")).as("sxy"))
+    val sx = xi.groupBy("i")
+      .agg(sum("xi").as("s"), count(lit(1)).as("n"))
+    val cov = sxy
+      .join(broadcast(sx.select(col("i"), col("s").as("si"), col("n"))),
+        Seq("i"))
+      .join(broadcast(sx.select(col("i").as("j"), col("s").as("sj"))),
+        Seq("j"))
+      .select(col("i"), col("j"), expr(
+        "n * sxy - CAST(si AS DECIMAL(38,0)) * sj").as("cv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val v0 = cov.filter(col("j") === 0)
+      .select(col("i"), lit(1000000L).as("v"))
+    def iter(v: DataFrame): DataFrame = {
+      val w = cov.join(broadcast(v.select(col("i").as("j"), col("v"))),
+          Seq("j"))
+        .groupBy("i")
+        .agg(expr("sum(cv * v) DIV 1000000000000").as("w"))
+      val nrm = w.agg(
+        expr("sum(CAST(w AS DECIMAL(38,0)) * w)").as("n2"))
+      w.crossJoin(broadcast(nrm))
+        .select(col("i"),
+          expr("CAST(round(CAST(w AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE)) * 1e6) AS BIGINT)")
+            .as("v"))
+    }
+    val v3 = iter(iter(iter(v0)))
+    val w4 = cov.join(broadcast(v3.select(col("i").as("j"), col("v"))),
+        Seq("j"))
+      .groupBy("i")
+      .agg(expr("sum(cv * v) DIV 1000000000000").as("w"))
+    val ev = v3.join(w4, Seq("i"))
+      .crossJoin(broadcast(cov.filter(col("i") === col("j"))
+        .agg(sum("cv").as("trace"))))
+      .agg(expr(
+        """CAST(sum(CAST(v AS DECIMAL(38,0)) * w) * 1000
+           DIV (sum(CAST(v AS DECIMAL(38,0)) * v) * first(trace)
+                DIV 1000000000000) AS BIGINT)""").as("ev_milli"))
+    val res = v3.crossJoin(broadcast(ev))
+      .select(col("i").as("pos"), col("v").as("v_mic"), col("ev_milli"))
+      .orderBy("pos")
+      .localCheckpoint()
+    cov.unpersist()
+    res
+  }
+
   // DBSCAN parameters: eps as a cosine floor (lower than q74's 0.3
   // near-dup bar — density needs a denser neighbour graph), and the
   // minimum neighbour count that makes a point a CORE point
@@ -1280,6 +1354,7 @@ object VectorQueries {
     "q163_mmr_rerank" -> (q163MmrRerank _),
     "q162_embedding_dup_clusters" -> (q162EmbeddingDupClusters _),
     "q178_dbscan" -> (q178Dbscan _),
+    "q180_pca_power" -> (q180PcaPower _),
     "q158_ivf_kmeans" -> (q158IvfKmeans _),
     "q116_incremental_ann" -> (q116IncrementalAnn _),
     "q106_semdedup" -> (q106SemDedup _),
@@ -1821,6 +1896,51 @@ object VectorQueries {
     "q164_persisted_index" ->
       s"SELECT * FROM ($ivfKmeansSql) ORDER BY qid, rnk",
     "q163_mmr_rerank" -> mmrSql,
+    "q180_pca_power" -> {
+      // one power iteration: w = C·v rescaled by a sign-aware
+      // truncating DIV (DuckDB // floors; Spark DIV truncates), then
+      // micro-normalize on an exactly-summed integer norm²
+      def pcaIterSql(k: Int, prev: String): String =
+        s"""w$k AS (SELECT cov.i,
+             CASE WHEN sum(cv * v.v) >= 0
+               THEN sum(cv * v.v) // 1000000000000
+               ELSE -((-sum(cv * v.v)) // 1000000000000) END AS w
+           FROM cov JOIN $prev v ON v.i = cov.j GROUP BY cov.i),
+           v$k AS (SELECT i, CAST(round(CAST(w AS DOUBLE)
+               / sqrt(CAST((SELECT sum(w*w) FROM w$k) AS DOUBLE)) * 1e6)
+             AS BIGINT) AS v FROM w$k)"""
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE)*1e6) AS BIGINT) + 1000000)
+           AS qe FROM embeddings),
+         sx AS (SELECT t.range AS i,
+             CAST(sum(qe[t.range + 1]) AS HUGEINT) AS s,
+             CAST(count(*) AS HUGEINT) AS n
+           FROM q, range(0, $Dim) t GROUP BY 1),
+         sxy AS MATERIALIZED (SELECT t1.range AS i, t2.range AS j,
+             sum(CAST(qe[t1.range + 1] AS HUGEINT) * qe[t2.range + 1])
+               AS sxy
+           FROM q, range(0, $Dim) t1, range(0, $Dim) t2 GROUP BY 1, 2),
+         cov AS MATERIALIZED (SELECT sxy.i, sxy.j,
+             a.n * sxy.sxy - a.s * b.s AS cv
+           FROM sxy JOIN sx a ON a.i = sxy.i JOIN sx b ON b.i = sxy.j),
+         v0 AS (SELECT i, CAST(1000000 AS HUGEINT) AS v FROM sx),
+         ${pcaIterSql(1, "v0")},
+         ${pcaIterSql(2, "v1")},
+         ${pcaIterSql(3, "v2")},
+         w4 AS (SELECT cov.i,
+             CASE WHEN sum(cv * v.v) >= 0
+               THEN sum(cv * v.v) // 1000000000000
+               ELSE -((-sum(cv * v.v)) // 1000000000000) END AS w
+           FROM cov JOIN v3 v ON v.i = cov.j GROUP BY cov.i),
+         tr AS (SELECT sum(cv) AS trace FROM cov WHERE i = j),
+         ev AS (SELECT CAST(sum(CAST(v.v AS HUGEINT) * w4.w) * 1000
+             // (sum(CAST(v.v AS HUGEINT) * v.v) * (SELECT trace FROM tr)
+                // 1000000000000) AS BIGINT) AS ev_milli
+           FROM v3 v JOIN w4 ON w4.i = v.i)
+         SELECT v.i AS pos, v.v AS v_mic, (SELECT ev_milli FROM ev)
+           AS ev_milli
+         FROM v3 v ORDER BY pos"""
+    },
     "q178_dbscan" ->
       s"""WITH RECURSIVE $bucketsCtes,
          cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
