@@ -337,7 +337,16 @@ object DedupQueries {
     "q96_lab_dedup" -> (q96LabDedup _),
     "q105_survivorship" -> (q105Survivorship _),
     "q110_incremental_dedup" -> (q110IncrementalDedup _),
+    "q181_stream_neardup" -> (q181StreamNearDup _),
     "q113_doi_dedup" -> (q113DoiDedup _))
+
+  /** q181: q110's ingest-time near-dup with the incoming batch as a
+    * STREAM — see [[graft.streaming.CurationStream.nearDupIngestOnce]].
+    * The oracle is the batch spelling without the stream-side bucket
+    * cap (a stream cannot window its own batch), proving stream/batch
+    * parity for the ingest-dedup stage. */
+  def q181StreamNearDup(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.CurationStream.nearDupIngestOnce(s, dir)
 
   /** Recursive min-label reachability over the LSH dup-pair edges —
     * DuckDB spelling of connected components, shared by the q36 and
@@ -502,6 +511,45 @@ object DedupQueries {
     // 3, per-side hot-bucket cap 50, jaccard >= 0.2) but splits the
     // corpus into the incoming batch and the existing store, joining
     // ACROSS sides only
+    // q110's spelling minus the stream-side bucket cap (see q181 doc)
+    "q181_stream_neardup" ->
+      s"""WITH toks AS (SELECT doc_id,
+           ${graft.functions.TextFns.sqlTokens("text")} AS toks FROM documents),
+         sets AS (SELECT doc_id, list_sort(list_distinct(
+           ${graft.functions.TextFns.sqlShingleHashes("toks", 5)})) AS hashes
+           FROM toks),
+         fsets AS (SELECT * FROM sets WHERE len(hashes) > 0),
+         nsets AS (SELECT * FROM fsets WHERE doc_id % 10 = 7),
+         esets AS (SELECT * FROM fsets WHERE doc_id % 10 <> 7),
+         nsigs AS (SELECT doc_id,
+           ${graft.functions.TextFns.sqlMinhashSignature("hashes", 12)} AS sig
+           FROM nsets),
+         esigs AS (SELECT doc_id,
+           ${graft.functions.TextFns.sqlMinhashSignature("hashes", 12)} AS sig
+           FROM esets),
+         nbuckets AS (SELECT doc_id, b AS band,
+           ${graft.functions.TextFns.sqlBandKey("list_slice(sig, b*3+1, b*3+3)")} AS key
+           FROM nsigs, range(0, 4) t(b)),
+         ebuckets0 AS (SELECT doc_id, b AS band,
+           ${graft.functions.TextFns.sqlBandKey("list_slice(sig, b*3+1, b*3+3)")} AS key
+           FROM esigs, range(0, 4) t(b)),
+         ebuckets AS (SELECT * FROM (SELECT *,
+             count(*) OVER (PARTITION BY band, key) AS bucket_n
+           FROM ebuckets0) WHERE bucket_n <= 50),
+         cand AS (SELECT DISTINCT n.doc_id AS new_doc, e.doc_id AS old_doc
+           FROM nbuckets n JOIN ebuckets e
+             ON n.band = e.band AND n.key = e.key),
+         joined AS (SELECT new_doc, old_doc,
+           len(list_intersect(h1.hashes, h2.hashes)) AS n_shared,
+           len(h1.hashes) AS n1, len(h2.hashes) AS n2
+           FROM cand
+           JOIN nsets h1 ON h1.doc_id = new_doc
+           JOIN esets h2 ON h2.doc_id = old_doc)
+         SELECT new_doc, old_doc, n_shared,
+           ${TextQueries.r6Sql("n_shared / (n1 + n2 - n_shared)")} AS jaccard
+         FROM joined
+         WHERE ${TextQueries.r6Sql("n_shared / (n1 + n2 - n_shared)")} >= 0.2
+         ORDER BY new_doc, old_doc""",
     "q110_incremental_dedup" ->
       s"""WITH toks AS (SELECT doc_id,
            ${graft.functions.TextFns.sqlTokens("text")} AS toks FROM documents),
