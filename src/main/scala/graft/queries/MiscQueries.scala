@@ -293,6 +293,69 @@ object MiscQueries {
       .orderBy("s_suppkey")
   }
 
+  /** q182: PERSONALIZED PAGERANK / TrustRank (Gyöngyi, Garcia-Molina
+    * & Pedersen 2004) — q121's link analysis with the teleport mass
+    * restricted to a trusted SEED SET (customers in the BUILDING
+    * segment): the signal web-corpus curation uses to propagate
+    * domain trust from a hand-verified whitelist into the whole crawl
+    * graph before sampling training data. Same integer discipline as
+    * q121 — ranks in 1e-12 units of total mass, per-edge contribution
+    * `r div outdeg`, damping in integer percent — so the trust
+    * distribution is partition-independent and hash-stable; the
+    * teleport base is `CASE seed` instead of uniform, which is the
+    * entire delta from q121 (asserted by sharing its memoized
+    * src-partitioned edge cache, so the two rankers also share one
+    * build at bench time).
+    *
+    * Scale shape: identical to q121 — one join on src + one
+    * combinable sum by dst per iteration over the cached edges; the
+    * seed flag rides in a broadcast. */
+  def q182TrustRank(s: SparkSession, dir: String): DataFrame = {
+    val S = 100000000L
+    val trades = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
+        Seq("o_orderkey"))
+      .select(col("o_custkey").as("c"), (col("l_suppkey") + S).as("p"))
+      .distinct()
+    val edges = Shared.memoized(s, dir, "prEdges", Seq("src"))(
+      trades.select(col("c").as("src"), col("p").as("dst"))
+        .unionByName(trades.select(col("p").as("src"), col("c").as("dst"))))
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val seeds = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("node"))
+    val nSeeds = seeds.count() // driver scalar (S9 shape)
+    var ranks = outdeg.select(col("src").as("node"))
+      .join(broadcast(seeds.withColumn("is_seed", lit(1L))), Seq("node"),
+        "left")
+      .select(col("node"),
+        when(col("is_seed") === 1L, lit(1000000000000L / nSeeds))
+          .otherwise(lit(0L)).as("r"),
+        coalesce(col("is_seed"), lit(0L)).as("is_seed"))
+    val seedBase = 1000000000000L / nSeeds * 15L / 100L
+    for (_ <- 1 to 3) {
+      val contrib = ranks
+        .join(edges, ranks("node") === edges("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst").as("node"), expr("r div outdeg").as("c"))
+        .groupBy("node").agg(sum("c").as("in_sum"))
+      ranks = contrib
+        .join(broadcast(seeds.withColumn("is_seed", lit(1L))), Seq("node"),
+          "left")
+        .select(col("node"),
+          (when(col("is_seed") === 1L, lit(seedBase)).otherwise(lit(0L))
+            + expr("in_sum * 85 div 100")).as("r"),
+          coalesce(col("is_seed"), lit(0L)).as("is_seed"))
+    }
+    ranks.filter(col("node") >= S)
+      .join(outdeg.withColumnRenamed("src", "node"), Seq("node"))
+      .select((col("node") - S).as("s_suppkey"), col("outdeg"),
+        col("r").as("trust_pico"))
+      .orderBy("s_suppkey")
+  }
+
   /** q122: Count-Min sketch (Cormode & Muthukrishnan 2005) — the
     * mergeable heavy-hitter counter: d=4 hash rows × w=256 buckets of
     * summed token counts, point estimate = min over the 4 rows.
@@ -681,6 +744,7 @@ object MiscQueries {
     "q128_quantile_sketch" -> (q128QuantileSketch _),
     "q122_cms_sketch" -> (q122CmsSketch _),
     "q121_pagerank" -> (q121PageRank _),
+    "q182_trustrank" -> (q182TrustRank _),
     "q120_hll_sketch" -> (q120HllSketch _),
     "q58_technique_model" -> (q58TechniqueModel _),
     "q59_level2_hamming" -> (q59Level2Hamming _),
@@ -911,6 +975,39 @@ object MiscQueries {
          SELECT token, cnt AS exact_cnt, est_cnt,
            (est_cnt - cnt) * 1000 // cnt AS overest_milli
          FROM est ORDER BY token""",
+    "q182_trustrank" -> {
+      def iterSql(i: Int, prev: String): String =
+        s"""it$i AS (SELECT e.dst AS node,
+             (CASE WHEN e.dst IN (SELECT node FROM seeds)
+               THEN 1000000000000 // ns.n * 15 // 100 ELSE 0 END)
+               + CAST(sum(r.r // o.outdeg) AS BIGINT) * 85 // 100 AS r
+           FROM $prev r
+           JOIN edges e ON r.node = e.src
+           JOIN outdeg o ON o.src = e.src
+           CROSS JOIN ns
+           GROUP BY e.dst, ns.n)"""
+      s"""WITH trades AS (SELECT DISTINCT o_custkey AS c,
+           l_suppkey + 100000000 AS p
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         edges AS (SELECT c AS src, p AS dst FROM trades
+           UNION ALL SELECT p, c FROM trades),
+         outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+           FROM edges GROUP BY src),
+         seeds AS (SELECT c_custkey AS node FROM customer
+           WHERE c_mktsegment = 'BUILDING'),
+         ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM seeds),
+         r0 AS (SELECT src AS node,
+             CASE WHEN src IN (SELECT node FROM seeds)
+               THEN 1000000000000 // ns.n ELSE 0 END AS r
+           FROM outdeg CROSS JOIN ns),
+         ${iterSql(1, "r0")},
+         ${iterSql(2, "it1")},
+         ${iterSql(3, "it2")}
+         SELECT node - 100000000 AS s_suppkey, outdeg,
+           CAST(r AS BIGINT) AS trust_pico
+         FROM it3 JOIN outdeg ON it3.node = outdeg.src
+         WHERE node >= 100000000 ORDER BY s_suppkey"""
+    },
     "q121_pagerank" ->
       s"""WITH trades AS (SELECT DISTINCT o_custkey AS c,
            l_suppkey + 100000000 AS p
