@@ -114,6 +114,55 @@ object MlQueries {
       .orderBy("lang", "predicted_lang")
   }
 
+  /** q183: CLASSIFIER CALIBRATION — the reliability diagram + expected
+    * calibration error (Guo et al. 2017's ECE, the standard production
+    * readout) for the q56 frozen forest: per test document the
+    * confidence is the winning class's VOTE SHARE in milli, documents
+    * group into 10 confidence bins, and each bin compares its mean
+    * confidence against its actual accuracy; ECE is the doc-weighted
+    * mean |gap|. A quality-filter model (the FineWeb-style classifier
+    * this engine's q56/q167 stand in for) is only usable for threshold
+    * curation if its scores are calibrated — this is the query that
+    * checks that, continuously, next to the confusion matrix q56
+    * already watches. All integer arithmetic (votes, milli shares,
+    * integer-div means) — hash-stable at any partitioning.
+    *
+    * Scale shape: inference is q56's map-side nested CASEs; the
+    * roll-up is two combinable aggregations (doc → bin, bin → report)
+    * and the 10-row bin frame broadcast-joins the 1-row ECE. */
+  def q183Calibration(s: SparkSession, dir: String): DataFrame = {
+    val nTrees = MlFixtures.rfTreeIds.size
+    val test = q56Features(s, dir).filter(
+      graft.operators.Sampling.bucket(col("doc_id"), splitSalt)
+        < lit(testBucketHex))
+    val votes = MlFixtures.rfTreeIds.map(t => MlFixtures.treeColumn(t))
+    val winner = test.select(col("doc_id"), col("lang"),
+        explode(array(votes: _*)).as("vote"))
+      .groupBy("doc_id", "lang", "vote").agg(count(lit(1)).as("n_votes"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("n_votes").desc, col("vote"))))
+      .filter(col("rnk") === 1)
+      .withColumn("conf_milli", expr(s"n_votes * 1000 div $nTrees"))
+      .withColumn("correct",
+        when(element_at(array(langs.map(lit): _*),
+          (col("vote") + 1).cast("int")) === col("lang"), 1L).otherwise(0L))
+      .withColumn("bin", least(expr("conf_milli div 100"), lit(9L)))
+    val bins = winner.groupBy("bin").agg(
+        count(lit(1)).as("n_docs"),
+        sum("correct").as("n_correct"),
+        sum("conf_milli").as("conf_sum"))
+      .withColumn("acc_milli", expr("n_correct * 1000 div n_docs"))
+      .withColumn("avg_conf_milli", expr("conf_sum div n_docs"))
+      .withColumn("gap_milli", abs(col("acc_milli") - col("avg_conf_milli")))
+    val ece = bins.agg(expr(
+      "sum(n_docs * gap_milli) div sum(n_docs)").as("ece_milli"))
+    bins.crossJoin(broadcast(ece))
+      .select("bin", "n_docs", "n_correct", "acc_milli",
+        "avg_conf_milli", "gap_milli", "ece_milli")
+      .orderBy("bin")
+  }
+
   /** Sparse-binary feature dimension for the q57 vector space. */
   val minhashDim: Int = 1 << 18
 
@@ -271,6 +320,7 @@ object MlQueries {
     "q141_centroid_classifier" -> (q141CentroidClassifier _),
     "q55_stem_tokens" -> (q55StemTokens _),
     "q56_rf_classifier" -> (q56RfClassifier _),
+    "q183_calibration" -> (q183Calibration _),
     "q57_ml_minhash" -> (q57MlMinhash _),
     "q66_word2vec" -> (q66Word2vec _))
 
@@ -368,6 +418,51 @@ object MlQueries {
          SELECT doc1, doc2,
            CAST(round(jd*1e6) AS BIGINT)/1e6 AS jaccard_dist
          FROM d WHERE jd < 0.8 ORDER BY doc1, doc2""",
+    "q183_calibration" -> {
+      val treeCases = MlFixtures.rfTreeIds.map(MlFixtures.treeSql)
+        .mkString(", ")
+      val langList = langs.map(l => s"'$l'").mkString(", ")
+      val nTrees = MlFixtures.rfTreeIds.size
+      s"""WITH base AS (SELECT doc_id, lang, text,
+             ${TextFns.sqlTokens("text")} AS toks FROM documents),
+         feats AS (SELECT doc_id, lang,
+             len(list_filter(toks, x -> list_contains(['der','die','das','und'], x))) / len(toks) AS hits_de,
+             len(list_filter(toks, x -> list_contains(['the','a','is','of','to'], x))) / len(toks) AS hits_en,
+             len(list_filter(toks, x -> list_contains(['el','los','las','y'], x))) / len(toks) AS hits_es,
+             len(list_filter(toks, x -> list_contains(['le','la','les','et'], x))) / len(toks) AS hits_fr,
+             CAST(len(toks) AS DOUBLE) AS n_tokens,
+             length(regexp_replace(lower(text), '[^a-z]', '', 'g')) / length(text) AS alpha_ratio
+           FROM base WHERE len(toks) > 0
+             AND substr(md5('$splitSalt' || CAST(doc_id AS VARCHAR)), 1, 2)
+               < '$testBucketHex'),
+         voted AS (SELECT doc_id, lang, unnest([$treeCases]) AS vote
+           FROM feats),
+         counts AS (SELECT doc_id, lang, vote, count(*) AS n_votes
+           FROM voted GROUP BY doc_id, lang, vote),
+         winner AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY n_votes DESC, vote) AS rnk FROM counts),
+         docs AS (SELECT
+             CAST(n_votes * 1000 // $nTrees AS BIGINT) AS conf_milli,
+             CASE WHEN [$langList][vote + 1] = lang THEN 1 ELSE 0 END
+               AS correct
+           FROM winner WHERE rnk = 1),
+         bins AS (SELECT least(conf_milli // 100, 9) AS bin,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(correct) AS BIGINT) AS n_correct,
+             CAST(sum(conf_milli) AS BIGINT) AS conf_sum
+           FROM docs GROUP BY 1),
+         b2 AS (SELECT bin, n_docs, n_correct,
+             n_correct * 1000 // n_docs AS acc_milli,
+             conf_sum // n_docs AS avg_conf_milli,
+             abs(n_correct * 1000 // n_docs - conf_sum // n_docs)
+               AS gap_milli
+           FROM bins),
+         ece AS (SELECT CAST(sum(n_docs * gap_milli) // sum(n_docs)
+             AS BIGINT) AS ece_milli FROM b2)
+         SELECT bin, n_docs, n_correct, acc_milli, avg_conf_milli,
+           gap_milli, (SELECT ece_milli FROM ece) AS ece_milli
+         FROM b2 ORDER BY bin"""
+    },
     "q56_rf_classifier" -> {
       val treeCases = MlFixtures.rfTreeIds.map(MlFixtures.treeSql)
         .mkString(", ")
