@@ -293,6 +293,70 @@ object MiscQueries {
       .orderBy("s_suppkey")
   }
 
+  /** q184: QUALITY-SIGNAL CORRELATION MATRIX — pairwise Pearson
+    * correlation across the document quality signals (token count,
+    * char count, alphabetic chars, stopword hits): the feature-
+    * redundancy ANALYZE a quality-classifier pipeline (q56/q167) runs
+    * before it picks inputs — two signals correlated at 0.99 carry
+    * one signal's information, and a near-zero column is dead weight.
+    * Completes the profiling family: q127 profiles columns alone,
+    * q169 profiles embedding dimensions alone, this measures how the
+    * scalar signals co-vary. Moments are EXACT integers (the q169
+    * discipline — sums in BIGINT, cross/square sums in
+    * DECIMAL(38,0)), the final Pearson is one sqrt on exactly-agreed
+    * integers, micro-rounded (q136 ln precedent); a constant signal
+    * (zero variance) yields NULL, not a division error.
+    *
+    * Scale shape: one map-side melt of each doc into 4 (signal,
+    * value) rows, one doc-keyed self-join (4×4 fan-out per doc,
+    * map-side combinable straight after), one 16-row aggregate —
+    * corpus traffic is the melt, nothing else grows with n. */
+  def q184SignalCorr(s: SparkSession, dir: String): DataFrame = {
+    val en = Seq("the", "a", "is", "of", "to")
+    val sigs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        graft.functions.TextFns.tokens(col("text")).as("toks"),
+        col("text"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), array(
+        struct(lit("n_tokens").as("sig"),
+          size(col("toks")).cast("long").as("v")),
+        struct(lit("n_chars").as("sig"),
+          length(col("text")).cast("long").as("v")),
+        struct(lit("alpha_chars").as("sig"),
+          length(regexp_replace(lower(col("text")), "[^a-z]", ""))
+            .cast("long").as("v")),
+        struct(lit("stop_hits").as("sig"),
+          size(filter(col("toks"),
+            x => array_contains(array(en.map(lit): _*), x))).cast("long")
+            .as("v"))
+        ).as("m"))
+      .select(col("doc_id"), explode(col("m")).as("sv"))
+      .select(col("doc_id"), col("sv.sig").as("sig"), col("sv.v").as("v"))
+    val joined = sigs
+      .join(sigs.select(col("doc_id"), col("sig").as("sig_b"),
+        col("v").as("vb")), Seq("doc_id"))
+      .filter(col("sig") <= col("sig_b"))
+    joined.groupBy(col("sig").as("sig_a"), col("sig_b"))
+      .agg(count(lit(1)).as("n"),
+        sum("v").as("sa"), sum("vb").as("sb"),
+        sum(col("v").cast("decimal(38,0)") * col("vb")).as("sab"),
+        sum(col("v").cast("decimal(38,0)") * col("v")).as("saa"),
+        sum(col("vb").cast("decimal(38,0)") * col("vb")).as("sbb"))
+      .withColumn("corr_micro", expr(
+        """CASE WHEN (n * saa - CAST(sa AS DECIMAL(38,0)) * sa) = 0
+                  OR (n * sbb - CAST(sb AS DECIMAL(38,0)) * sb) = 0
+           THEN NULL ELSE
+             CAST(round(CAST(n * sab - CAST(sa AS DECIMAL(38,0)) * sb
+                 AS DOUBLE)
+               / sqrt(CAST(n * saa - CAST(sa AS DECIMAL(38,0)) * sa
+                 AS DOUBLE))
+               / sqrt(CAST(n * sbb - CAST(sb AS DECIMAL(38,0)) * sb
+                 AS DOUBLE)) * 1e6) AS BIGINT) END"""))
+      .select("sig_a", "sig_b", "n", "corr_micro")
+      .orderBy("sig_a", "sig_b")
+  }
+
   /** q182: PERSONALIZED PAGERANK / TrustRank (Gyöngyi, Garcia-Molina
     * & Pedersen 2004) — q121's link analysis with the teleport mass
     * restricted to a trusted SEED SET (customers in the BUILDING
@@ -745,6 +809,7 @@ object MiscQueries {
     "q122_cms_sketch" -> (q122CmsSketch _),
     "q121_pagerank" -> (q121PageRank _),
     "q182_trustrank" -> (q182TrustRank _),
+    "q184_signal_corr" -> (q184SignalCorr _),
     "q120_hll_sketch" -> (q120HllSketch _),
     "q58_technique_model" -> (q58TechniqueModel _),
     "q59_level2_hamming" -> (q59Level2Hamming _),
@@ -975,6 +1040,38 @@ object MiscQueries {
          SELECT token, cnt AS exact_cnt, est_cnt,
            (est_cnt - cnt) * 1000 // cnt AS overest_milli
          FROM est ORDER BY token""",
+    "q184_signal_corr" ->
+      s"""WITH d AS (SELECT doc_id, text,
+           ${TextFns.sqlTokens("text")} AS toks FROM documents
+           WHERE len(${TextFns.sqlTokens("text")}) > 0),
+         m AS (
+           SELECT doc_id, 'n_tokens' AS sig,
+             CAST(len(toks) AS BIGINT) AS v FROM d
+           UNION ALL SELECT doc_id, 'n_chars',
+             CAST(length(text) AS BIGINT) FROM d
+           UNION ALL SELECT doc_id, 'alpha_chars',
+             CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+               AS BIGINT) FROM d
+           UNION ALL SELECT doc_id, 'stop_hits',
+             CAST(len(list_filter(toks,
+               x -> list_contains(['the','a','is','of','to'], x)))
+               AS BIGINT) FROM d),
+         j AS (SELECT a.sig AS sig_a, b.sig AS sig_b, a.v AS va, b.v AS vb
+           FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.sig <= b.sig),
+         g AS (SELECT sig_a, sig_b, CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(va) AS HUGEINT) AS sa, CAST(sum(vb) AS HUGEINT) AS sb,
+             sum(CAST(va AS HUGEINT) * vb) AS sab,
+             sum(CAST(va AS HUGEINT) * va) AS saa,
+             sum(CAST(vb AS HUGEINT) * vb) AS sbb
+           FROM j GROUP BY 1, 2)
+         SELECT sig_a, sig_b, CAST(n AS BIGINT) AS n,
+           CASE WHEN (n * saa - sa * sa) = 0 OR (n * sbb - sb * sb) = 0
+           THEN NULL ELSE
+             CAST(round(CAST(n * sab - sa * sb AS DOUBLE)
+               / sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+               / sqrt(CAST(n * sbb - sb * sb AS DOUBLE)) * 1e6) AS BIGINT)
+           END AS corr_micro
+         FROM g ORDER BY sig_a, sig_b""",
     "q182_trustrank" -> {
       def iterSql(i: Int, prev: String): String =
         s"""it$i AS (SELECT e.dst AS node,
