@@ -786,6 +786,17 @@ object VectorQueries {
     * iteration is dimension-sized (4096-row joins against a 64-row
     * broadcast vector). */
   def q180PcaPower(s: SparkSession, dir: String): DataFrame = {
+    val (cov, res) = pcaChain(s, dir)
+    val out = res.localCheckpoint()
+    cov.unpersist()
+    out
+  }
+
+  /** The q180 chain BEFORE the checkpoint/unpersist epilogue, exposed
+    * for NewQueryPlanSpec's physical pin (the fsTrajectory pattern).
+    * Returns (cached covariance frame to unpersist, result frame). */
+  private[graft] def pcaChain(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val q = quantized(Tables.embeddings(s, dir))
     val xi = q.select(col("vec_id"), posexplode(col("qe")).as(Seq("i", "xi")))
     val xj = q.select(col("vec_id"), posexplode(col("qe")).as(Seq("j", "xj")))
@@ -831,9 +842,7 @@ object VectorQueries {
     val res = v3.crossJoin(broadcast(ev))
       .select(col("i").as("pos"), col("v").as("v_mic"), col("ev_milli"))
       .orderBy("pos")
-      .localCheckpoint()
-    cov.unpersist()
-    res
+    (cov, res)
   }
 
   // DBSCAN parameters: eps as a cosine floor (lower than q74's 0.3

@@ -788,6 +788,43 @@ class NewQueryPlanSpec extends AnyFunSuite {
       s"q179's top-K must be TakeOrdered (per-partition top-K + K-row merge):\n$plan")
   }
 
+  test("q180: PCA — one combinable covariance pass, iterations dimension-sized broadcasts") {
+    val (cov, res) = queries.VectorQueries.pcaChain(spark, sf)
+    val plan = try executed(res) finally cov.unpersist()
+    assert(!plan.contains("CartesianProduct"),
+      s"q180's 64-row vector frames must broadcast, never cartesian:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q180's per-iteration C·v joins must broadcast the vector:\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"q180's covariance accumulation must combine map-side:\n$plan")
+  }
+
+  test("q182: TrustRank — seed flags broadcast, per-iteration sums combine map-side") {
+    val plan = executed(queries.MiscQueries.q182TrustRank(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"q182 must never plan a cartesian:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q182's seed set must broadcast:\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"q182's contribution sums must combine map-side:\n$plan")
+  }
+
+  test("q183: calibration — map-side inference, combinable bin roll-ups") {
+    val plan = executed(queries.MlQueries.q183Calibration(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"q183's ECE frame must broadcast, never cartesian:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"q183's bin aggregation must combine map-side:\n$plan")
+  }
+
+  test("q184: signal correlation — doc-keyed melt self-join, 16-row aggregate") {
+    val plan = executed(queries.MiscQueries.q184SignalCorr(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"q184's melt self-join must be doc-keyed:\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"q184's moment sums must combine map-side:\n$plan")
+  }
+
   test("q155: changelog reconstruction is one combinable agg — no window, no join") {
     import spark.implicits._
     val log = Seq(
