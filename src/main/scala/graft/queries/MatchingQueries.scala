@@ -643,7 +643,63 @@ object MatchingQueries {
       .orderBy("k1", "k2")
   }
 
+  /** q185: FELLEGI-SUNTER MATCH-WEIGHT SCORING — the serving half of
+    * q176 (the q161-after-q160 pattern: training is pointless until
+    * the learned parameters score pairs): each blocked pair's total
+    * evidence weight is Σ over fields of log2(m/u) when the field
+    * agrees and log2((1−m)/(1−u)) when it disagrees, using the m/u/p
+    * estimates EM converged to. The output is the classic linkage
+    * HISTOGRAM — pair counts per integer weight band (the bimodal
+    * match/non-match chart a linkage analyst reads thresholds off) —
+    * plus each band's implied posterior match probability, micro-
+    * rounded. Weights are per-FIELD constants (2k numbers derived
+    * from the 1-row parameter frame — dimension-sized at any corpus),
+    * so scoring is one broadcast join + an integer CASE sum per pair:
+    * the 100 TB shape is scan → broadcast → combinable histogram.
+    *
+    * Determinism: the EM parameters are integer micro units (q176),
+    * the log2 weights are micro-rounded doubles of identical integer
+    * inputs (q136 ln precedent), and the per-pair total is an integer
+    * sum of constants. */
+  def q185FsMatchWeights(s: SparkSession, dir: String): DataFrame = {
+    val (pairs, out) = fsTrajectory(s, dir)
+    val params = out.filter(col("iter") === 3).drop("iter")
+    def w(mic: String, umic: String) = expr(
+      s"""CAST(round(ln(($mic/1e6) / ($umic/1e6)) / ln(2) * 1e6)
+         AS BIGINT)""")
+    val weights = params.select(
+      w("m1_mic", "u1_mic").as("wa1"),
+      w("1000000 - m1_mic", "1000000 - u1_mic").as("wd1"),
+      w("m2_mic", "u2_mic").as("wa2"),
+      w("1000000 - m2_mic", "1000000 - u2_mic").as("wd2"),
+      w("m3_mic", "u3_mic").as("wa3"),
+      w("1000000 - m3_mic", "1000000 - u3_mic").as("wd3"),
+      col("p_mic"))
+    val hist = pairs.crossJoin(broadcast(weights))
+      .withColumn("total_mic", expr(
+        """ (CASE g_band WHEN 1 THEN wa1 ELSE wd1 END)
+          + (CASE g_seg  WHEN 1 THEN wa2 ELSE wd2 END)
+          + (CASE g_chk  WHEN 1 THEN wa3 ELSE wd3 END)"""))
+      // integer band: floor division toward -inf so both engines
+      // agree on negative bands (Spark DIV truncates — shift first)
+      .withColumn("band", expr("(total_mic + 100000000) div 1000000 - 100"))
+      .groupBy("band").agg(count(lit(1)).as("n_pairs"),
+        first("p_mic").as("p_mic"))
+      // posterior at the band midpoint: p·2^b / (p·2^b + (1-p))
+      .withColumn("posterior_mic", expr(
+        """CAST(round(
+             (p_mic/1e6) * pow(2.0, band + 0.5)
+             / ((p_mic/1e6) * pow(2.0, band + 0.5) + 1 - p_mic/1e6)
+             * 1e6) AS BIGINT)"""))
+      .select("band", "n_pairs", "posterior_mic")
+      .orderBy("band")
+    val res = hist.localCheckpoint()
+    pairs.unpersist()
+    res
+  }
+
   val queries: Map[String, Q] = Map(
+    "q185_fs_match_weights" -> (q185FsMatchWeights _),
     "q177_sorted_neighborhood" -> (q177SortedNeighborhood _),
     "q176_fellegi_sunter" -> (q176FellegiSunter _),
     "q94_matcher_pipeline" -> (q94MatcherPipeline _),
@@ -770,6 +826,58 @@ object MatchingQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q185_fs_match_weights" -> {
+      def w(mic: String, umic: String) =
+        s"""CAST(round(ln(($mic/1e6) / ($umic/1e6)) / ln(2) * 1e6)
+           AS BIGINT)"""
+      s"""WITH ns AS (SELECT ${fsSubBlocksSql("count(*)")} AS v
+           FROM customer),
+         c AS (SELECT c_custkey AS k, c_nationkey AS nat,
+             c_custkey % (SELECT v FROM ns) AS sub,
+             (CAST(round(c_acctbal*100) AS BIGINT) + 1000000) // 100000
+               AS band,
+             c_mktsegment AS seg, c_custkey % 10 AS chk
+           FROM customer),
+         pairs AS MATERIALIZED (SELECT
+             CASE WHEN a.band = b.band THEN 1 ELSE 0 END AS g_band,
+             CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS g_seg,
+             CASE WHEN a.chk = b.chk THEN 1 ELSE 0 END AS g_chk
+           FROM c a JOIN c b ON a.nat = b.nat AND a.sub = b.sub
+             AND a.k < b.k),
+         t0 AS (SELECT CAST(900000 AS BIGINT) m1_mic,
+           CAST(900000 AS BIGINT) m2_mic, CAST(900000 AS BIGINT) m3_mic,
+           CAST(200000 AS BIGINT) u1_mic, CAST(200000 AS BIGINT) u2_mic,
+           CAST(200000 AS BIGINT) u3_mic, CAST(50000 AS BIGINT) p_mic),
+         ${fsRoundSql(1, "t0")},
+         ${fsRoundSql(2, "t1")},
+         ${fsRoundSql(3, "t2")},
+         wts AS (SELECT
+             ${w("m1_mic", "u1_mic")} AS wa1,
+             ${w("1000000 - m1_mic", "1000000 - u1_mic")} AS wd1,
+             ${w("m2_mic", "u2_mic")} AS wa2,
+             ${w("1000000 - m2_mic", "1000000 - u2_mic")} AS wd2,
+             ${w("m3_mic", "u3_mic")} AS wa3,
+             ${w("1000000 - m3_mic", "1000000 - u3_mic")} AS wd3,
+             p_mic
+           FROM t3),
+         scored AS (SELECT
+             (CASE g_band WHEN 1 THEN wa1 ELSE wd1 END)
+             + (CASE g_seg  WHEN 1 THEN wa2 ELSE wd2 END)
+             + (CASE g_chk  WHEN 1 THEN wa3 ELSE wd3 END) AS total_mic,
+             p_mic
+           FROM pairs CROSS JOIN wts),
+         hist AS (SELECT
+             (total_mic + 100000000) // 1000000 - 100 AS band,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             first(p_mic) AS p_mic
+           FROM scored GROUP BY 1)
+         SELECT band, n_pairs,
+           CAST(round(
+             (p_mic/1e6) * pow(2.0, band + 0.5)
+             / ((p_mic/1e6) * pow(2.0, band + 0.5) + 1 - p_mic/1e6)
+             * 1e6) AS BIGINT) AS posterior_mic
+         FROM hist ORDER BY band"""
+    },
     // one flat global row_number window — semantically identical to the
     // Spark side's two-phase distributed rank (that identity is what
     // the hash compare proves)
