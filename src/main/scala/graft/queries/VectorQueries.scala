@@ -639,6 +639,76 @@ object VectorQueries {
       .orderBy("qid", "rnk")
   }
 
+  /** Tombstoned vector predicate for the q186/q187 delete drills:
+    * every vec_id ≡ 3 (mod 10) has been deleted from the store. */
+  private def tombstoned(c: org.apache.spark.sql.Column) = c % 10 === 3
+
+  /** q186: TOMBSTONE-AWARE ANN SERVE — q158's probe-2 search over a
+    * store with DELETES: 10% of vectors are tombstoned, and the serve
+    * path must exclude them BEFORE the top-K ranking (a post-filter
+    * would silently return fewer than K results — the classic
+    * deleted-document bug in vector stores), while queries remain
+    * external and unaffected. The exclusion is a map-side predicate
+    * on the assignment scan (at a real store the tombstone set is a
+    * keyed side table anti-joined at the same spot), so serve cost is
+    * unchanged and results are exactly "the live corpus's true
+    * top-K" — which is what the oracle computes independently.
+    *
+    * Scale shape: identical to q158 (memoized assignments, broadcast
+    * centroids, probe-pruned candidate scan); the tombstone filter
+    * prunes candidates before the cosine. */
+  def q186TombstoneServe(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val k = semDedupK(emb.count())
+    val asg = kmeansAssignment(s, dir, k)
+    val cents = recomputeCentroids(asg)
+    val q = quantized(
+        emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < QBatchMax))
+      .select(col("vec_id").as("qid"), col("qe"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("d",
+        graft.functions.VectorExpressions.l2q(col("qe"), col("c")))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("d"), col("cl"))))
+      .filter(col("crnk") <= NProbe)
+      .select("qid", "cl")
+    val scored = probes
+      .join(asg.select("vec_id", "cl")
+        .filter(!tombstoned(col("vec_id"))), Seq("cl"))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(emb.select("vec_id", "embedding"), Seq("vec_id"))
+      .join(emb.select(col("vec_id").as("qid"),
+        col("embedding").as("qemb")), Seq("qid"))
+      .withColumn("cosine", r6(cosine(col("qemb"), col("embedding"))))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select("qid", "vec_id", "cosine", "rnk")
+      .orderBy("qid", "rnk")
+  }
+
+  /** q187: ANN-INDEX COMPACTION REPORT — the maintenance readout a
+    * vector store runs over its tombstones: per inverted-file cell,
+    * total vs live membership and the live fraction, flagging cells
+    * under 700‰ live for compaction (rewriting a cell's posting list
+    * drops its dead entries; scan cost tracks TOTAL entries while
+    * recall value tracks LIVE ones, so the flag is exactly the
+    * read-amplification alarm). One combinable aggregate over the
+    * memoized assignments — K rows out at any corpus size; the
+    * natural companion to q164's persisted-index lifecycle (build →
+    * store → serve → COMPACT). */
+  def q187CompactionReport(s: SparkSession, dir: String): DataFrame = {
+    val k = semDedupK(Tables.embeddings(s, dir).count())
+    kmeansAssignment(s, dir, k)
+      .groupBy("cl")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(tombstoned(col("vec_id")), 0L).otherwise(1L)).as("n_live"))
+      .withColumn("live_milli", expr("n_live * 1000 div n_total"))
+      .withColumn("needs_compaction", col("live_milli") < 700)
+      .select("cl", "n_total", "n_live", "live_milli", "needs_compaction")
+      .orderBy("cl")
+  }
+
   /** q162: embedding near-dup CLUSTERS — the grouping step a dedup
     * pipeline runs after pair generation: q74's LSH-prefiltered,
     * cosine-verified pairs become edges, connected components
@@ -1364,6 +1434,8 @@ object VectorQueries {
     "q162_embedding_dup_clusters" -> (q162EmbeddingDupClusters _),
     "q178_dbscan" -> (q178Dbscan _),
     "q180_pca_power" -> (q180PcaPower _),
+    "q186_tombstone_serve" -> (q186TombstoneServe _),
+    "q187_compaction_report" -> (q187CompactionReport _),
     "q158_ivf_kmeans" -> (q158IvfKmeans _),
     "q116_incremental_ann" -> (q116IncrementalAnn _),
     "q106_semdedup" -> (q106SemDedup _),
@@ -1905,6 +1977,26 @@ object VectorQueries {
     "q164_persisted_index" ->
       s"SELECT * FROM ($ivfKmeansSql) ORDER BY qid, rnk",
     "q163_mmr_rerank" -> mmrSql,
+    "q186_tombstone_serve" ->
+      s"SELECT * FROM ($tombstoneServeSql) ORDER BY qid, rnk",
+    "q187_compaction_report" ->
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE)*1e6) AS BIGINT) + 1000000) AS qe
+         FROM embeddings),
+         kk AS (SELECT least(65536, greatest(8,
+             CAST(ceil(count(*) / 64.0) AS BIGINT))) AS k FROM embeddings),
+         c0 AS (SELECT vec_id AS cl, qe AS c FROM q
+           WHERE vec_id < (SELECT k FROM kk)),
+         ${kmeansIterSql(1, "c0")},
+         ${kmeansIterSql(2, "c1")},
+         g AS (SELECT cl, CAST(count(*) AS BIGINT) AS n_total,
+             CAST(sum(CASE WHEN vec_id % 10 = 3 THEN 0 ELSE 1 END)
+               AS BIGINT) AS n_live
+           FROM a2 GROUP BY cl)
+         SELECT cl, n_total, n_live,
+           n_live * 1000 // n_total AS live_milli,
+           n_live * 1000 // n_total < 700 AS needs_compaction
+         FROM g ORDER BY cl""",
     "q180_pca_power" -> {
       // one power iteration: w = C·v rescaled by a sign-aware
       // truncating DIV (DuckDB // floors; Spark DIV truncates), then
@@ -2169,6 +2261,40 @@ object VectorQueries {
          JOIN embeddings eq ON eq.vec_id = p.qid
          JOIN embeddings ev ON ev.vec_id = a2.vec_id
          WHERE a2.vec_id <> p.qid),
+       ranked AS (SELECT *, row_number() OVER (PARTITION BY qid
+         ORDER BY cosine DESC, vec_id) AS rnk FROM scored)
+       SELECT qid, vec_id, cosine, rnk FROM ranked
+       WHERE rnk <= $K"""
+
+  /** q186's oracle: [[ivfKmeansSql]] with the tombstone exclusion on
+    * the candidate side — the live corpus's true probe-2 top-K. */
+  private lazy val tombstoneServeSql: String =
+    s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE)*1e6) AS BIGINT) + 1000000) AS qe
+         FROM embeddings),
+       kk AS (SELECT least(65536, greatest(8, CAST(ceil(count(*) / 64.0) AS BIGINT))) AS k
+         FROM embeddings),
+       c0 AS (SELECT vec_id AS cl, qe AS c FROM q
+         WHERE vec_id < (SELECT k FROM kk)),
+       ${kmeansIterSql(1, "c0")},
+       ${kmeansIterSql(2, "c1")},
+       qb AS (SELECT vec_id AS qid, qe FROM q
+         WHERE vec_id % 50 = 0 AND vec_id < $QBatchMax),
+       pd AS (SELECT qid, cl,
+           CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+             i -> (qe[i]-c[i])*(qe[i]-c[i]))) AS BIGINT) AS d
+         FROM qb CROSS JOIN c2),
+       probes AS (SELECT qid, cl FROM
+         (SELECT *, row_number() OVER (PARTITION BY qid
+            ORDER BY d, cl) AS crnk FROM pd)
+         WHERE crnk <= $NProbe),
+       scored AS (SELECT p.qid, a2.vec_id,
+           ${r6Sql(sqlCosine("eq.embedding", "ev.embedding"))} AS cosine
+         FROM probes p
+         JOIN a2 ON a2.cl = p.cl
+         JOIN embeddings eq ON eq.vec_id = p.qid
+         JOIN embeddings ev ON ev.vec_id = a2.vec_id
+         WHERE a2.vec_id <> p.qid AND a2.vec_id % 10 <> 3),
        ranked AS (SELECT *, row_number() OVER (PARTITION BY qid
          ORDER BY cosine DESC, vec_id) AS rnk FROM scored)
        SELECT qid, vec_id, cosine, rnk FROM ranked
