@@ -825,6 +825,39 @@ class NewQueryPlanSpec extends AnyFunSuite {
       s"q184's moment sums must combine map-side:\n$plan")
   }
 
+  test("q185: FS match weights — per-field constants broadcast, combinable histogram") {
+    val df = queries.MatchingQueries.q185FsMatchWeights(spark, sf)
+    // q185 localCheckpoints; assert on the result shape instead: the
+    // histogram must be small (bands) and the posterior monotone in band
+    val rows = df.collect()
+    assert(rows.length < 50, "weight histogram must be band-sized")
+    val post = rows.map(r => (r.getLong(0), r.getLong(2)))
+    assert(post.sortBy(_._1).map(_._2).sliding(2).forall(p =>
+      p.length < 2 || p(0) <= p(1)),
+      "posterior match probability must be monotone in the weight band")
+  }
+
+  test("q186: tombstone serve — exclusion before ranking, centroids broadcast") {
+    val plan = executed(queries.VectorQueries.q186TombstoneServe(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"q186's centroid probe must broadcast:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"q186's K-row centroid table must broadcast:\n$plan")
+    // the tombstone predicate must prune the assignment scan (map-side
+    // filter), not post-filter the ranked output
+    assert(plan.contains("% 10) = 3") || plan.contains("% 10"),
+      s"q186's tombstone filter must appear as a scan predicate:\n$plan")
+  }
+
+  test("q187: compaction report — one combinable aggregate, K rows out") {
+    val plan = executed(queries.VectorQueries.q187CompactionReport(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"q187 must not plan a cartesian:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"q187's cell stats must combine map-side:\n$plan")
+  }
+
   test("q155: changelog reconstruction is one combinable agg — no window, no join") {
     import spark.implicits._
     val log = Seq(
