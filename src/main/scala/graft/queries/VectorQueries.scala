@@ -639,6 +639,45 @@ object VectorQueries {
       .orderBy("qid", "rnk")
   }
 
+  /** Matryoshka prefix widths evaluated by q188. */
+  private val MrlDims = Seq(8, 16, 32)
+
+  /** q188: MATRYOSHKA-TRUNCATION RECALL — retrieval quality when the
+    * index stores only the first P dimensions of each embedding
+    * (Kusupati et al. 2022, "Matryoshka Representation Learning"; the
+    * production trick where a prefix of the vector IS a valid smaller
+    * embedding, so the store trades dimensions for memory the same
+    * way q166/q173 trade bits): brute top-K on the P-dim prefix
+    * cosine, graded against the full-dimension q30 truth, for
+    * P ∈ 8/16/32 — the measured curve that tells a deployment which
+    * prefix is safe to serve. Joins q118's watched family as the
+    * DIMENSION-truncation axis next to its BIT-truncation axes.
+    *
+    * Scale shape: each leg is the q30 broadcast-batch × linear-corpus
+    * scan over a SHORTER vector (the slice is map-side); grading is
+    * batch·K-row joins. */
+  def q188MatryoshkaRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val truth = q30KnnBrute(s, dir).select(col("qid"),
+      col("vec_id"), lit(1L).as("rel"))
+    val legs = MrlDims.map { p =>
+      val res = VectorSearch.cosineTopK(
+        emb.select(col("vec_id"), slice(col("embedding"), 1, p).as("embedding")),
+        queriesOf(emb).select(col("qid"), slice(col("qemb"), 1, p).as("qemb")),
+        K)
+      truth.join(res.select(col("qid"), col("vec_id"),
+          lit(1L).as("found")), Seq("qid", "vec_id"), "left")
+        .groupBy("qid")
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("found"), lit(0L))).as("hits"))
+        .withColumn("method", lit(s"mrl$p"))
+    }
+    legs.reduce(_.unionByName(_))
+      .withColumn("recall_milli", expr("hits * 1000 div k"))
+      .select("method", "qid", "k", "hits", "recall_milli")
+      .orderBy("method", "qid")
+  }
+
   /** Tombstoned vector predicate for the q186/q187 delete drills:
     * every vec_id ≡ 3 (mod 10) has been deleted from the store. */
   private def tombstoned(c: org.apache.spark.sql.Column) = c % 10 === 3
@@ -1435,6 +1474,7 @@ object VectorQueries {
     "q178_dbscan" -> (q178Dbscan _),
     "q180_pca_power" -> (q180PcaPower _),
     "q186_tombstone_serve" -> (q186TombstoneServe _),
+    "q188_matryoshka_recall" -> (q188MatryoshkaRecall _),
     "q187_compaction_report" -> (q187CompactionReport _),
     "q158_ivf_kmeans" -> (q158IvfKmeans _),
     "q116_incremental_ann" -> (q116IncrementalAnn _),
@@ -1979,6 +2019,34 @@ object VectorQueries {
     "q163_mmr_rerank" -> mmrSql,
     "q186_tombstone_serve" ->
       s"SELECT * FROM ($tombstoneServeSql) ORDER BY qid, rnk",
+    "q188_matryoshka_recall" -> {
+      def legSql(p: Int): String =
+        s"""SELECT 'mrl$p' AS method, t.qid,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS hits
+           FROM truth t LEFT JOIN (
+             SELECT qid, vec_id FROM (
+               SELECT q.qid, e.vec_id, row_number() OVER (PARTITION BY q.qid
+                   ORDER BY ${r6Sql(sqlCosine(
+                     s"list_slice(eq.embedding, 1, $p)",
+                     s"list_slice(e.embedding, 1, $p)"))} DESC, e.vec_id)
+                 AS rnk
+               FROM (SELECT vec_id AS qid FROM embeddings
+                 WHERE vec_id % 50 = 0 AND vec_id < $QBatchMax) q
+               JOIN embeddings eq ON eq.vec_id = q.qid
+               CROSS JOIN embeddings e
+               WHERE e.vec_id <> q.qid)
+             WHERE rnk <= $K) a
+             ON t.qid = a.qid AND t.vec_id = a.vec_id
+           GROUP BY t.qid"""
+      s"""WITH truth AS (SELECT qid, vec_id FROM
+           (WITH $bruteCtes SELECT qid, vec_id FROM ranked
+            WHERE rnk <= $K)),
+         rec AS (${MrlDims.map(legSql).mkString(" UNION ALL ")})
+         SELECT method, qid, k, hits, hits * 1000 // k AS recall_milli
+         FROM rec ORDER BY method, qid"""
+    },
     "q187_compaction_report" ->
       s"""WITH q AS (SELECT vec_id, list_transform(embedding,
            x -> CAST(round(CAST(x AS DOUBLE)*1e6) AS BIGINT) + 1000000) AS qe
