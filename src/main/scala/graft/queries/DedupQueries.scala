@@ -145,6 +145,59 @@ object DedupQueries {
       .orderBy("new_doc", "old_doc")
   }
 
+  /** q190: INCREMENTAL CONNECTED COMPONENTS — dedup-cluster
+    * maintenance under ingest, the q110→q36 composition a store
+    * actually runs: the 90% "old" corpus has a STORED component table
+    * (computed here, read from the store in production), a 10% batch
+    * arrives with its new dup edges (batch-batch and batch-old), and
+    * the merge touches ONLY the meta-graph of labels incident to new
+    * edges — old endpoints CONTRACT to their stored component label
+    * first, so the iterative CC runs on a graph whose size tracks the
+    * BATCH, never the corpus (recomputing full-corpus CC per ingest is
+    * the naive 100 TB cost this avoids). Old components untouched by
+    * the batch pass through without relabeling.
+    *
+    * The ORACLE is the full-corpus rebuild (q36's exact spelling) —
+    * hash equality proves the maintenance invariant incremental ≡
+    * rebuild, the q175/q140 discipline. It holds exactly because a
+    * stored min-label is the min doc_id of its members, so min-label
+    * CC over contracted labels yields the same global minima as over
+    * documents. */
+  def q190IncrementalCc(s: SparkSession, dir: String): DataFrame = {
+    val isNew = (c: org.apache.spark.sql.Column) => c % 10 === 7
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val pairs = Shared.dupPairs(s, dir).select(col("doc1"), col("doc2"))
+    val oldComp = GraphComponents.connectedComponents(
+      docs.filter(!isNew(col("doc_id"))).select(col("doc_id").as("node")),
+      pairs.filter(!isNew(col("doc1")) && !isNew(col("doc2")))
+        .select(col("doc1").as("src"), col("doc2").as("dst")))
+    val newEdges = pairs.filter(isNew(col("doc1")) || isNew(col("doc2")))
+    // contract old endpoints to their stored labels (batch docs label
+    // as themselves)
+    val l1 = oldComp.select(col("node").as("doc1"), col("comp").as("c1"))
+    val l2 = oldComp.select(col("node").as("doc2"), col("comp").as("c2"))
+    val meta = newEdges
+      .join(l1, Seq("doc1"), "left").join(l2, Seq("doc2"), "left")
+      .select(coalesce(col("c1"), col("doc1")).as("src"),
+        coalesce(col("c2"), col("doc2")).as("dst"))
+    val metaNodes = meta.select(col("src").as("node"))
+      .unionByName(meta.select(col("dst").as("node")))
+      .unionByName(docs.filter(isNew(col("doc_id")))
+        .select(col("doc_id").as("node")))
+      .distinct()
+    val merged = GraphComponents.connectedComponents(metaNodes, meta)
+      .select(col("node").as("lbl"), col("comp").as("merged"))
+    val oldFinal = oldComp
+      .join(merged, oldComp("comp") === merged("lbl"), "left")
+      .select(col("node").as("doc_id"),
+        coalesce(col("merged"), col("comp")).as("component"))
+    val batchFinal = docs.filter(isNew(col("doc_id")))
+      .join(merged, col("doc_id") === merged("lbl"), "left")
+      .select(col("doc_id"),
+        coalesce(col("merged"), col("doc_id")).as("component"))
+    oldFinal.unionByName(batchFinal).orderBy("doc_id")
+  }
+
   /** DOI-equality document dedup — the reference's
     * `DocumentDeduplicatorApp` (`deduplication/dedup/
     * DocumentDeduplicatorApp.scala:27-116`): document versions sharing
@@ -332,6 +385,7 @@ object DedupQueries {
     "q129_triangles" -> (q129Triangles _),
     "q123_split_leakage" -> (q123SplitLeakage _),
     "q36_connected_components" -> (q36ConnectedComponents _),
+    "q190_incremental_cc" -> (q190IncrementalCc _),
     "q37_blocked_dedup" -> (q37BlockedDedup _),
     "q38_name_clean" -> (q38NameClean _),
     "q96_lab_dedup" -> (q96LabDedup _),
@@ -428,6 +482,11 @@ object DedupQueries {
          FROM sizes LEFT JOIN lk ON sizes.split = lk.split
          ORDER BY sizes.split""",
     "q36_connected_components" ->
+      s"""WITH RECURSIVE $componentCtes
+         SELECT doc_id, component FROM comp ORDER BY doc_id""",
+    // q190's oracle IS the full rebuild — hash equality proves the
+    // incremental merge invariant (see q190IncrementalCc scaladoc)
+    "q190_incremental_cc" ->
       s"""WITH RECURSIVE $componentCtes
          SELECT doc_id, component FROM comp ORDER BY doc_id""",
     "q105_survivorship" ->
