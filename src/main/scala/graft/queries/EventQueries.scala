@@ -524,7 +524,16 @@ object EventQueries {
       .orderBy("user_id", "version")
   }
 
+  /** q189: streaming drift monitor — the q136 PSI with the current
+    * side maintained by a complete-mode stream; see
+    * [[graft.streaming.EventStream.driftOnce]]. The oracle is the
+    * batch spelling of both halves, proving stream/batch parity for
+    * the monitor. */
+  def q189StreamDrift(s: SparkSession, dir: String): DataFrame =
+    EventStream.driftOnce(s, dir)
+
   val queries: Map[String, Q] = Map(
+    "q189_stream_drift" -> (q189StreamDrift _),
     "q175_scd2_merge" -> (q175Scd2Merge _),
     "q139_ab_test" -> (q139AbTest _),
     "q143_stream_compact" -> (q143StreamCompact _),
@@ -602,6 +611,33 @@ object EventQueries {
        ORDER BY user_id"""
 
   val oracles: Map[String, String] = Map(
+    "q189_stream_drift" ->
+      s"""WITH $evCte,
+         b AS (SELECT event_type,
+             CAST(least(greatest(CAST(round(value*100) AS BIGINT), 0)
+               // 500, 24) AS INTEGER) AS bucket,
+             CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'ref'
+               ELSE 'cur' END AS side
+           FROM ev),
+         cells AS (SELECT event_type, bucket,
+             CAST(sum(CASE side WHEN 'ref' THEN 1 ELSE 0 END) AS BIGINT)
+               AS ref_n,
+             CAST(sum(CASE side WHEN 'cur' THEN 1 ELSE 0 END) AS BIGINT)
+               AS cur_n
+           FROM b GROUP BY 1, 2),
+         tot AS (SELECT event_type,
+             CAST(sum(ref_n) AS BIGINT) AS ref_tot,
+             CAST(sum(cur_n) AS BIGINT) AS cur_tot
+           FROM cells GROUP BY 1)
+         SELECT c.event_type, c.bucket, c.ref_n, c.cur_n,
+           CAST(round(
+             ((c.cur_n + 1) / (t.cur_tot + 25.0)
+               - (c.ref_n + 1) / (t.ref_tot + 25.0))
+             * ln(((c.cur_n + 1) / (t.cur_tot + 25.0))
+               / ((c.ref_n + 1) / (t.ref_tot + 25.0))) * 1e6) AS BIGINT)
+           AS psi_micro
+         FROM cells c JOIN tot t USING (event_type)
+         ORDER BY c.event_type, c.bucket""",
     // full-history rebuild: one window pass over ALL signup changes —
     // hash-equality against the Spark side's incremental merge IS the
     // SCD2 invariant (merge ≡ rebuild)

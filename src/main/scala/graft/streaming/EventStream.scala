@@ -160,6 +160,56 @@ object EventStream {
   }
   }
 
+  /** STREAMING drift monitor — the q136 PSI with the CURRENT side
+    * maintained by a stream: the frozen baseline is the first half of
+    * the event log (ts < the cutoff, histogrammed in batch — at a
+    * real deployment this is the stored reference profile), the live
+    * side is a complete-mode streaming count over (event_type, value
+    * bucket) — the state store IS the live histogram, kept fresh per
+    * trigger — and the PSI readout joins the drained snapshot against
+    * the baseline batch-side. Buckets are value cents div 500 capped
+    * at 24 (fixed resolution over a fixed value domain); smoothing,
+    * ln-term micro-quantization and the +1 Laplace guard are q136's
+    * exact formula, so drift stays finite when either side misses a
+    * bucket.
+    *
+    * Scale shape: the streaming state is ≤ types × 25 rows regardless
+    * of event volume (counts are combinable); the readout is
+    * dimension-sized joins. */
+  def driftOnce(s: SparkSession, dir: String): DataFrame = { drainSized(s) {
+    val NB = 25
+    val cutoff = lit("2024-01-16").cast("timestamp")
+    def bucketed(df: DataFrame): DataFrame = df
+      .withColumn("bucket",
+        expr(s"CAST(least(greatest(CAST(round(value*100) AS BIGINT), 0)"
+          + s" div 500, ${NB - 1}) AS INT)"))
+    val ref = bucketed(
+        graft.Tables.events(s, dir).filter(col("ts") < cutoff))
+      .groupBy("event_type", "bucket").agg(count(lit(1)).as("ref_n"))
+    val name = s"graft_stream_drift_${runIdx.incrementAndGet()}"
+    val q = bucketed(eventsStream(s, dir).filter(col("ts") >= cutoff))
+      .groupBy("event_type", "bucket").agg(count(lit(1)).as("cur_n"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val cur = s.table(name)
+    val cells = ref.join(cur, Seq("event_type", "bucket"), "full_outer")
+      .na.fill(0L, Seq("ref_n", "cur_n"))
+    val tot = cells.groupBy("event_type")
+      .agg(sum("ref_n").as("ref_tot"), sum("cur_n").as("cur_tot"))
+    cells.join(broadcast(tot), Seq("event_type"))
+      .withColumn("p_ref", (col("ref_n") + 1) / (col("ref_tot") + lit(NB)))
+      .withColumn("p_cur", (col("cur_n") + 1) / (col("cur_tot") + lit(NB)))
+      .withColumn("psi_micro",
+        round((col("p_cur") - col("p_ref"))
+          * log(col("p_cur") / col("p_ref")) * 1e6).cast("long"))
+      .select("event_type", "bucket", "ref_n", "cur_n", "psi_micro")
+      .orderBy("event_type", "bucket")
+  }
+  }
+
   /** Latest-epoch-wins snapshot reconstruction over an update-mode
     * changelog: one combinable max(struct) keyed by user — epoch_id
     * leads the struct, so the newest upsert's payload rides along. */
