@@ -858,6 +858,21 @@ class NewQueryPlanSpec extends AnyFunSuite {
       s"q187's cell stats must combine map-side:\n$plan")
   }
 
+  test("q188: matryoshka recall — query batch broadcast, grading is batch-sized joins") {
+    val plan = executed(queries.VectorQueries.q188MatryoshkaRecall(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"q188's query batches must broadcast against the corpus scan:\n$plan")
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      s"q188's recall grading must combine map-side:\n$plan")
+  }
+
+  test("q190: incremental CC — meta-graph joins keyed, no cartesian") {
+    val plan = executed(queries.DedupQueries.q190IncrementalCc(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"q190's label contraction must be keyed joins:\n$plan")
+  }
+
   test("q155: changelog reconstruction is one combinable agg — no window, no join") {
     import spark.implicits._
     val log = Seq(
