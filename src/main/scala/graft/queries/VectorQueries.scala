@@ -941,13 +941,19 @@ object VectorQueries {
         Seq("j"))
       .groupBy("i")
       .agg(expr("sum(cv * v) DIV 1000000000000").as("w"))
+    // the Rayleigh/trace ratio in DOUBLES of exactly-agreed integers
+    // (q136 precedent): an integer-DIV spelling overflows the
+    // BIGINT-returning DIV once Σv²·trace passes ~9e18 (caught by the
+    // sf1 sweep — the quotient fit, the intermediate did not)
     val ev = v3.join(w4, Seq("i"))
       .crossJoin(broadcast(cov.filter(col("i") === col("j"))
         .agg(sum("cv").as("trace"))))
       .agg(expr(
-        """CAST(sum(CAST(v AS DECIMAL(38,0)) * w) * 1000
-           DIV (sum(CAST(v AS DECIMAL(38,0)) * v) * first(trace)
-                DIV 1000000000000) AS BIGINT)""").as("ev_milli"))
+        """CAST(round(
+             CAST(sum(CAST(v AS DECIMAL(38,0)) * w) AS DOUBLE)
+             * 1000 * 1e12
+             / CAST(sum(CAST(v AS DECIMAL(38,0)) * v) AS DOUBLE)
+             / CAST(first(trace) AS DOUBLE)) AS BIGINT)""").as("ev_milli"))
     val res = v3.crossJoin(broadcast(ev))
       .select(col("i").as("pos"), col("v").as("v_mic"), col("ev_milli"))
       .orderBy("pos")
@@ -2102,9 +2108,12 @@ object VectorQueries {
                ELSE -((-sum(cv * v.v)) // 1000000000000) END AS w
            FROM cov JOIN v3 v ON v.i = cov.j GROUP BY cov.i),
          tr AS (SELECT sum(cv) AS trace FROM cov WHERE i = j),
-         ev AS (SELECT CAST(sum(CAST(v.v AS HUGEINT) * w4.w) * 1000
-             // (sum(CAST(v.v AS HUGEINT) * v.v) * (SELECT trace FROM tr)
-                // 1000000000000) AS BIGINT) AS ev_milli
+         ev AS (SELECT CAST(round(
+             CAST(sum(CAST(v.v AS HUGEINT) * w4.w) AS DOUBLE)
+             * 1000 * 1e12
+             / CAST(sum(CAST(v.v AS HUGEINT) * v.v) AS DOUBLE)
+             / CAST((SELECT trace FROM tr) AS DOUBLE)) AS BIGINT)
+             AS ev_milli
            FROM v3 v JOIN w4 ON w4.i = v.i)
          SELECT v.i AS pos, v.v AS v_mic, (SELECT ev_milli FROM ev)
            AS ev_milli
