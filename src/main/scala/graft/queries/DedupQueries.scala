@@ -198,6 +198,34 @@ object DedupQueries {
     oldFinal.unionByName(batchFinal).orderBy("doc_id")
   }
 
+  /** q193: SOURCE CONTAMINATION MATRIX — near-dup pair counts per
+    * (source, source) cell over the shared LSH dup-pair frame: the
+    * curation readout that shows WHICH sources copy WHICH (a heavy
+    * off-diagonal cell means one crawl mirrors another — deduplicate
+    * across them before mixing; a heavy diagonal means internal
+    * boilerplate). Per cell: pair count and the mean verified Jaccard
+    * in milli. One join of the pair frame (doc-keyed, twice) against
+    * the tiny (doc_id, source) projection, one combinable groupBy —
+    * the shuffles carry pairs and ids, never documents. */
+  def q193SourceContamination(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    Shared.dupPairs(s, dir)
+      .join(src.select(col("doc_id").as("doc1"), col("source").as("s1")),
+        Seq("doc1"))
+      .join(src.select(col("doc_id").as("doc2"), col("source").as("s2")),
+        Seq("doc2"))
+      .select(least(col("s1"), col("s2")).as("src_a"),
+        greatest(col("s1"), col("s2")).as("src_b"),
+        expr("CAST(round(jaccard * 1000) AS BIGINT)").as("jac_milli"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(jac_milli) div count(1)").as("mean_jac_milli"))
+      .withColumn("within_source", col("src_a") === col("src_b"))
+      .select("src_a", "src_b", "n_pairs", "mean_jac_milli",
+        "within_source")
+      .orderBy("src_a", "src_b")
+  }
+
   /** DOI-equality document dedup — the reference's
     * `DocumentDeduplicatorApp` (`deduplication/dedup/
     * DocumentDeduplicatorApp.scala:27-116`): document versions sharing
@@ -386,6 +414,7 @@ object DedupQueries {
     "q123_split_leakage" -> (q123SplitLeakage _),
     "q36_connected_components" -> (q36ConnectedComponents _),
     "q190_incremental_cc" -> (q190IncrementalCc _),
+    "q193_source_contamination" -> (q193SourceContamination _),
     "q37_blocked_dedup" -> (q37BlockedDedup _),
     "q38_name_clean" -> (q38NameClean _),
     "q96_lab_dedup" -> (q96LabDedup _),
@@ -489,6 +518,18 @@ object DedupQueries {
     "q190_incremental_cc" ->
       s"""WITH RECURSIVE $componentCtes
          SELECT doc_id, component FROM comp ORDER BY doc_id""",
+    "q193_source_contamination" ->
+      s"""WITH ${TextQueries.lshDupPairsCtes},
+         j AS (SELECT least(a.source, b.source) AS src_a,
+             greatest(a.source, b.source) AS src_b,
+             CAST(round(jaccard * 1000) AS BIGINT) AS jac_milli
+           FROM dup_pairs p
+           JOIN documents a ON a.doc_id = p.doc1
+           JOIN documents b ON b.doc_id = p.doc2)
+         SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(jac_milli) AS BIGINT) // count(*) AS mean_jac_milli,
+           src_a = src_b AS within_source
+         FROM j GROUP BY src_a, src_b ORDER BY src_a, src_b""",
     "q105_survivorship" ->
       s"""WITH RECURSIVE $componentCtes,
          j AS (SELECT comp.component, d.doc_id, d.n_chars

@@ -737,7 +737,38 @@ object PipelineQueries {
       .orderBy("rank")
   }
 
+  /** q192: PADDING-WASTE REPORT — the training-efficiency readout
+    * behind the q117 packing decision: under the standard
+    * pad-to-bucket policy (length buckets of 64 tokens up to a
+    * 512-token max, longer documents truncated), how many tokens per
+    * bucket are PADDING (paid for, learned from not at all) and how
+    * many are TRUNCATED (data thrown away). pad_milli per bucket is
+    * the number a pipeline compares against packed layout's ~0 to
+    * justify the packing complexity — at real scale padding waste is
+    * a double-digit percentage of the compute bill. One map-side
+    * bucketing + one combinable groupBy; all integer. */
+  def q192PaddingWaste(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .withColumn("eff", least(col("n"), lit(512L)))
+      .withColumn("bucket", least(expr("((n + 63) div 64) * 64"), lit(512L)))
+      .withColumn("padded", col("bucket") - col("eff"))
+      .withColumn("truncated", greatest(col("n") - 512L, lit(0L)))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("eff").as("real_tokens"),
+        sum("padded").as("padded_tokens"),
+        sum("truncated").as("truncated_tokens"))
+      .withColumn("pad_milli",
+        expr("padded_tokens * 1000 div (padded_tokens + real_tokens)"))
+      .select("bucket", "n_docs", "real_tokens", "padded_tokens",
+        "truncated_tokens", "pad_milli")
+      .orderBy("bucket")
+
   val queries: Map[String, Q] = Map(
+    "q192_padding_waste" -> (q192PaddingWaste _),
     "q179_weighted_sample" -> (q179WeightedSample _),
     "q165_source_quota" -> (q165SourceQuota _),
     "q167_linear_quality" -> (q167LinearQuality _),
@@ -794,6 +825,26 @@ object PipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q192_padding_waste" ->
+      s"""WITH d AS (SELECT doc_id,
+           CAST(len(${TextFns.sqlTokens("text")}) AS BIGINT) AS n
+           FROM documents
+           WHERE len(${TextFns.sqlTokens("text")}) > 0),
+         b AS (SELECT least(n, 512) AS eff,
+             least(((n + 63) // 64) * 64, 512) AS bucket,
+             least(((n + 63) // 64) * 64, 512) - least(n, 512) AS padded,
+             greatest(n - 512, 0) AS truncated
+           FROM d),
+         g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(eff) AS BIGINT) AS real_tokens,
+             CAST(sum(padded) AS BIGINT) AS padded_tokens,
+             CAST(sum(truncated) AS BIGINT) AS truncated_tokens
+           FROM b GROUP BY bucket)
+         SELECT bucket, n_docs, real_tokens, padded_tokens,
+           truncated_tokens,
+           padded_tokens * 1000 // (padded_tokens + real_tokens)
+             AS pad_milli
+         FROM g ORDER BY bucket""",
     "q179_weighted_sample" ->
       s"""WITH d AS (SELECT doc_id,
            CAST(len(${TextFns.sqlTokens("text")}) AS BIGINT) AS n_tokens

@@ -592,6 +592,50 @@ object VectorQueries {
       .orderBy("qid", "rnk")
   }
 
+  /** q191: CONTRASTIVE TRIPLET MINING — the (anchor, positive, hard
+    * negative) assembly an embedding-training pipeline feeds its
+    * triplet/InfoNCE loss: per anchor, the most-similar SAME-label
+    * vector is the positive, q132's most-similar DIFFERENT-label
+    * vector is the hard negative, and the margin (positive cosine −
+    * negative cosine, micro-exact) is the per-example difficulty the
+    * curriculum sorts on — a NEGATIVE margin marks exactly the
+    * examples where the current embedding confuses labels, the ones
+    * contrastive training gains most from. Composes the engine's
+    * mining primitives into the final training-data artifact.
+    *
+    * Scale shape: two broadcast-anchor-batch × linear-corpus scans
+    * (the q30/q132 shape) + one batch-sized join; at 100 TB both
+    * scans swap to the q70/q158 IVF probe, as q132 documents. */
+  def q191ContrastiveTriplets(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val anchors = emb
+      .filter(col("vec_id") % 50 === 0 && col("vec_id") < QBatchMax)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+        col("label").as("qlabel"))
+    def top1(sameLabel: Boolean) = {
+      val base = emb.crossJoin(broadcast(anchors))
+        .filter(col("vec_id") =!= col("qid") &&
+          (if (sameLabel) col("label") === col("qlabel")
+           else col("label") =!= col("qlabel")))
+        .withColumn("cosine", r6(cosine(col("qemb"), col("embedding"))))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("cosine").desc, col("vec_id"))
+      base.withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+    }
+    val pos = top1(sameLabel = true)
+      .select(col("qid"), col("qlabel"), col("vec_id").as("pos_id"),
+        col("cosine").as("pos_cos"))
+    val neg = top1(sameLabel = false)
+      .select(col("qid"), col("vec_id").as("neg_id"),
+        col("cosine").as("neg_cos"))
+    pos.join(neg, Seq("qid"))
+      .withColumn("margin_micro",
+        expr("CAST(round((pos_cos - neg_cos) * 1e6) AS BIGINT)"))
+      .select("qid", "qlabel", "pos_id", "pos_cos", "neg_id", "neg_cos",
+        "margin_micro")
+      .orderBy("qid")
+  }
+
   /** q158: k-means-cell IVF ANN — the content-derived index the
     * RECALL.md sf1 rows showed q70's per-label cells lack: on a
     * corpus where near-duplicates span labels, an
@@ -907,12 +951,28 @@ object VectorQueries {
   private[graft] def pcaChain(
       s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val q = quantized(Tables.embeddings(s, dir))
-    val xi = q.select(col("vec_id"), posexplode(col("qe")).as(Seq("i", "xi")))
-    val xj = q.select(col("vec_id"), posexplode(col("qe")).as(Seq("j", "xj")))
-    val sxy = xi.join(xj, Seq("vec_id"))
+    // join-free outer-product fan-out: explode i carrying qe, then the
+    // j-products map-side via transform — the per-element product is a
+    // LONG (≤ ~1.6e12, per-pair not per-corpus), only the SUM needs
+    // DECIMAL; everything combines map-side before the one Dim²-row
+    // exchange (a vec_id self-join spelling shuffles the exploded
+    // corpus twice and measured 3× slower at sf0.1)
+    val xi = q.select(col("qe"), posexplode(col("qe")).as(Seq("i", "xi")))
+    // UPPER TRIANGLE only (C is symmetric): j = i + jo over the tail
+    // slice — half the fan-out rows and half the per-row multiply work
+    // of the full outer product; the lower triangle is mirrored from
+    // the aggregated Dim²/2-row frame afterwards (a map, not a scan)
+    val sxyUpper = xi
+      .select(col("i"), posexplode(
+        expr(s"transform(slice(qe, i + 1, $Dim - i), x -> xi * x)"))
+        .as(Seq("jo", "p")))
+      .select(col("i"), (col("i") + col("jo")).as("j"), col("p"))
       .groupBy("i", "j")
-      .agg(sum(col("xi").cast("decimal(38,0)") * col("xj")).as("sxy"))
-    val sx = xi.groupBy("i")
+      .agg(sum(col("p").cast("decimal(38,0)")).as("sxy"))
+    val sxy = sxyUpper.unionByName(sxyUpper.filter(col("i") =!= col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("sxy")))
+    val sx = q.select(posexplode(col("qe")).as(Seq("i", "xi")))
+      .groupBy("i")
       .agg(sum("xi").as("s"), count(lit(1)).as("n"))
     val cov = sxy
       .join(broadcast(sx.select(col("i"), col("s").as("si"), col("n"))),
@@ -935,6 +995,10 @@ object VectorQueries {
         .select(col("i"),
           expr("CAST(round(CAST(w AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE)) * 1e6) AS BIGINT)")
             .as("v"))
+        // 64 integer rows; cut the lineage — w's subtree is otherwise
+        // referenced twice per level (nrm + the select) and the
+        // re-execution count grows 2^iterations
+        .localCheckpoint()
     }
     val v3 = iter(iter(iter(v0)))
     val w4 = cov.join(broadcast(v3.select(col("i").as("j"), col("v"))),
@@ -1481,6 +1545,7 @@ object VectorQueries {
     "q180_pca_power" -> (q180PcaPower _),
     "q186_tombstone_serve" -> (q186TombstoneServe _),
     "q188_matryoshka_recall" -> (q188MatryoshkaRecall _),
+    "q191_contrastive_triplets" -> (q191ContrastiveTriplets _),
     "q187_compaction_report" -> (q187CompactionReport _),
     "q158_ivf_kmeans" -> (q158IvfKmeans _),
     "q116_incremental_ann" -> (q116IncrementalAnn _),
@@ -2025,6 +2090,29 @@ object VectorQueries {
     "q163_mmr_rerank" -> mmrSql,
     "q186_tombstone_serve" ->
       s"SELECT * FROM ($tombstoneServeSql) ORDER BY qid, rnk",
+    "q191_contrastive_triplets" -> {
+      def top1Sql(cond: String, alias: String): String =
+        s"""$alias AS (SELECT qid, qlabel, vec_id, cosine FROM (
+             SELECT q.qid, q.qlabel, e.vec_id,
+               ${r6Sql(sqlCosine("eq.embedding", "e.embedding"))} AS cosine,
+               row_number() OVER (PARTITION BY q.qid ORDER BY
+                 ${r6Sql(sqlCosine("eq.embedding", "e.embedding"))} DESC,
+                 e.vec_id) AS rnk
+             FROM (SELECT vec_id AS qid, label AS qlabel FROM embeddings
+               WHERE vec_id % 50 = 0 AND vec_id < $QBatchMax) q
+             JOIN embeddings eq ON eq.vec_id = q.qid
+             CROSS JOIN embeddings e
+             WHERE e.vec_id <> q.qid AND e.label $cond q.qlabel)
+           WHERE rnk = 1)"""
+      s"""WITH ${top1Sql("=", "pos")},
+         ${top1Sql("<>", "neg")}
+         SELECT p.qid, p.qlabel, p.vec_id AS pos_id, p.cosine AS pos_cos,
+           n.vec_id AS neg_id, n.cosine AS neg_cos,
+           CAST(round((p.cosine - n.cosine) * 1e6) AS BIGINT)
+             AS margin_micro
+         FROM pos p JOIN neg n ON n.qid = p.qid
+         ORDER BY p.qid"""
+    },
     "q188_matryoshka_recall" -> {
       def legSql(p: Int): String =
         s"""SELECT 'mrl$p' AS method, t.qid,
