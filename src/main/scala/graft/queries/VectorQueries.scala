@@ -1051,6 +1051,17 @@ object VectorQueries {
     * near-dup graph q162 already iterates). The oracle replays the
     * same construction with a recursive-CTE closure. */
   def q178Dbscan(s: SparkSession, dir: String): DataFrame = {
+    val (sym, res) = dbscanChain(s, dir)
+    val out = res.localCheckpoint()
+    sym.unpersist()
+    out
+  }
+
+  /** The q178 chain BEFORE the checkpoint/unpersist epilogue, exposed
+    * for NewQueryPlanSpec (the fsTrajectory pattern). Returns (cached
+    * symmetrized neighbour frame to unpersist, result frame). */
+  private[graft] def dbscanChain(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val emb = Tables.embeddings(s, dir)
     val (buckets, _) = bucketsOf(s, dir)
     val cands = buckets.select(col("band"), col("key"), col("vec_id").as("v1"))
@@ -1067,22 +1078,38 @@ object VectorQueries {
         r6(cosine(col("e1"), col("e2"))).as("cosine"))
       .filter(col("cosine") >= DbscanEps)
       .select("v1", "v2")
+    // the symmetrized neighbour list feeds FOUR consumers (degrees,
+    // the core-core edges, border assignment, the output join) —
+    // persist so the bucket join + cosine scan runs once
     val sym = nb.select(col("v1").as("a"), col("v2").as("b"))
       .unionByName(nb.select(col("v2").as("a"), col("v1").as("b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = sym.groupBy("a").agg(count(lit(1)).as("deg"))
     val core = deg.filter(col("deg") >= DbscanMinPts).select("a")
     val coreEdges = sym
       .join(core, Seq("a"), "semi")
       .join(core.select(col("a").as("b")), Seq("b"), "semi")
       .select(col("a").as("src"), col("b").as("dst"))
-    val comp = graft.operators.GraphComponents.connectedComponents(
-        core.select(col("a").as("node")), coreEdges)
-      .select(col("node").as("a"), col("comp").as("cluster"))
+    // the eps-0.25 core graph is much denser than q162's 0.3 dup
+    // forest and min-label propagation pays a full round per diameter
+    // step; the alternating-star variant contracts it in O(log2 n)
+    // rounds, and the per-round frames are graph-sized (17k edges at
+    // sf0.1) so the round loop runs at state-sized shuffle parallelism
+    // (the EventStream drainSized rationale) — together ~2.5x
+    val comp = {
+      val key = "spark.sql.shuffle.partitions"
+      val prev = s.conf.get(key)
+      s.conf.set(key, "8")
+      try graft.operators.GraphComponents.connectedComponentsStar(
+          core.select(col("a").as("node")), coreEdges)
+        .localCheckpoint()
+      finally s.conf.set(key, prev)
+    }.select(col("node").as("a"), col("comp").as("cluster"))
     val border = sym
       .join(core, Seq("a"), "anti")
       .join(comp.select(col("a").as("b"), col("cluster")), Seq("b"))
       .groupBy("a").agg(min("cluster").as("cluster"))
-    emb.select(col("vec_id"))
+    val out = emb.select(col("vec_id"))
       .join(deg.select(col("a").as("vec_id"), col("deg")), Seq("vec_id"),
         "left")
       .join(comp.select(col("a").as("vec_id"),
@@ -1096,6 +1123,7 @@ object VectorQueries {
           .otherwise("noise").as("role"),
         coalesce(col("core_cl"), col("border_cl"), lit(-1L)).as("cluster"))
       .orderBy("vec_id")
+    (sym, out)
   }
 
   /** q168: kNN-GRAPH construction — top-[[KnnK]] neighbours for EVERY

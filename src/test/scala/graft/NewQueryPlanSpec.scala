@@ -773,7 +773,9 @@ class NewQueryPlanSpec extends AnyFunSuite {
   }
 
   test("q178: DBSCAN — bucket candidates equi-join, degree agg combines map-side") {
-    val plan = executed(queries.VectorQueries.q178Dbscan(spark, sf))
+    // probe the pre-checkpoint chain (q178 itself localCheckpoints)
+    val (sym, res) = queries.VectorQueries.dbscanChain(spark, sf)
+    val plan = try executed(res) finally sym.unpersist()
     assert(!plan.contains("CartesianProduct"),
       s"q178's candidate generation must stay bucketed:\n$plan")
     assert(plan.contains("partial_count"),
