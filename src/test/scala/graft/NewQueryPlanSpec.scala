@@ -875,6 +875,33 @@ class NewQueryPlanSpec extends AnyFunSuite {
       s"q190's label contraction must be keyed joins:\n$plan")
   }
 
+  test("q191: triplets — anchor batches broadcast against corpus scans") {
+    val plan = executed(
+      queries.VectorQueries.q191ContrastiveTriplets(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"q191's anchor batch must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"q191 must never plan a non-broadcast cartesian:\n$plan")
+  }
+
+  test("q192: padding waste — map-side bucketing, one combinable groupBy") {
+    val plan = executed(queries.PipelineQueries.q192PaddingWaste(spark, sf))
+    assert(!plan.contains("Join"),
+      s"q192 is one scan + one aggregate — no join belongs here:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"q192's bucket stats must combine map-side:\n$plan")
+  }
+
+  test("q193: contamination matrix — doc-keyed source joins, combinable cells") {
+    val plan = executed(
+      queries.DedupQueries.q193SourceContamination(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"q193's source joins must be doc-keyed:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"q193's cell counts must combine map-side:\n$plan")
+  }
+
   test("q155: changelog reconstruction is one combinable agg — no window, no join") {
     import spark.implicits._
     val log = Seq(
