@@ -722,6 +722,58 @@ object VectorQueries {
       .orderBy("method", "qid")
   }
 
+  /** q194: MULTI-PROBE LSH (Lv et al. 2007) — the standard recall
+    * lever that does NOT grow the index: each query probes its own
+    * band bucket AND every 1-bit-flip neighbour key (bits probes per
+    * band), because a near neighbour that lands one sign-bit away is
+    * the most likely miss of sign-LSH. The index stays exactly q31's
+    * bucket table (no extra storage, no extra bands); only the QUERY
+    * fans out, by bands·(1+bits) lookups — a per-query constant.
+    * Output is a self-graded recall report (the q188 shape): plain
+    * q31 LSH vs multi-probe on the same corpus-derived buckets
+    * against the q30 truth — the measured before/after of the lever.
+    *
+    * Scale shape: the probe fan-out multiplies a FIXED query batch;
+    * the candidate join stays (band, key)-bucketed against the
+    * memoized table; grading is batch·K joins. */
+  def q194MultiprobeLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val (buckets, bits) = bucketsOf(s, dir)
+    val qb = buckets
+      .filter(col("vec_id") % 50 === 0 && col("vec_id") < QBatchMax)
+      .select(col("vec_id").as("qid"), col("band"), col("key"))
+    val probes = qb.unionByName(
+      qb.withColumn("j", explode(sequence(lit(0), lit(bits - 1))))
+        .select(col("qid"), col("band"),
+          expr("CAST(key ^ shiftleft(1L, j) AS BIGINT)").as("key")))
+    val cand = probes
+      .join(buckets.select(col("band"), col("key"), col("vec_id")),
+        Seq("band", "key"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id").distinct()
+    val res = cand
+      .join(emb.select(col("vec_id").as("qid"),
+        col("embedding").as("qemb")), Seq("qid"))
+      .join(emb.select("vec_id", "embedding"), Seq("vec_id"))
+      .withColumn("cosine", r6(cosine(col("qemb"), col("embedding"))))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rnk") <= K)
+    val truth = q30KnnBrute(s, dir).select(col("qid"), col("vec_id"))
+    def recall(df: DataFrame, m: String) = truth
+      .join(df.select(col("qid"), col("vec_id"), lit(1L).as("found")),
+        Seq("qid", "vec_id"), "left")
+      .groupBy("qid")
+      .agg(count(lit(1)).as("k"),
+        sum(coalesce(col("found"), lit(0L))).as("hits"))
+      .withColumn("method", lit(m))
+    recall(q31KnnLsh(s, dir), "lsh")
+      .unionByName(recall(res, "mlsh"))
+      .withColumn("recall_milli", expr("hits * 1000 div k"))
+      .select("method", "qid", "k", "hits", "recall_milli")
+      .orderBy("method", "qid")
+  }
+
   /** Tombstoned vector predicate for the q186/q187 delete drills:
     * every vec_id ≡ 3 (mod 10) has been deleted from the store. */
   private def tombstoned(c: org.apache.spark.sql.Column) = c % 10 === 3
@@ -1574,6 +1626,7 @@ object VectorQueries {
     "q186_tombstone_serve" -> (q186TombstoneServe _),
     "q188_matryoshka_recall" -> (q188MatryoshkaRecall _),
     "q191_contrastive_triplets" -> (q191ContrastiveTriplets _),
+    "q194_multiprobe_lsh" -> (q194MultiprobeLsh _),
     "q187_compaction_report" -> (q187CompactionReport _),
     "q158_ivf_kmeans" -> (q158IvfKmeans _),
     "q116_incremental_ann" -> (q116IncrementalAnn _),
@@ -2118,6 +2171,51 @@ object VectorQueries {
     "q163_mmr_rerank" -> mmrSql,
     "q186_tombstone_serve" ->
       s"SELECT * FROM ($tombstoneServeSql) ORDER BY qid, rnk",
+    "q194_multiprobe_lsh" ->
+      s"""WITH $bucketsCtes,
+         mqb AS (SELECT vec_id AS qid, band, key FROM buckets
+           WHERE vec_id % 50 = 0 AND vec_id < $QBatchMax),
+         mprobes AS (SELECT qid, band, key FROM mqb
+           UNION ALL
+           SELECT qid, band,
+             CAST(xor(key, CAST(power(2, j.range) AS BIGINT)) AS BIGINT)
+           FROM mqb, range(0, $MaxBits) j, nb WHERE j.range < nb.bits),
+         mcand AS (SELECT DISTINCT p.qid, b.vec_id
+           FROM mprobes p JOIN buckets b
+             ON p.band = b.band AND p.key = b.key
+           WHERE b.vec_id <> p.qid),
+         mscored AS (SELECT mcand.qid, mcand.vec_id,
+           ${r6Sql(sqlCosine("eq.embedding", "ev.embedding"))} AS cosine
+           FROM mcand
+           JOIN embeddings eq ON eq.vec_id = mcand.qid
+           JOIN embeddings ev ON ev.vec_id = mcand.vec_id),
+         mres AS (SELECT qid, vec_id FROM
+           (SELECT *, row_number() OVER (PARTITION BY qid
+              ORDER BY cosine DESC, vec_id) AS rnk FROM mscored)
+           WHERE rnk <= $K),
+         truth AS (SELECT qid, vec_id FROM
+           (WITH $bruteCtes SELECT qid, vec_id FROM ranked
+            WHERE rnk <= $K)),
+         plainres AS (SELECT qid, vec_id FROM
+           (WITH $lshCtes SELECT qid, vec_id FROM ranked
+            WHERE rnk <= $K)),
+         rec AS (
+           SELECT 'lsh' AS method, t.qid,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS hits
+           FROM truth t LEFT JOIN plainres a
+             ON t.qid = a.qid AND t.vec_id = a.vec_id
+           GROUP BY t.qid
+           UNION ALL
+           SELECT 'mlsh', t.qid, CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT)
+           FROM truth t LEFT JOIN mres a
+             ON t.qid = a.qid AND t.vec_id = a.vec_id
+           GROUP BY t.qid)
+         SELECT method, qid, k, hits, hits * 1000 // k AS recall_milli
+         FROM rec ORDER BY method, qid""",
     "q191_contrastive_triplets" -> {
       def top1Sql(cond: String, alias: String): String =
         s"""$alias AS (SELECT qid, qlabel, vec_id, cosine FROM (

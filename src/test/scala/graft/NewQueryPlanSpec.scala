@@ -902,6 +902,14 @@ class NewQueryPlanSpec extends AnyFunSuite {
       s"q193's cell counts must combine map-side:\n$plan")
   }
 
+  test("q194: multi-probe — bucketed candidate join, broadcast grading") {
+    val plan = executed(queries.VectorQueries.q194MultiprobeLsh(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"q194's probe join must stay (band,key)-bucketed:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"q194's recall grading must combine map-side:\n$plan")
+  }
+
   test("q155: changelog reconstruction is one combinable agg — no window, no join") {
     import spark.implicits._
     val log = Seq(
