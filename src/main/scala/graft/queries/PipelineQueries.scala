@@ -767,7 +767,69 @@ object PipelineQueries {
         "truncated_tokens", "pad_milli")
       .orderBy("bucket")
 
+  /** q195: CONTENT-DEFINED CHUNKING (the rolling-hash cut-point
+    * scheme of LBFS/FastCDC that dedup STORAGE uses instead of fixed
+    * blocks): a chunk boundary falls wherever the 3-token rolling
+    * hash has its low 4 bits zero (expected chunk ~16 shingles), so
+    * an insertion early in a document shifts ONE chunk's boundaries,
+    * not every block after it — the property fixed-size blocks (and
+    * q144's fixed chunks) lack, and the reason delta-ingest stores
+    * chunk on content. Chunks are identified by an order-aware
+    * integer signature (count, sum, min, max, position-weighted sum
+    * of their shingle hashes — exact integers, no concat/codec), and
+    * the report grades chunk-level CROSS-DOC sharing per document:
+    * shared_milli is the fraction of a document's chunks a dedup
+    * store would NOT have to write again.
+    *
+    * Scale shape: shingling and cut-point marking are map-side, chunk
+    * assignment is one per-doc window (the q104/q50 gaps shape), the
+    * signature roll-up is combinable, and the only cross-doc shuffle
+    * carries chunk signatures. */
+  def q195CdcChunking(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+      .filter(size(col("t")) > 0)
+    val occ = toks
+      .select(col("doc_id"), posexplode(TextFns.shingleHashes(col("t"), 3)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("h"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    // the position weighting is CHUNK-relative (cpos), not
+    // doc-relative — identical chunks at different offsets must sign
+    // identically for cross-doc dedup to see them
+    val chunks = occ
+      .withColumn("is_cut",
+        when(expr("(h & 15) = 0"), 1L).otherwise(0L))
+      .withColumn("chunk_id", coalesce(
+        sum("is_cut").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("cpos", col("pos") - min("pos").over(
+        Window.partitionBy("doc_id", "chunk_id")))
+      .groupBy("doc_id", "chunk_id")
+      .agg(count(lit(1)).as("c_len"), sum("h").as("c_sum"),
+        min("h").as("c_min"), max("h").as("c_max"),
+        sum(expr("h * (cpos + 1)")).as("c_psum"))
+    val keyed = chunks.select(col("doc_id"),
+      concat_ws(":", col("c_len"), col("c_sum"), col("c_min"),
+        col("c_max"), col("c_psum")).as("sig"))
+    // distinct-then-count keeps the plan in plain HashAggregates (the
+    // README countDistinct rule for near-unique key spaces)
+    val shared = keyed.select("sig", "doc_id").distinct()
+      .groupBy("sig").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2).select("sig")
+    keyed
+      .join(shared.withColumn("is_shared", lit(1L)), Seq("sig"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("is_shared"), lit(0L))).as("shared_chunks"))
+      .withColumn("shared_milli",
+        expr("shared_chunks * 1000 div n_chunks"))
+      .select("doc_id", "n_chunks", "shared_chunks", "shared_milli")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q195_cdc_chunking" -> (q195CdcChunking _),
     "q192_padding_waste" -> (q192PaddingWaste _),
     "q179_weighted_sample" -> (q179WeightedSample _),
     "q165_source_quota" -> (q165SourceQuota _),
@@ -825,6 +887,44 @@ object PipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q195_cdc_chunking" ->
+      s"""WITH toks AS (SELECT doc_id, ${TextFns.sqlTokens("text")} AS t
+           FROM documents WHERE len(${TextFns.sqlTokens("text")}) > 0),
+         occ AS (SELECT doc_id, CAST(u.o - 1 AS BIGINT) AS pos, u.h
+           FROM toks, unnest(${TextFns.sqlShingleHashes("t", 3)})
+             WITH ORDINALITY AS u(h, o)),
+         cuts AS (SELECT doc_id, pos, h,
+             CASE WHEN (h & 15) = 0 THEN 1 ELSE 0 END AS is_cut
+           FROM occ),
+         asg AS (SELECT doc_id, pos, h,
+             CAST(coalesce(sum(is_cut) OVER (PARTITION BY doc_id
+               ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS BIGINT) AS chunk_id
+           FROM cuts),
+         rel AS (SELECT doc_id, chunk_id, h,
+             pos - min(pos) OVER (PARTITION BY doc_id, chunk_id)
+               AS cpos
+           FROM asg),
+         ch AS (SELECT doc_id, chunk_id,
+             CAST(count(*) AS BIGINT) AS c_len,
+             CAST(sum(h) AS BIGINT) AS c_sum,
+             min(h) AS c_min, max(h) AS c_max,
+             CAST(sum(h * (cpos + 1)) AS BIGINT) AS c_psum
+           FROM rel GROUP BY doc_id, chunk_id),
+         keyed AS (SELECT doc_id,
+             concat_ws(':', c_len, c_sum, c_min, c_max, c_psum) AS sig
+           FROM ch),
+         shared AS (SELECT sig FROM
+             (SELECT sig, count(*) AS n_docs FROM
+               (SELECT DISTINCT sig, doc_id FROM keyed) GROUP BY sig)
+           WHERE n_docs >= 2)
+         SELECT k.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN s.sig IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS shared_chunks,
+           CAST(sum(CASE WHEN s.sig IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) * 1000 // count(*) AS shared_milli
+         FROM keyed k LEFT JOIN shared s ON s.sig = k.sig
+         GROUP BY k.doc_id ORDER BY k.doc_id""",
     "q192_padding_waste" ->
       s"""WITH d AS (SELECT doc_id,
            CAST(len(${TextFns.sqlTokens("text")}) AS BIGINT) AS n
