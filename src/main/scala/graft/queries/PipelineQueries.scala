@@ -890,9 +890,13 @@ object PipelineQueries {
     "q195_cdc_chunking" ->
       s"""WITH toks AS (SELECT doc_id, ${TextFns.sqlTokens("text")} AS t
            FROM documents WHERE len(${TextFns.sqlTokens("text")}) > 0),
-         occ AS (SELECT doc_id, CAST(u.o - 1 AS BIGINT) AS pos, u.h
-           FROM toks, unnest(${TextFns.sqlShingleHashes("t", 3)})
-             WITH ORDINALITY AS u(h, o)),
+         shh AS (SELECT doc_id,
+           ${TextFns.sqlShingleHashes("t", 3)} AS hs FROM toks),
+         occ0 AS (SELECT doc_id, unnest(list_transform(hs,
+             (x, i) -> struct_pack(pos := CAST(i - 1 AS BIGINT), h := x)))
+             AS u
+           FROM shh),
+         occ AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM occ0),
          cuts AS (SELECT doc_id, pos, h,
              CASE WHEN (h & 15) = 0 THEN 1 ELSE 0 END AS is_cut
            FROM occ),

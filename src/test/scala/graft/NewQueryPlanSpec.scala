@@ -910,6 +910,16 @@ class NewQueryPlanSpec extends AnyFunSuite {
       s"q194's recall grading must combine map-side:\n$plan")
   }
 
+  test("q195: CDC chunking — per-doc windows, signature-keyed shuffle only") {
+    val plan = executed(queries.PipelineQueries.q195CdcChunking(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"q195's shared-chunk detector must be signature-keyed:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"q195's chunk roll-ups must combine map-side:\n$plan")
+    assert(!plan.contains("ObjectHashAggregate"),
+      s"q195 must stay in plain HashAggregates (no collect/countDistinct fallback):\n$plan")
+  }
+
   test("q155: changelog reconstruction is one combinable agg — no window, no join") {
     import spark.implicits._
     val log = Seq(
