@@ -163,6 +163,44 @@ object MlQueries {
       .orderBy("bin")
   }
 
+  /** q196: SLICE-METRICS EVALUATION — the q56 classifier's accuracy
+    * per (true language × document-length bucket) slice, the
+    * slice-finder/model-card readout that aggregate accuracy hides: a
+    * model can score 90% overall while failing every long German
+    * document, and THIS is the query that shows it. Slices with few
+    * examples are flagged (n < 5) rather than dropped — a thin slice
+    * is an evaluation gap, not a result. Same map-side inference as
+    * q56/q183; the roll-up is one combinable aggregation over ≤
+    * langs × 3 cells. */
+  def q196SliceMetrics(s: SparkSession, dir: String): DataFrame = {
+    val test = q56Features(s, dir).filter(
+      graft.operators.Sampling.bucket(col("doc_id"), splitSalt)
+        < lit(testBucketHex))
+    val votes = MlFixtures.rfTreeIds.map(t => MlFixtures.treeColumn(t))
+    val winner = test.select(col("doc_id"), col("lang"),
+        col("n_tokens").cast("long").as("nt"),
+        explode(array(votes: _*)).as("vote"))
+      .groupBy("doc_id", "lang", "nt", "vote")
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("n_votes").desc, col("vote"))))
+      .filter(col("rnk") === 1)
+      .withColumn("len_bucket", expr(
+        """CASE WHEN nt < 20 THEN 'short'
+                WHEN nt < 60 THEN 'medium' ELSE 'long' END"""))
+      .withColumn("correct",
+        when(element_at(array(langs.map(lit): _*),
+          (col("vote") + 1).cast("int")) === col("lang"), 1L).otherwise(0L))
+    winner.groupBy("lang", "len_bucket")
+      .agg(count(lit(1)).as("n"), sum("correct").as("n_correct"))
+      .withColumn("acc_milli", expr("n_correct * 1000 div n"))
+      .withColumn("thin_slice", col("n") < 5)
+      .select("lang", "len_bucket", "n", "n_correct", "acc_milli",
+        "thin_slice")
+      .orderBy("lang", "len_bucket")
+  }
+
   /** Sparse-binary feature dimension for the q57 vector space. */
   val minhashDim: Int = 1 << 18
 
@@ -321,6 +359,7 @@ object MlQueries {
     "q55_stem_tokens" -> (q55StemTokens _),
     "q56_rf_classifier" -> (q56RfClassifier _),
     "q183_calibration" -> (q183Calibration _),
+    "q196_slice_metrics" -> (q196SliceMetrics _),
     "q57_ml_minhash" -> (q57MlMinhash _),
     "q66_word2vec" -> (q66Word2vec _))
 
@@ -418,6 +457,43 @@ object MlQueries {
          SELECT doc1, doc2,
            CAST(round(jd*1e6) AS BIGINT)/1e6 AS jaccard_dist
          FROM d WHERE jd < 0.8 ORDER BY doc1, doc2""",
+    "q196_slice_metrics" -> {
+      val treeCases = MlFixtures.rfTreeIds.map(MlFixtures.treeSql)
+        .mkString(", ")
+      val langList = langs.map(l => s"'$l'").mkString(", ")
+      s"""WITH base AS (SELECT doc_id, lang, text,
+             ${TextFns.sqlTokens("text")} AS toks FROM documents),
+         feats AS (SELECT doc_id, lang,
+             len(list_filter(toks, x -> list_contains(['der','die','das','und'], x))) / len(toks) AS hits_de,
+             len(list_filter(toks, x -> list_contains(['the','a','is','of','to'], x))) / len(toks) AS hits_en,
+             len(list_filter(toks, x -> list_contains(['el','los','las','y'], x))) / len(toks) AS hits_es,
+             len(list_filter(toks, x -> list_contains(['le','la','les','et'], x))) / len(toks) AS hits_fr,
+             CAST(len(toks) AS DOUBLE) AS n_tokens,
+             length(regexp_replace(lower(text), '[^a-z]', '', 'g')) / length(text) AS alpha_ratio
+           FROM base WHERE len(toks) > 0
+             AND substr(md5('$splitSalt' || CAST(doc_id AS VARCHAR)), 1, 2)
+               < '$testBucketHex'),
+         voted AS (SELECT doc_id, lang,
+             CAST(n_tokens AS BIGINT) AS nt,
+             unnest([$treeCases]) AS vote
+           FROM feats),
+         counts AS (SELECT doc_id, lang, nt, vote, count(*) AS n_votes
+           FROM voted GROUP BY doc_id, lang, nt, vote),
+         winner AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY n_votes DESC, vote) AS rnk FROM counts),
+         docs AS (SELECT lang,
+             CASE WHEN nt < 20 THEN 'short'
+                  WHEN nt < 60 THEN 'medium' ELSE 'long' END AS len_bucket,
+             CASE WHEN [$langList][vote + 1] = lang THEN 1 ELSE 0 END
+               AS correct
+           FROM winner WHERE rnk = 1)
+         SELECT lang, len_bucket, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(correct) AS BIGINT) AS n_correct,
+           CAST(sum(correct) AS BIGINT) * 1000 // count(*) AS acc_milli,
+           count(*) < 5 AS thin_slice
+         FROM docs GROUP BY lang, len_bucket
+         ORDER BY lang, len_bucket"""
+    },
     "q183_calibration" -> {
       val treeCases = MlFixtures.rfTreeIds.map(MlFixtures.treeSql)
         .mkString(", ")

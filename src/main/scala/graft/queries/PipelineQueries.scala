@@ -828,7 +828,61 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** q197: DATASET CARD — the datasheet artifact (Gebru et al. 2021)
+    * a published training set ships: one (section, metric, value)
+    * table unifying the engine's audit surfaces — corpus size and
+    * token mass, per-source and per-language composition, near-dup
+    * and exact-dup pressure, curation pass rate. Every value is an
+    * exact integer from a combinable aggregate, and each section is a
+    * small roll-up the suite already verifies piecemeal; this query
+    * is the composition a release process actually publishes.
+    *
+    * Scale shape: a union of ≤6 independent aggregates, each one
+    * scan + one combinable groupBy; the dup-pair count reads the
+    * memoized pair frame. Output rows = sources + langs + ~8. */
+  def q197DatasetCard(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"),
+        md5(col("text").cast("binary")).as("th"))
+    val corpus = d.agg(
+      count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+      expr("sum(n_tokens) div count(1)").as("mean_tokens"))
+    val corpusRows = corpus.select(explode(array(
+        struct(lit("corpus").as("section"), lit("n_docs").as("metric"),
+          col("n_docs").as("value")),
+        struct(lit("corpus").as("section"), lit("n_tokens").as("metric"),
+          col("n_tokens").as("value")),
+        struct(lit("corpus").as("section"),
+          lit("mean_tokens_per_doc").as("metric"),
+          col("mean_tokens").as("value")))).as("r"))
+      .select("r.section", "r.metric", "r.value")
+    val bySource = d.groupBy("source").agg(count(lit(1)).as("value"))
+      .select(lit("docs_by_source").as("section"),
+        col("source").as("metric"), col("value"))
+    val byLang = d.groupBy("lang").agg(count(lit(1)).as("value"))
+      .select(lit("docs_by_lang").as("section"),
+        col("lang").as("metric"), col("value"))
+    val exactDups = d.groupBy("th").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .agg(coalesce(sum(col("c") - 1), lit(0L)).as("value"))
+      .select(lit("dedup").as("section"),
+        lit("exact_dup_docs").as("metric"), col("value"))
+    val nearDups = Shared.dupPairs(s, dir)
+      .agg(count(lit(1)).as("value"))
+      .select(lit("dedup").as("section"),
+        lit("near_dup_pairs").as("metric"), col("value"))
+    val curation = q93CurationPipeline(s, dir)
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("value"))
+      .select(lit("curation").as("section"),
+        lit("docs_kept").as("metric"), col("value"))
+    corpusRows.unionByName(bySource).unionByName(byLang)
+      .unionByName(exactDups).unionByName(nearDups).unionByName(curation)
+      .orderBy("section", "metric")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q197_dataset_card" -> (q197DatasetCard _),
     "q195_cdc_chunking" -> (q195CdcChunking _),
     "q192_padding_waste" -> (q192PaddingWaste _),
     "q179_weighted_sample" -> (q179WeightedSample _),
@@ -887,6 +941,41 @@ object PipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q197_dataset_card" ->
+      s"""WITH d AS (SELECT doc_id, source, lang,
+           CAST(len(${TextFns.sqlTokens("text")}) AS BIGINT) AS n_tokens,
+           md5(text) AS th
+           FROM documents),
+         rows0 AS (
+           SELECT 'corpus' AS section, 'n_docs' AS metric,
+             CAST(count(*) AS BIGINT) AS value FROM d
+           UNION ALL
+           SELECT 'corpus', 'n_tokens', CAST(sum(n_tokens) AS BIGINT)
+           FROM d
+           UNION ALL
+           SELECT 'corpus', 'mean_tokens_per_doc',
+             CAST(sum(n_tokens) AS BIGINT) // count(*) FROM d
+           UNION ALL
+           SELECT 'docs_by_source', source, CAST(count(*) AS BIGINT)
+           FROM d GROUP BY source
+           UNION ALL
+           SELECT 'docs_by_lang', lang, CAST(count(*) AS BIGINT)
+           FROM d GROUP BY lang
+           UNION ALL
+           SELECT 'dedup', 'exact_dup_docs',
+             CAST(coalesce(sum(c - 1), 0) AS BIGINT) FROM
+             (SELECT th, count(*) AS c FROM d GROUP BY th
+              HAVING count(*) >= 2)
+           UNION ALL
+           SELECT 'dedup', 'near_dup_pairs', CAST(count(*) AS BIGINT)
+           FROM (WITH ${TextQueries.lshDupPairsCtes}
+                 SELECT * FROM dup_pairs)
+           UNION ALL
+           SELECT 'curation', 'docs_kept',
+             CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+           FROM ($q93OracleSql))
+         SELECT section, metric, value FROM rows0
+         ORDER BY section, metric""",
     "q195_cdc_chunking" ->
       s"""WITH toks AS (SELECT doc_id, ${TextFns.sqlTokens("text")} AS t
            FROM documents WHERE len(${TextFns.sqlTokens("text")}) > 0),

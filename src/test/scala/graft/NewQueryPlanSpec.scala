@@ -920,6 +920,22 @@ class NewQueryPlanSpec extends AnyFunSuite {
       s"q195 must stay in plain HashAggregates (no collect/countDistinct fallback):\n$plan")
   }
 
+  test("q196: slice metrics — map-side inference, combinable cell roll-up") {
+    val plan = executed(queries.MlQueries.q196SliceMetrics(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"q196 must not plan a cartesian:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"q196's slice cells must combine map-side:\n$plan")
+  }
+
+  test("q197: dataset card — independent combinable aggregates, no cartesian") {
+    val plan = executed(queries.PipelineQueries.q197DatasetCard(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"q197's sections are independent aggregates:\n$plan")
+    assert(plan.contains("Union"),
+      s"q197 is a union of section frames:\n$plan")
+  }
+
   test("q155: changelog reconstruction is one combinable agg — no window, no join") {
     import spark.implicits._
     val log = Seq(
