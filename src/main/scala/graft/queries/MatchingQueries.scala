@@ -564,14 +564,18 @@ object MatchingQueries {
           sum(expr("(1000000 - r_mic) * g_band")).as("sug1"),
           sum(expr("(1000000 - r_mic) * g_seg")).as("sug2"),
           sum(expr("(1000000 - r_mic) * g_chk")).as("sug3"))
+        // greatest(·, 1) guards: a degenerate corpus (zero pairs, or a
+        // responsibility mass of exactly 0 or 1) must yield a defined
+        // all-zero update, not a divide-by-zero (Spark nulls, DuckDB
+        // THROWS — the engines diverge exactly where a guard is absent)
         .select(
-          expr("CAST(CAST(srg1 AS DECIMAL(38,0)) * 1000000 DIV sr AS BIGINT)").as("m1_mic"),
-          expr("CAST(CAST(srg2 AS DECIMAL(38,0)) * 1000000 DIV sr AS BIGINT)").as("m2_mic"),
-          expr("CAST(CAST(srg3 AS DECIMAL(38,0)) * 1000000 DIV sr AS BIGINT)").as("m3_mic"),
-          expr("CAST(CAST(sug1 AS DECIMAL(38,0)) * 1000000 DIV (CAST(n AS DECIMAL(38,0))*1000000 - sr) AS BIGINT)").as("u1_mic"),
-          expr("CAST(CAST(sug2 AS DECIMAL(38,0)) * 1000000 DIV (CAST(n AS DECIMAL(38,0))*1000000 - sr) AS BIGINT)").as("u2_mic"),
-          expr("CAST(CAST(sug3 AS DECIMAL(38,0)) * 1000000 DIV (CAST(n AS DECIMAL(38,0))*1000000 - sr) AS BIGINT)").as("u3_mic"),
-          expr("sr DIV n").as("p_mic"))
+          expr("CAST(coalesce(CAST(srg1 AS DECIMAL(38,0)) * 1000000 DIV greatest(coalesce(sr, 0), 1), 0) AS BIGINT)").as("m1_mic"),
+          expr("CAST(coalesce(CAST(srg2 AS DECIMAL(38,0)) * 1000000 DIV greatest(coalesce(sr, 0), 1), 0) AS BIGINT)").as("m2_mic"),
+          expr("CAST(coalesce(CAST(srg3 AS DECIMAL(38,0)) * 1000000 DIV greatest(coalesce(sr, 0), 1), 0) AS BIGINT)").as("m3_mic"),
+          expr("CAST(coalesce(CAST(sug1 AS DECIMAL(38,0)) * 1000000 DIV greatest(CAST(n AS DECIMAL(38,0))*1000000 - coalesce(sr, 0), 1), 0) AS BIGINT)").as("u1_mic"),
+          expr("CAST(coalesce(CAST(sug2 AS DECIMAL(38,0)) * 1000000 DIV greatest(CAST(n AS DECIMAL(38,0))*1000000 - coalesce(sr, 0), 1), 0) AS BIGINT)").as("u2_mic"),
+          expr("CAST(coalesce(CAST(sug3 AS DECIMAL(38,0)) * 1000000 DIV greatest(CAST(n AS DECIMAL(38,0))*1000000 - coalesce(sr, 0), 1), 0) AS BIGINT)").as("u3_mic"),
+          expr("coalesce(sr DIV greatest(n, 1), 0)").as("p_mic"))
     }
     val init = s.sql(
       """SELECT CAST(900000 AS BIGINT) m1_mic, CAST(900000 AS BIGINT) m2_mic,
@@ -664,8 +668,12 @@ object MatchingQueries {
   def q185FsMatchWeights(s: SparkSession, dir: String): DataFrame = {
     val (pairs, out) = fsTrajectory(s, dir)
     val params = out.filter(col("iter") === 3).drop("iter")
+    // clamp both probabilities to [1, 999999] micro before the log
+    // ratio: a saturated field (m or u at exactly 0 or 1 on a
+    // degenerate corpus) must yield a large finite weight, not ±inf
     def w(mic: String, umic: String) = expr(
-      s"""CAST(round(ln(($mic/1e6) / ($umic/1e6)) / ln(2) * 1e6)
+      s"""CAST(round(ln(least(greatest($mic, 1), 999999)/1e6
+           / (least(greatest($umic, 1), 999999)/1e6)) / ln(2) * 1e6)
          AS BIGINT)""")
     val weights = params.select(
       w("m1_mic", "u1_mic").as("wa1"),
@@ -806,29 +814,37 @@ object MatchingQueries {
              * ${caseP("g_chk", "u3_mic")} AS pu
          FROM pairs p CROSS JOIN $prev t)),
        t$i AS (SELECT
-         CAST(CAST(sum(r_mic*g_band) AS HUGEINT) * 1000000
-           // sum(r_mic) AS BIGINT) AS m1_mic,
-         CAST(CAST(sum(r_mic*g_seg) AS HUGEINT) * 1000000
-           // sum(r_mic) AS BIGINT) AS m2_mic,
-         CAST(CAST(sum(r_mic*g_chk) AS HUGEINT) * 1000000
-           // sum(r_mic) AS BIGINT) AS m3_mic,
-         CAST(CAST(sum((1000000-r_mic)*g_band) AS HUGEINT) * 1000000
-           // (CAST(count(*) AS HUGEINT)*1000000 - sum(r_mic))
+         CAST(CAST(coalesce(sum(r_mic*g_band), 0) AS HUGEINT) * 1000000
+           // greatest(coalesce(sum(r_mic), 0), 1) AS BIGINT) AS m1_mic,
+         CAST(CAST(coalesce(sum(r_mic*g_seg), 0) AS HUGEINT) * 1000000
+           // greatest(coalesce(sum(r_mic), 0), 1) AS BIGINT) AS m2_mic,
+         CAST(CAST(coalesce(sum(r_mic*g_chk), 0) AS HUGEINT) * 1000000
+           // greatest(coalesce(sum(r_mic), 0), 1) AS BIGINT) AS m3_mic,
+         CAST(CAST(coalesce(sum((1000000-r_mic)*g_band), 0) AS HUGEINT)
+           * 1000000
+           // greatest(CAST(count(*) AS HUGEINT)*1000000
+               - coalesce(sum(r_mic), 0), 1)
            AS BIGINT) AS u1_mic,
-         CAST(CAST(sum((1000000-r_mic)*g_seg) AS HUGEINT) * 1000000
-           // (CAST(count(*) AS HUGEINT)*1000000 - sum(r_mic))
+         CAST(CAST(coalesce(sum((1000000-r_mic)*g_seg), 0) AS HUGEINT)
+           * 1000000
+           // greatest(CAST(count(*) AS HUGEINT)*1000000
+               - coalesce(sum(r_mic), 0), 1)
            AS BIGINT) AS u2_mic,
-         CAST(CAST(sum((1000000-r_mic)*g_chk) AS HUGEINT) * 1000000
-           // (CAST(count(*) AS HUGEINT)*1000000 - sum(r_mic))
+         CAST(CAST(coalesce(sum((1000000-r_mic)*g_chk), 0) AS HUGEINT)
+           * 1000000
+           // greatest(CAST(count(*) AS HUGEINT)*1000000
+               - coalesce(sum(r_mic), 0), 1)
            AS BIGINT) AS u3_mic,
-         CAST(sum(r_mic) // count(*) AS BIGINT) AS p_mic
+         CAST(coalesce(sum(r_mic), 0) // greatest(count(*), 1)
+           AS BIGINT) AS p_mic
        FROM r$i)"""
   }
 
   val oracles: Map[String, String] = Map(
     "q185_fs_match_weights" -> {
       def w(mic: String, umic: String) =
-        s"""CAST(round(ln(($mic/1e6) / ($umic/1e6)) / ln(2) * 1e6)
+        s"""CAST(round(ln(least(greatest($mic, 1), 999999)/1e6
+             / (least(greatest($umic, 1), 999999)/1e6)) / ln(2) * 1e6)
            AS BIGINT)"""
       s"""WITH ns AS (SELECT ${fsSubBlocksSql("count(*)")} AS v
            FROM customer),

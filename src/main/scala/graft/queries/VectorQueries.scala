@@ -1043,9 +1043,13 @@ object VectorQueries {
         .agg(expr("sum(cv * v) DIV 1000000000000").as("w"))
       val nrm = w.agg(
         expr("sum(CAST(w AS DECIMAL(38,0)) * w)").as("n2"))
+      // n2 = 0 (a zero covariance matrix: n <= 1 or a constant corpus)
+      // must yield the zero vector, not 0/0 (Spark NaN-casts to null,
+      // DuckDB errors — divergent exactly where unguarded)
       w.crossJoin(broadcast(nrm))
         .select(col("i"),
-          expr("CAST(round(CAST(w AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE)) * 1e6) AS BIGINT)")
+          expr("""CASE WHEN n2 = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(round(CAST(w AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE)) * 1e6) AS BIGINT) END""")
             .as("v"))
         // 64 integer rows; cut the lineage — w's subtree is otherwise
         // referenced twice per level (nrm + the select) and the
@@ -1065,11 +1069,13 @@ object VectorQueries {
       .crossJoin(broadcast(cov.filter(col("i") === col("j"))
         .agg(sum("cv").as("trace"))))
       .agg(expr(
-        """CAST(round(
+        """CASE WHEN sum(CAST(v AS DECIMAL(38,0)) * v) = 0
+                  OR first(trace) = 0 THEN CAST(0 AS BIGINT)
+           ELSE CAST(round(
              CAST(sum(CAST(v AS DECIMAL(38,0)) * w) AS DOUBLE)
              * 1000 * 1e12
              / CAST(sum(CAST(v AS DECIMAL(38,0)) * v) AS DOUBLE)
-             / CAST(first(trace) AS DOUBLE)) AS BIGINT)""").as("ev_milli"))
+             / CAST(first(trace) AS DOUBLE)) AS BIGINT) END""").as("ev_milli"))
     val res = v3.crossJoin(broadcast(ev))
       .select(col("i").as("pos"), col("v").as("v_mic"), col("ev_milli"))
       .orderBy("pos")
@@ -2295,9 +2301,11 @@ object VectorQueries {
                THEN sum(cv * v.v) // 1000000000000
                ELSE -((-sum(cv * v.v)) // 1000000000000) END AS w
            FROM cov JOIN $prev v ON v.i = cov.j GROUP BY cov.i),
-           v$k AS (SELECT i, CAST(round(CAST(w AS DOUBLE)
-               / sqrt(CAST((SELECT sum(w*w) FROM w$k) AS DOUBLE)) * 1e6)
-             AS BIGINT) AS v FROM w$k)"""
+           v$k AS (SELECT i, CASE
+               WHEN (SELECT sum(w*w) FROM w$k) = 0 THEN CAST(0 AS BIGINT)
+               ELSE CAST(round(CAST(w AS DOUBLE)
+                 / sqrt(CAST((SELECT sum(w*w) FROM w$k) AS DOUBLE)) * 1e6)
+               AS BIGINT) END AS v FROM w$k)"""
       s"""WITH q AS (SELECT vec_id, list_transform(embedding,
            x -> CAST(round(CAST(x AS DOUBLE)*1e6) AS BIGINT) + 1000000)
            AS qe FROM embeddings),
@@ -2322,11 +2330,14 @@ object VectorQueries {
                ELSE -((-sum(cv * v.v)) // 1000000000000) END AS w
            FROM cov JOIN v3 v ON v.i = cov.j GROUP BY cov.i),
          tr AS (SELECT sum(cv) AS trace FROM cov WHERE i = j),
-         ev AS (SELECT CAST(round(
-             CAST(sum(CAST(v.v AS HUGEINT) * w4.w) AS DOUBLE)
-             * 1000 * 1e12
-             / CAST(sum(CAST(v.v AS HUGEINT) * v.v) AS DOUBLE)
-             / CAST((SELECT trace FROM tr) AS DOUBLE)) AS BIGINT)
+         ev AS (SELECT CASE
+             WHEN sum(CAST(v.v AS HUGEINT) * v.v) = 0
+               OR (SELECT trace FROM tr) = 0 THEN CAST(0 AS BIGINT)
+             ELSE CAST(round(
+               CAST(sum(CAST(v.v AS HUGEINT) * w4.w) AS DOUBLE)
+               * 1000 * 1e12
+               / CAST(sum(CAST(v.v AS HUGEINT) * v.v) AS DOUBLE)
+               / CAST((SELECT trace FROM tr) AS DOUBLE)) AS BIGINT) END
              AS ev_milli
            FROM v3 v JOIN w4 ON w4.i = v.i)
          SELECT v.i AS pos, v.v AS v_mic, (SELECT ev_milli FROM ev)

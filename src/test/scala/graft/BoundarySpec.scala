@@ -101,6 +101,33 @@ class BoundarySpec extends AnyFunSuite {
       bookKeys((r.getInt(1), r.getLong(2)))), "codes index the book")
   }
 
+  test("q176/q180/q185 on a single-row corpus: guarded zeros, not divide-by-zero") {
+    // one customer (zero candidate pairs) and one all-zero embedding
+    // (a zero covariance matrix): the degenerate corpus every guard in
+    // the EM / PCA / log-weight paths exists for. DuckDB THROWS on
+    // integer division by zero while Spark nulls — the guards keep the
+    // two engines on the same (defined) answer.
+    val dir = java.nio.file.Files.createTempDirectory("graft-bnd").toString
+    Seq((0L, "Customer#0", 1, 100.0, "BUILDING"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((0L, Seq.fill(64)(0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val fs = queries.MatchingQueries.q176FellegiSunter(spark, dir).collect()
+    assert(fs.length == 4, "EM trajectory stays 4 rows on a pairless corpus")
+    assert(fs.filter(_.getLong(0) > 0).forall(r =>
+      (1 to 7).forall(i => r.getLong(i) == 0L)),
+      "every post-init update is the guarded all-zero row")
+    val wts = queries.MatchingQueries.q185FsMatchWeights(spark, dir).collect()
+    assert(wts.isEmpty, "no pairs -> an empty (defined) weight histogram")
+    val pca = queries.VectorQueries.q180PcaPower(spark, dir).collect()
+    assert(pca.length == 64, "PCA stays total on a zero covariance matrix")
+    assert(pca.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L),
+      "zero matrix -> guarded zero vector and zero explained variance")
+  }
+
   test("shingleSets: empty corpus, single doc, empty-text doc") {
     val docs = Seq((1L, ""), (2L, "one"), (3L, "a b c d e f g"))
       .toDF("doc_id", "text")
