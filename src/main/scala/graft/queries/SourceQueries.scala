@@ -481,7 +481,42 @@ object SourceQueries {
       .orderBy("source", "status")
   }
 
+  /** q198: EXPORT INTEGRITY MANIFEST — the (table, n_rows, checksum)
+    * artifact a publish step ships next to the data (and a consumer
+    * re-computes to verify the copy): per table, the exact row count
+    * and an ORDER-INVARIANT content checksum — the sum of a 24-bit
+    * md5-derived integer over each row's canonical key|content
+    * string. Sum-of-row-hashes is the standard portable spelling: it
+    * is partition- and order-independent (addition commutes), any
+    * engine with md5 reproduces it bit-for-bit (the q80/q126 hex
+    * discipline — no engine-specific hash function), and a single
+    * flipped row moves it with probability 1 − 2⁻²⁴ per row. The
+    * natural integrity companion to S8's atomic publish and q156's
+    * snapshot diff.
+    *
+    * Scale shape: one combinable aggregate per table — the checksum
+    * is map-side per row, the manifest is 3 rows at any data size. */
+  def q198ExportManifest(s: SparkSession, dir: String): DataFrame = {
+    def check(df: DataFrame, name: String,
+        canon: org.apache.spark.sql.Column) = df
+      .select(conv(substring(md5(canon.cast("binary")), 1, 6), 16, 10)
+        .cast("long").as("h"))
+      .agg(count(lit(1)).as("n_rows"), sum("h").as("checksum"))
+      .select(lit(name).as("table_name"), col("n_rows"), col("checksum"))
+    val docs = check(Tables.documents(s, dir), "documents",
+      concat_ws("|", col("doc_id"), col("source"), col("lang"),
+        col("n_chars"), col("text")))
+    val cust = check(Tables.customer(s, dir), "customer",
+      concat_ws("|", col("c_custkey"), col("c_name"), col("c_nationkey"),
+        expr("CAST(round(c_acctbal*100) AS BIGINT)"), col("c_mktsegment")))
+    val ord = check(Tables.orders(s, dir), "orders",
+      concat_ws("|", col("o_orderkey"), col("o_custkey"),
+        expr("CAST(round(o_totalprice*100) AS BIGINT)")))
+    docs.unionByName(cust).unionByName(ord).orderBy("table_name")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q198_export_manifest" -> (q198ExportManifest _),
     "q156_snapshot_diff" -> (q156SnapshotDiff _),
     "q140_mv_maintain" -> (q140MvMaintain _),
     "q138_zorder_layout" -> (q138ZorderLayout _),
@@ -495,7 +530,39 @@ object SourceQueries {
     "q64_text_source" -> (q64TextSource _),
     "q65_partitioned_sink" -> (q65PartitionedSink _))
 
+  /** 24-bit integer from the first 6 hex chars of md5 over `e` —
+    * digit-for-digit the Spark conv(substring(md5)) expression (the
+    * q126 bloom-position parsing pattern, widened to 6 digits). */
+  private def md5Int24Sql(e: String): String =
+    (0 until 6).map(i =>
+      s"""(strpos('0123456789abcdef', substring(md5($e), ${i + 1}, 1)) - 1)
+         * ${1L << (4 * (5 - i))}""").mkString("(", " + ", ")")
+
   val oracles: Map[String, String] = Map(
+    "q198_export_manifest" ->
+      s"""WITH d AS (SELECT ${md5Int24Sql(
+           """doc_id || '|' || source || '|' || lang || '|' ||
+              n_chars || '|' || text""")} AS h FROM documents),
+         c AS (SELECT ${md5Int24Sql(
+           """c_custkey || '|' || c_name || '|' || c_nationkey || '|' ||
+              CAST(round(c_acctbal*100) AS BIGINT) || '|' ||
+              c_mktsegment""")} AS h FROM customer),
+         o AS (SELECT ${md5Int24Sql(
+           """o_orderkey || '|' || o_custkey || '|' ||
+              CAST(round(o_totalprice*100) AS BIGINT)""")} AS h
+           FROM orders),
+         m AS (
+           SELECT 'documents' AS table_name,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(h) AS BIGINT) AS checksum FROM d
+           UNION ALL
+           SELECT 'customer', CAST(count(*) AS BIGINT),
+             CAST(sum(h) AS BIGINT) FROM c
+           UNION ALL
+           SELECT 'orders', CAST(count(*) AS BIGINT),
+             CAST(sum(h) AS BIGINT) FROM o)
+         SELECT table_name, n_rows, checksum FROM m
+         ORDER BY table_name""",
     "q156_snapshot_diff" ->
       """WITH old AS (SELECT doc_id, source AS old_source,
            md5(text) AS old_md5,

@@ -936,6 +936,14 @@ class NewQueryPlanSpec extends AnyFunSuite {
       s"q197 is a union of section frames:\n$plan")
   }
 
+  test("q198: export manifest — one combinable aggregate per table, no join") {
+    val plan = executed(queries.SourceQueries.q198ExportManifest(spark, sf))
+    assert(!plan.contains("Join"),
+      s"q198's checksums are per-table scans, no join belongs here:\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"q198's checksum sums must combine map-side:\n$plan")
+  }
+
   test("q155: changelog reconstruction is one combinable agg — no window, no join") {
     import spark.implicits._
     val log = Seq(
