@@ -93,18 +93,21 @@ object ScalarQueries {
       .orderBy("doc_id")
   }
 
-  /** Multimodal plumbing: text packed as an opaque binary payload with
-    * typed metadata; deterministic features computed after a binary
-    * round-trip (decode(payload) == original text). The batched
-    * partition-level decoder stub is exercised by MultimodalSpec. */
+  /** Multimodal feature extraction over REAL image payloads: each
+    * document's bytes are tiled into a square grayscale image, encoded
+    * as an actual PNG executor-side, then ImageIO-decoded back inside
+    * the batched boundary and reduced to an 8-bucket intensity
+    * histogram. PNG is lossless for 8-bit gray, so the oracle can
+    * replay the histogram from the source text (bucket = ascii >> 5,
+    * padding zeros into bucket 0) — a hash match proves the real
+    * encode→decode round trip, not just the plumbing. */
   def q46MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
-    val packed = Multimodal.packBinary(Tables.documents(s, dir), "doc_id", "text")
-    val decoded = decode(col("payload"), "UTF-8")
-    packed.select(
-        col("doc_id"),
-        col("meta.n_bytes").as("n_bytes"),
-        (1 to 16).map(i => coalesce(ascii(substring(decoded, i, 1)), lit(0)))
-          .reduce(_ + _).as("cp16"))
+    val packed = Multimodal.packImages(Tables.documents(s, dir), "doc_id", "text")
+    val feats = Multimodal.extractFeatures(packed)
+    feats.select(
+        Seq(col("doc_id"), col("content_bytes").as("n_bytes"), col("w")) ++
+          (0 to 7).map(i =>
+            element_at(col("feature"), i + 1).cast("int").as(s"b$i")): _*)
       .orderBy("doc_id")
   }
 
@@ -132,7 +135,7 @@ object ScalarQueries {
     * every banded-LSH cap in the suite makes. */
   def q75BlockhashPairs(s: SparkSession, dir: String): DataFrame = {
     val hashes = Multimodal.blockhashes(
-      Multimodal.packBinary(Tables.documents(s, dir), "doc_id", "text"))
+      Multimodal.packImages(Tables.documents(s, dir), "doc_id", "text"))
     val words = graft.operators.Blocking.capBlocks(
       hashes.select(col("doc_id"),
         posexplode(array(col("h0"), col("h1"), col("h2"), col("h3")))
@@ -157,34 +160,34 @@ object ScalarQueries {
       .orderBy("doc1", "doc2")
   }
 
-  /** Block-mean thumbnail resize over the multimodal payloads
-    * (Multimodal.resizeThumbs — the media resize step, same block
-    * partitioning as blockhash): every 8×8-thumb byte decoded back to
-    * its integer value. The payload bytes are ASCII (< 0x80) and
-    * block means of ASCII stay ASCII, so the byte→int hop is a safe
-    * UTF-8 decode and the whole pipeline has an exact DuckDB spelling
-    * (integer half-up means over the q75 block partitioning). */
+  /** Block-mean thumbnail resize over REAL image payloads: each
+    * document's PNG is ImageIO-decoded and block-mean pooled to an
+    * 8×8 thumb inside the batched boundary. Lossless PNG means the
+    * oracle replays the exact integer half-up means over the q75
+    * block partitioning of the source text — the hash match covers
+    * decode + resize end to end. */
   def q90ThumbnailBlocks(s: SparkSession, dir: String): DataFrame = {
     val thumbs = Multimodal.resizeThumbs(
-      Multimodal.packBinary(Tables.documents(s, dir), "doc_id", "text"), 8, 8)
+      Multimodal.packImages(Tables.documents(s, dir), "doc_id", "text"), 8, 8)
     thumbs.select(col("doc_id"), col("w"), col("h"),
-        posexplode(transform(sequence(lit(0), lit(63)),
-          i => ascii(decode(col("thumb").substr(i + 1, lit(1)), "UTF-8"))))
-          .as(Seq("block_idx", "mean_byte")))
+        posexplode(col("means")).as(Seq("block_idx", "mean_byte")))
       .orderBy("doc_id", "block_idx")
   }
 
-  /** Frame sampling over the packed payloads (the video plumbing
-    * shape, q46's sibling): every 2nd 64-byte frame as a row, decoded
-    * back to text so DuckDB can check the exact slicing. The text is
-    * ASCII (lowercase tokens), so byte and character offsets agree
-    * between Spark's binary substring and the oracle's substr. */
+  /** Frame sampling over a REAL video-like reel (the MJPEG shape):
+    * each document's text is cut into 64-byte chunks, every chunk
+    * becomes an actual 8×8 grayscale BMP still, and the fixed-size
+    * encoded frames concatenate into one payload. frameSample slices
+    * every 2nd still with pure Column expressions (no decode in the
+    * slicing path), then each sampled still is ImageIO-decoded back
+    * to its text chunk. Byte and character offsets agree because the
+    * corpus is ASCII, so DuckDB replays the slicing with substr —
+    * the hash match proves encode→slice→decode round-trips every
+    * frame exactly. */
   def q83FrameSample(s: SparkSession, dir: String): DataFrame = {
-    val packed = Multimodal.packBinary(Tables.documents(s, dir), "doc_id", "text")
-    Multimodal.frameSample(packed, 64, 2)
-      .select(col("doc_id"), col("frame_idx"),
-        decode(col("frame"), "UTF-8").as("frame_str"))
-      .withColumn("frame_len", length(col("frame_str")))
+    val reel = Multimodal.packFrameReel(Tables.documents(s, dir), "doc_id", "text")
+    val frameBytes = Multimodal.encodedFrameSize(64, "bmp")
+    Multimodal.decodeFrameText(Multimodal.frameSample(reel, frameBytes, 2))
       .orderBy("doc_id", "frame_idx")
   }
 
@@ -291,12 +294,31 @@ object ScalarQueries {
            CAST(length(substr(text, CAST(frame_idx * 64 + 1 AS INTEGER), 64))
              AS INTEGER) AS frame_len
          FROM f ORDER BY doc_id, frame_idx""",
+    // real-decode feature oracle: the Spark side PNG-encodes the
+    // square-tiled text bytes and ImageIO-decodes them back before
+    // histogramming; the oracle replays the histogram straight from
+    // the text (bucket = ascii // 32; the s*s - n zero pads land in
+    // bucket 0). Hash equality proves the codec round trip is exact.
     "q46_multimodal_features" ->
-      ("""SELECT doc_id,
-         CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes, ("""
-        + (1 to 16).map(i => s"ascii(substr(text, $i, 1))").mkString(" + ")
-        + """) AS cp16
-         FROM documents ORDER BY doc_id"""),
+      ("""WITH sides AS (SELECT doc_id, text,
+           octet_length(encode(text)) AS n,
+           greatest(16, CAST(ceil(sqrt(CAST(octet_length(encode(text))
+             AS DOUBLE))) AS INTEGER)) AS s
+           FROM documents),
+         ch AS (SELECT doc_id,
+             ascii(substr(text, CAST(p + 1 AS INTEGER), 1)) // 32 AS bkt
+           FROM (SELECT doc_id, text, unnest(range(0, n)) AS p FROM sides)),
+         hist AS (SELECT doc_id, bkt, count(*) AS c
+           FROM ch GROUP BY doc_id, bkt)
+         SELECT d.doc_id, CAST(d.n AS INTEGER) AS n_bytes, d.s AS w,
+           CAST(coalesce(sum(CASE WHEN bkt = 0 THEN c END), 0)
+             + d.s * d.s - d.n AS INTEGER) AS b0,"""
+        + (1 to 7).map(i =>
+            s"CAST(coalesce(sum(CASE WHEN bkt = $i THEN c END), 0) AS INTEGER) AS b$i")
+            .mkString(",")
+        + """ FROM sides d LEFT JOIN hist ON d.doc_id = hist.doc_id
+         GROUP BY d.doc_id, d.n, d.s
+         ORDER BY d.doc_id"""),
     // blockhash-256 in SQL: the payload is ASCII text, so byte p of the
     // square side×side image is ascii(substr(text, p+1, 1)) (0 beyond
     // the text — the zero padding). Block means are double divisions,

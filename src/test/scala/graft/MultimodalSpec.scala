@@ -4,15 +4,52 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Multimodal
 
 /** Semantics of the multimodal pipeline pieces that have no SQL
-  * spelling: the batched decode boundary and the JVM blockhash. */
+  * spelling: the real ImageIO codec boundary (PNG/BMP grayscale
+  * round trips), the batched decode shape, and the JVM blockhash.
+  * Checked-in fixture files (src/test/resources/graft/fixtures,
+  * written by tools/ImageFixtureGen) pin the decoded-pixel goldens
+  * against real on-disk images. */
 class MultimodalSpec extends AnyFunSuite {
   import TestSpark._
 
-  test("decodeStub histogram counts every byte exactly once") {
-    val bytes = Array.tabulate(256)(_.toByte)
-    val h = Multimodal.decodeStub(bytes)
-    assert(h.sum == 256f)
-    assert(h.forall(_ == 32f), "uniform byte sweep -> 32 per bucket")
+  test("PNG and BMP grayscale round trips are lossless (full byte sweep)") {
+    // every 8-bit value once, non-square dims to catch w/h swaps
+    val w = 32; val h = 8
+    val px = Array.tabulate(w * h)(_.toByte)
+    for (fmt <- Seq("png", "bmp")) {
+      val enc = Multimodal.encodeGray(px, w, h, fmt)
+      val (dw, dh, out) = Multimodal.decodeGray(enc)
+      assert((dw, dh) == (w, h), s"$fmt dims")
+      assert(out.toSeq == px.toSeq, s"$fmt pixel round trip must be exact")
+    }
+  }
+
+  test("checked-in image fixtures decode to their golden pixels") {
+    for ((name, expected) <- Seq(
+        "gradient_16x16.png" -> Array.tabulate(256)(_.toByte),
+        "gradient_16x16.bmp" -> Array.tabulate(256)(_.toByte),
+        "checker_16x16.png" -> Array.tabulate(256)(i =>
+          (if ((i / 16 + i % 16) % 2 == 0) 0 else 255).toByte))) {
+      val in = getClass.getResourceAsStream(s"/graft/fixtures/$name")
+      assert(in != null, s"missing fixture $name")
+      val bytes = in.readAllBytes(); in.close()
+      val (w, h, px) = Multimodal.decodeGray(bytes)
+      assert((w, h) == (16, 16))
+      assert(px.toSeq == expected.toSeq, s"$name golden pixels")
+    }
+  }
+
+  test("fixture blockhash goldens are stable across codec and format") {
+    // the same pixels through PNG and BMP must hash identically —
+    // the hash sees decoded pixels, never encoded bytes
+    def hashOf(name: String): Seq[Long] = {
+      val in = getClass.getResourceAsStream(s"/graft/fixtures/$name")
+      val bytes = in.readAllBytes(); in.close()
+      val (w, h, px) = Multimodal.decodeGray(bytes)
+      Multimodal.blockhash256(px, w, h).toSeq
+    }
+    assert(hashOf("gradient_16x16.png") == hashOf("gradient_16x16.bmp"))
+    assert(hashOf("gradient_16x16.png") != hashOf("checker_16x16.png"))
   }
 
   test("blockhash is deterministic and structural") {
@@ -43,19 +80,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(dist <= 17, s"one-pixel change flipped $dist bits")
   }
 
-  test("batched feature extraction preserves ids and byte counts") {
-    val packed = Multimodal.packBinary(
+  test("batched feature extraction decodes real PNGs with ids intact") {
+    val packed = Multimodal.packImages(
       Tables.documents(spark, sf), "doc_id", "text")
     val feats = Multimodal.extractFeatures(packed, batchSize = 16)
     val rows = feats.collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val n = r.getAs[Int]("n_bytes")
+      val w = r.getAs[Int]("w"); val h = r.getAs[Int]("h")
       val hist = r.getAs[collection.Seq[Float]]("feature")
-      assert(hist.sum.toInt == n, "histogram mass == payload bytes")
+      assert(hist.sum.toInt == w * h, "histogram mass == decoded pixels")
+      assert(hist.length == 8)
     }
     assert(feats.select("doc_id").distinct().count() ==
       Tables.documents(spark, sf).count())
+  }
+
+  test("packImages payloads are genuine PNG files") {
+    val packed = Multimodal.packImages(
+      Tables.documents(spark, sf), "doc_id", "text").limit(5).collect()
+    packed.foreach { r =>
+      val payload = r.getAs[Array[Byte]]("payload")
+      // PNG magic: 89 50 4E 47
+      assert((payload(0) & 0xff) == 0x89 && payload(1) == 'P' &&
+        payload(2) == 'N' && payload(3) == 'G', "payload must be real PNG")
+      val meta = r.getStruct(2)
+      assert(meta.getAs[Int]("n_bytes") == payload.length)
+      assert(meta.getAs[String]("kind") == "image/png")
+    }
   }
 
   test("resizeGray mean-pools blocks with exact integer rounding") {
@@ -71,25 +123,39 @@ class MultimodalSpec extends AnyFunSuite {
     // non-divisible target: 3×3 pooling still covers every pixel once
     val t3 = Multimodal.resizeGray(img, w, w, 3, 3)
     assert(t3.length == 9)
-    // thumbnails flow through the frame with ids intact
-    val packed = Multimodal.packBinary(
+    // thumbnails flow through the frame with ids intact, decoded from
+    // real PNGs; means mirrors the binary thumb exactly
+    val packed = Multimodal.packImages(
       Tables.documents(spark, sf), "doc_id", "text")
     val thumbs = Multimodal.resizeThumbs(packed, 4, 4).collect()
     assert(thumbs.forall(_.getAs[Array[Byte]]("thumb").length == 16))
+    thumbs.foreach { r =>
+      val bin = r.getAs[Array[Byte]]("thumb").map(_ & 0xff).toSeq
+      assert(r.getAs[collection.Seq[Int]]("means").toSeq == bin)
+    }
   }
 
-  test("frameSample slices exact frames and reconstructs the payload") {
+  test("frame reel: fixed-size real BMP stills slice and decode exactly") {
     import spark.implicits._
     val text = ('a' to 'z').mkString * 10 // 260 bytes → 5 frames of 64
     val docs = Seq((7L, text)).toDF("doc_id", "text")
-    val packed = Multimodal.packBinary(docs, "doc_id", "text")
-    val all = Multimodal.frameSample(packed, 64, 1)
+    val reel = Multimodal.packFrameReel(docs, "doc_id", "text")
+    val frameBytes = Multimodal.encodedFrameSize(64, "bmp")
+    // payload is exactly nFrames fixed-size encoded stills
+    val payload = reel.collect()(0).getAs[Array[Byte]]("payload")
+    assert(payload.length == 5 * frameBytes)
+    // each still is a real BMP ("BM" magic)
+    (0 until 5).foreach { f =>
+      assert(payload(f * frameBytes) == 'B' && payload(f * frameBytes + 1) == 'M')
+    }
+    val all = Multimodal.decodeFrameText(
+        Multimodal.frameSample(reel, frameBytes, 1))
       .orderBy("frame_idx").collect()
     assert(all.length == 5)
-    val glued = all.map(r => new String(r.getAs[Array[Byte]]("frame"), "UTF-8"))
-      .mkString
-    assert(glued == text, "concatenating every frame restores the payload")
-    val sampled = Multimodal.frameSample(packed, 64, 2).collect()
+    val glued = all.map(_.getAs[String]("frame_str")).mkString
+    assert(glued == text, "decoding every frame restores the text")
+    val sampled = Multimodal.decodeFrameText(
+      Multimodal.frameSample(reel, frameBytes, 2)).collect()
     assert(sampled.map(_.getLong(1)).sorted.toSeq == Seq(0L, 2L, 4L))
   }
 
@@ -97,7 +163,7 @@ class MultimodalSpec extends AnyFunSuite {
     import spark.implicits._
     // 300 bytes → one full 256-sample frame + one 44-sample tail;
     // golden values computed outside the JVM (python reimplementation
-    // of the stub codec arithmetic)
+    // of the centering arithmetic)
     val text = ("the quick brown fox " * 20).take(300)
     val docs = Seq((5L, text)).toDF("doc_id", "text")
     val got = Multimodal.audioFrames(Multimodal.packBinary(docs, "doc_id", "text"))
@@ -115,7 +181,7 @@ class MultimodalSpec extends AnyFunSuite {
     val docs = Seq((1L, text), (2L, text), (3L, text.reverse))
       .toDF("doc_id", "text")
     val rows = Multimodal.blockhashes(
-        Multimodal.packBinary(docs, "doc_id", "text"))
+        Multimodal.packImages(docs, "doc_id", "text"))
       .collect().map(r => r.getLong(0) ->
         (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
     assert(rows(1L) == rows(2L), "equal payloads -> equal hashes")
