@@ -102,6 +102,7 @@ object MatchingQueries {
     Seq(part, supp).foreach(Await.result(_, Duration.Inf))
     pivotedScores(s, dir).count()
     weightPairScores3(s, dir).count()
+    weightPairScores6(s, dir).count()
   }
 
   /** Document-type dim: open orders play the PROPOSAL role. */
@@ -403,6 +404,75 @@ object MatchingQueries {
       .filter(col("rnk") <= 3)
       .select("doc1", "doc2", "total_micro", "rnk")
       .orderBy("doc1", "rnk")
+  }
+
+  /** Six-type weight-training input — the reference's REAL arity
+    * (`WeightTrainerStage.scala:321-456` walks ~9 active score types;
+    * q159/q160 proved the machinery at k=3). The q20 pair universe
+    * widened with four more signals of distinct natures, mirroring how
+    * the reference mixes entity-overlap scores with date / numeric /
+    * categorical evidence: s3 = year proximity, s4 = total-price band
+    * proximity (exact integer cents // 1e6 banding, the q177 cents
+    * rule), s5 = same-customer flag, s6 = same-priority flag. One
+    * 5-column dim joined per pair side — two broadcast-sized joins,
+    * no new quadratic work. */
+  private[graft] def weightPairScores6(s: SparkSession, dir: String): DataFrame =
+    // memoized: the k=6 family (q199 grid, q200 Walker) drives many
+    // distributed passes over this frame (126-point coarse lattice +
+    // up to 31 probes per round)
+    memoized(s, dir, "pairScores6") {
+      val dim = Tables.orders(s, dir).select(
+        col("o_orderkey").as("doc_id"),
+        year(col("o_orderdate")).as("yr"),
+        expr("cast(round(o_totalprice * 100) as bigint) div 1000000").as("pband"),
+        col("o_custkey").as("cust"),
+        col("o_orderpriority").as("prio"))
+      weightPairScores(s, dir)
+        .join(dim.select(col("doc_id").as("doc1"), col("yr").as("y1"),
+          col("pband").as("pb1"), col("cust").as("c1"), col("prio").as("pr1")),
+          Seq("doc1"))
+        .join(dim.select(col("doc_id").as("doc2"), col("yr").as("y2"),
+          col("pband").as("pb2"), col("cust").as("c2"), col("prio").as("pr2")),
+          Seq("doc2"))
+        .withColumn("s3", lit(100.0) / (lit(1) + abs(col("y1") - col("y2"))))
+        .withColumn("s4", lit(100.0) / (lit(1) + abs(col("pb1") - col("pb2"))))
+        .withColumn("s5", when(col("c1") === col("c2"), 100.0).otherwise(0.0))
+        .withColumn("s6", when(col("pr1") === col("pr2"), 100.0).otherwise(0.0))
+        .select("doc1", "doc2", "s1", "s2", "s3", "s4", "s5", "s6")
+    }
+
+  private def labels6(ps: DataFrame): DataFrame =
+    ps.select(col("doc1"), col("doc2"),
+      ((col("doc1") + col("doc2")) % 5 === 0).as("accepted"))
+
+  /** q199: weight-grid evaluation at the reference's real arity (k=6;
+    * J7/A9): the constrained 6-type simplex lattice (Σnᵢ = 4,
+    * C(9,5) = 126 points) generated by iterated constrained cross
+    * joins, every point evaluated in ONE distributed pass over the
+    * 6-score match table — the |pairs|×|grid| shuffle the verdict
+    * flagged as the cost that grows with k, measured here as its own
+    * BASELINE row. */
+  def q199WeightGridK6(s: SparkSession, dir: String): DataFrame = {
+    val ps = weightPairScores6(s, dir)
+    WeightTraining.evaluateSimplex(ps, labels6(ps),
+        WeightTraining.simplexGrid(s, k = 6, steps = 4), k = 6)
+      .orderBy("n1", "n2", "n3", "n4", "n5")
+  }
+
+  /** q200: Walker refinement on the 6-type simplex — the full
+    * Cartographer+Walker shape at reference dimensionality. Coarse
+    * sub-simplex (steps=4 at denom=32, 126 points = multiples of 8)
+    * then 3 halving rounds probing the incumbent's ±step moves along
+    * every ordered axis pair (≤ k(k−1) = 30 probes + incumbent per
+    * round). The full n/32 6-simplex has C(37,5) ≈ 436k points —
+    * far too many for the q160 evaluate-everything oracle — so the
+    * oracle instead replays exactly the VISITED points: it generates
+    * each round's probe set from the previous argmin row with the
+    * same ±step·(eᵢ−eⱼ) moves and evaluates only those. */
+  def q200WeightRefineK6(s: SparkSession, dir: String): DataFrame = {
+    val ps = weightPairScores6(s, dir)
+    WeightTraining.refineWeightsSimplex(s, ps, labels6(ps), k = 6)
+      .orderBy("round")
   }
 
   /** q94: the FullMatcherApp end-to-end composite (reference
@@ -725,7 +795,9 @@ object MatchingQueries {
     "q72_weight_refine" -> (q72WeightRefine _),
     "q159_weight_grid_k3" -> (q159WeightGridK3 _),
     "q160_weight_refine_k3" -> (q160WeightRefineK3 _),
-    "q161_trained_total" -> (q161TrainedTotal _))
+    "q161_trained_total" -> (q161TrainedTotal _),
+    "q199_weight_grid_k6" -> (q199WeightGridK6 _),
+    "q200_weight_refine_k6" -> (q200WeightRefineK6 _))
 
   /** The 3-type weight-training input as a CTE chain ending in
     * `pairsc3(doc1, doc2, s1, s2, s3)` — the oracle replay of
@@ -782,6 +854,94 @@ object MatchingQueries {
        r3 AS (SELECT e.n1, e.n2, e.error FROM errs e, r2
          WHERE ${probeCond(1, "r2")}
          ORDER BY e.error, e.n1, e.n2 LIMIT 1)"""
+
+  /** The 6-type weight-training input as a CTE chain ending in
+    * `pairsc6(doc1, doc2, s1..s6)` — the oracle replay of
+    * [[weightPairScores6]] (q199/q200). */
+  private def pairsc6Sql: String =
+    s"""$bothScoresSql,
+       pairsc AS (SELECT doc1, doc2, s1, s2 FROM (
+         SELECT doc1, doc2,
+           coalesce(max(CASE WHEN score_type = 'part_overlap' THEN score END), 0.0) AS s1,
+           coalesce(max(CASE WHEN score_type = 'partsupp_overlap' THEN score END), 0.0) AS s2
+         FROM allscores GROUP BY doc1, doc2)
+         WHERE s1 > 0.0 AND s2 > 0.0),
+       dim6 AS (SELECT o_orderkey AS doc_id, year(o_orderdate) AS yr,
+         CAST(round(o_totalprice * 100) AS BIGINT) // 1000000 AS pband,
+         o_custkey AS cust, o_orderpriority AS prio FROM orders),
+       pairsc6 AS MATERIALIZED (SELECT p.doc1, p.doc2, p.s1, p.s2,
+         100.0 / (1 + abs(d1.yr - d2.yr)) AS s3,
+         100.0 / (1 + abs(d1.pband - d2.pband)) AS s4,
+         CASE WHEN d1.cust = d2.cust THEN 100.0 ELSE 0.0 END AS s5,
+         CASE WHEN d1.prio = d2.prio THEN 100.0 ELSE 0.0 END AS s6
+         FROM pairsc p
+         JOIN dim6 d1 ON d1.doc_id = p.doc1
+         JOIN dim6 d2 ON d2.doc_id = p.doc2)"""
+
+  private def k6N = (1 to 6).map(i => s"n$i").mkString(", ")
+
+  /** Evaluate a candidate-point CTE `cands(n1..n6)` against pairsc6:
+    * → `out(n1..n6, error)` — the evaluateSimplex metric in SQL,
+    * MATERIALIZED so each walk round is computed once. */
+  private def k6EvalSql(cands: String, out: String): String = {
+    val total = (1 to 6).map(i => s"c.n$i/32.0*p.s$i").mkString(" + ")
+    s"""${out}_sc AS (SELECT ${(1 to 6).map(i => s"c.n$i").mkString(", ")},
+         p.doc1, p.doc2, ((p.doc1 + p.doc2) % 5 = 0) AS accepted,
+         CAST(round(($total) * 1e6) AS BIGINT) AS total_micro
+       FROM pairsc6 p, $cands c),
+       ${out}_rk AS (SELECT *, row_number() OVER (
+         PARTITION BY n1, n2, n3, n4, n5, doc1
+         ORDER BY total_micro DESC, doc2) AS rnk FROM ${out}_sc),
+       $out AS MATERIALIZED (SELECT $k6N,
+         CAST(sum(CASE WHEN accepted THEN rnk - 1 ELSE 0 END) AS BIGINT) AS error
+       FROM ${out}_rk GROUP BY $k6N)"""
+  }
+
+  /** Deterministic argmin over an error CTE: (error, n1..n5) lex —
+    * n6 is determined by the rest, so this is full-lex, the Scala
+    * walk's tie-break. */
+  private def k6ArgminSql(errs: String, out: String): String =
+    s"""$out AS (SELECT * FROM $errs
+       ORDER BY error, n1, n2, n3, n4, n5 LIMIT 1)"""
+
+  /** One Walker probe set around the 1-row incumbent `prev` at step
+    * `s`: the 30 ordered-axis-pair moves n + s·(eᵢ−eⱼ) plus the
+    * incumbent itself (the i=j no-op rows), bounds-filtered and
+    * deduplicated — exactly refineWeightsSimplex's probe builder. */
+  private def k6ProbeSql(prev: String, s: Int, out: String): String = {
+    val cand = (1 to 6).map(m =>
+      s"""p.n$m + $s * ((CASE WHEN mv.i = $m THEN 1 ELSE 0 END)
+         - (CASE WHEN mv.j = $m THEN 1 ELSE 0 END)) AS n$m""").mkString(", ")
+    val bounds = (1 to 6).map(m => s"n$m BETWEEN 0 AND 32").mkString(" AND ")
+    s"""$out AS (SELECT DISTINCT $k6N FROM (
+         SELECT $cand FROM $prev p,
+           (SELECT a.i, b.j FROM range(1, 7) a(i), range(1, 7) b(j)) mv)
+       WHERE $bounds)"""
+  }
+
+  /** The complete q200 walk: 6-type pair scores → coarse 126-point
+    * sub-simplex pick `k6r0` → probe rounds `k6r1`..`k6r3`. Unlike
+    * q160's oracle (full 561-point lattice), only VISITED points are
+    * evaluated — the full n/32 6-simplex is ~436k points. */
+  private def k6WalkCtesSql: String = {
+    val axes = (1 to 5).map(i => s"range(0, 5) a$i(n$i)").mkString(", ")
+    val sum5 = (1 to 5).map(i => s"a$i.n$i").mkString(" + ")
+    s"""$pairsc6Sql,
+       c0 AS (SELECT ${(1 to 5).map(i => s"a$i.n$i * 8 AS n$i").mkString(", ")},
+         (4 - ($sum5)) * 8 AS n6
+         FROM $axes WHERE $sum5 <= 4),
+       ${k6EvalSql("c0", "e0")},
+       ${k6ArgminSql("e0", "k6r0")},
+       ${k6ProbeSql("k6r0", 4, "c1")},
+       ${k6EvalSql("c1", "e1")},
+       ${k6ArgminSql("e1", "k6r1")},
+       ${k6ProbeSql("k6r1", 2, "c2")},
+       ${k6EvalSql("c2", "e2")},
+       ${k6ArgminSql("e2", "k6r2")},
+       ${k6ProbeSql("k6r2", 1, "c3")},
+       ${k6EvalSql("c3", "e3")},
+       ${k6ArgminSql("e3", "k6r3")}"""
+  }
 
   /** One Walker probe set around the incumbent `prev` at step `s`, in
     * (n1, n2) lattice coordinates (n3 = denom − n1 − n2 implicit):
@@ -981,6 +1141,41 @@ object MatchingQueries {
          UNION ALL SELECT 3, n1, n2, 32 - n1 - n2,
            n1/32.0, n2/32.0, (32 - n1 - n2)/32.0, error FROM r3
          ORDER BY round""",
+    // k=6 grid: 126-point constrained lattice (Σn = 4), one scored
+    // pass — the q159 oracle at reference arity
+    "q199_weight_grid_k6" -> {
+      val axes = (1 to 5).map(i => s"range(0, 5) a$i(n$i)").mkString(", ")
+      val sum5 = (1 to 5).map(i => s"a$i.n$i").mkString(" + ")
+      val total = (1 to 6).map(i => s"g.n$i/4.0*p.s$i").mkString(" + ")
+      val ws = (1 to 6).map(i => s"n$i/4.0 AS w$i").mkString(", ")
+      s"""WITH $pairsc6Sql,
+         grid AS (SELECT ${(1 to 5).map(i => s"a$i.n$i").mkString(", ")},
+           4 - ($sum5) AS n6 FROM $axes WHERE $sum5 <= 4),
+         scored AS (SELECT $k6N, p.doc1, p.doc2,
+           ((p.doc1 + p.doc2) % 5 = 0) AS accepted,
+           CAST(round(($total) * 1e6) AS BIGINT) AS total_micro
+           FROM pairsc6 p, grid g),
+         ranked AS (SELECT *, row_number() OVER (
+           PARTITION BY n1, n2, n3, n4, n5, doc1
+           ORDER BY total_micro DESC, doc2) AS rnk FROM scored)
+         SELECT $k6N, $ws,
+           CAST(sum(CASE WHEN accepted THEN rnk - 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(sum(CASE WHEN accepted AND rnk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_top1,
+           CAST(sum(CASE WHEN accepted AND rnk <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_top3,
+           CAST(sum(CASE WHEN accepted THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted
+         FROM ranked GROUP BY $k6N ORDER BY n1, n2, n3, n4, n5"""
+    },
+    // k=6 walk: replay only the visited points (coarse pick + three
+    // probe rounds generated from each argmin row)
+    "q200_weight_refine_k6" -> {
+      def row(r: Int): String =
+        s"""SELECT CAST($r AS INTEGER) AS round, $k6N,
+           ${(1 to 6).map(i => s"n$i/32.0 AS w$i").mkString(", ")}, error
+           FROM k6r$r"""
+      s"""WITH $k6WalkCtesSql
+         ${(0 to 3).map(row).mkString(" UNION ALL ")}
+         ORDER BY round"""
+    },
     "q94_matcher_pipeline" ->
       s"""WITH $bothScoresSql,
          dt AS (SELECT o_orderkey AS doc_id,
