@@ -497,8 +497,13 @@ object VectorQueries {
   }
 
   /** q172: RANKING-AWARE retrieval metrics — MRR and nDCG@[[K]] for
-    * all six approximate index families against the q30 brute-force
-    * truth, completing q118's recall with ORDER sensitivity: recall
+    * ALL TEN approximate index families against the q30 brute-force
+    * truth: the six bit/cell-truncation indexes (lsh, ivf, ivf_kmeans,
+    * sq8, pq, ivfpq), the multi-probe query-fan-out lever (mlsh,
+    * q194's lever graded with rank sensitivity), and the three
+    * Matryoshka dimension-truncation prefixes (mrl8/16/32, q188's
+    * axis) — ONE oracle-verified artifact for the whole recall/MRR/
+    * nDCG ladder, completing q118's recall with ORDER sensitivity: recall
     * treats a hit at rank 5 like a hit at rank 1; a production
     * retrieval stack watches MRR/nDCG because the model consumes the
     * top of the list first. Exact integers end-to-end: per-position
@@ -531,6 +536,9 @@ object VectorQueries {
       .unionByName(metrics(q166Sq8Ann(s, dir), "sq8"))
       .unionByName(metrics(q173PqAnn(s, dir), "pq"))
       .unionByName(metrics(q174IvfPq(s, dir), "ivfpq"))
+      .unionByName(metrics(mlshResult(s, dir), "mlsh"))
+      .unionByName(MrlDims.map(p =>
+        metrics(mrlResult(s, dir, p), s"mrl$p")).reduce(_.unionByName(_)))
       .withColumn("mrr_milli",
         coalesce(expr("1000 DIV first_rel"), lit(0L)))
       .withColumn("ndcg_micro", expr(s"dcg_micro * 1000000 DIV $idcg"))
@@ -701,14 +709,10 @@ object VectorQueries {
     * scan over a SHORTER vector (the slice is map-side); grading is
     * batch·K-row joins. */
   def q188MatryoshkaRecall(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
     val truth = q30KnnBrute(s, dir).select(col("qid"),
       col("vec_id"), lit(1L).as("rel"))
     val legs = MrlDims.map { p =>
-      val res = VectorSearch.cosineTopK(
-        emb.select(col("vec_id"), slice(col("embedding"), 1, p).as("embedding")),
-        queriesOf(emb).select(col("qid"), slice(col("qemb"), 1, p).as("qemb")),
-        K)
+      val res = mrlResult(s, dir, p)
       truth.join(res.select(col("qid"), col("vec_id"),
           lit(1L).as("found")), Seq("qid", "vec_id"), "left")
         .groupBy("qid")
@@ -736,7 +740,9 @@ object VectorQueries {
     * Scale shape: the probe fan-out multiplies a FIXED query batch;
     * the candidate join stays (band, key)-bucketed against the
     * memoized table; grading is batch·K joins. */
-  def q194MultiprobeLsh(s: SparkSession, dir: String): DataFrame = {
+  /** Multi-probe ranked result (qid, vec_id, rnk ≤ K) — shared by
+    * q194's recall report and q172's graded metrics family. */
+  private def mlshResult(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val (buckets, bits) = bucketsOf(s, dir)
     val qb = buckets
@@ -751,7 +757,7 @@ object VectorQueries {
         Seq("band", "key"))
       .filter(col("vec_id") =!= col("qid"))
       .select("qid", "vec_id").distinct()
-    val res = cand
+    cand
       .join(emb.select(col("vec_id").as("qid"),
         col("embedding").as("qemb")), Seq("qid"))
       .join(emb.select("vec_id", "embedding"), Seq("vec_id"))
@@ -759,6 +765,20 @@ object VectorQueries {
       .withColumn("rnk", row_number().over(
         Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))))
       .filter(col("rnk") <= K)
+  }
+
+  /** Matryoshka P-dim prefix ranked result (qid, vec_id, rnk ≤ K) —
+    * shared by q188's recall curve and q172's graded metrics. */
+  private def mrlResult(s: SparkSession, dir: String, p: Int): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    VectorSearch.cosineTopK(
+      emb.select(col("vec_id"), slice(col("embedding"), 1, p).as("embedding")),
+      queriesOf(emb).select(col("qid"), slice(col("qemb"), 1, p).as("qemb")),
+      K)
+  }
+
+  def q194MultiprobeLsh(s: SparkSession, dir: String): DataFrame = {
+    val res = mlshResult(s, dir)
     val truth = q30KnnBrute(s, dir).select(col("qid"), col("vec_id"))
     def recall(df: DataFrame, m: String) = truth
       .join(df.select(col("qid"), col("vec_id"), lit(1L).as("found")),
@@ -1691,6 +1711,47 @@ object VectorQueries {
        ranked AS (SELECT *, row_number() OVER (PARTITION BY qid
          ORDER BY cosine DESC, vec_id) AS rnk FROM scored)"""
 
+  /** Multi-probe LSH ranked chain (ends in `mranked`, rnk unbounded) —
+    * the oracle replay of [[mlshResult]], shared by the q194 and q172
+    * oracles. */
+  private lazy val mlshCtes =
+    s"""$bucketsCtes,
+       mqb AS (SELECT vec_id AS qid, band, key FROM buckets
+         WHERE vec_id % 50 = 0 AND vec_id < $QBatchMax),
+       mprobes AS (SELECT qid, band, key FROM mqb
+         UNION ALL
+         SELECT qid, band,
+           CAST(xor(key, CAST(power(2, j.range) AS BIGINT)) AS BIGINT)
+         FROM mqb, range(0, $MaxBits) j, nb WHERE j.range < nb.bits),
+       mcand AS (SELECT DISTINCT p.qid, b.vec_id
+         FROM mprobes p JOIN buckets b
+           ON p.band = b.band AND p.key = b.key
+         WHERE b.vec_id <> p.qid),
+       mscored AS (SELECT mcand.qid, mcand.vec_id,
+         ${r6Sql(sqlCosine("eq.embedding", "ev.embedding"))} AS cosine
+         FROM mcand
+         JOIN embeddings eq ON eq.vec_id = mcand.qid
+         JOIN embeddings ev ON ev.vec_id = mcand.vec_id),
+       mranked AS (SELECT *, row_number() OVER (PARTITION BY qid
+           ORDER BY cosine DESC, vec_id) AS rnk FROM mscored)"""
+
+  /** Matryoshka P-dim-prefix ranked top-K as a standalone subquery
+    * (qid, vec_id, rnk ≤ K) — the oracle replay of [[mrlResult]],
+    * shared by the q188 and q172 oracles. */
+  private def mrlTopKSql(p: Int): String =
+    s"""SELECT qid, vec_id, rnk FROM (
+         SELECT q.qid, e.vec_id, row_number() OVER (PARTITION BY q.qid
+             ORDER BY ${r6Sql(sqlCosine(
+               s"list_slice(eq.embedding, 1, $p)",
+               s"list_slice(e.embedding, 1, $p)"))} DESC, e.vec_id)
+           AS rnk
+         FROM (SELECT vec_id AS qid FROM embeddings
+           WHERE vec_id % 50 = 0 AND vec_id < $QBatchMax) q
+         JOIN embeddings eq ON eq.vec_id = q.qid
+         CROSS JOIN embeddings e
+         WHERE e.vec_id <> q.qid)
+       WHERE rnk <= $K"""
+
   /** One unrolled Lloyd iteration: assign to nearest centroid `cents`
     * (integer distance, ties to smallest cl), then integer-mean
     * centroids. Mirrors q82Kmeans's assign+recompute exactly. */
@@ -1951,36 +2012,23 @@ object VectorQueries {
          sq8c AS (SELECT qid, vec_id, rnk FROM ($sq8Sql)),
          pqc AS (SELECT qid, vec_id, rnk FROM ($pqSql)),
          ivfpqc AS (SELECT qid, vec_id, rnk FROM ($ivfPqSql)),
+         mlshc AS (SELECT qid, vec_id, rnk FROM
+           (WITH $mlshCtes SELECT qid, vec_id, rnk FROM mranked
+            WHERE rnk <= $K)),
+         ${MrlDims.map(p =>
+            s"mrlc$p AS (SELECT qid, vec_id, rnk FROM (${mrlTopKSql(p)}))")
+            .mkString(",\n         ")},
          m AS (
-           SELECT 'lsh' AS method, a.qid, a.rnk,
-             CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END AS rel
-           FROM lsh a LEFT JOIN truth t
-             ON t.qid = a.qid AND t.vec_id = a.vec_id
-           UNION ALL
-           SELECT 'ivf', a.qid, a.rnk,
-             CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END
-           FROM ivf a LEFT JOIN truth t
-             ON t.qid = a.qid AND t.vec_id = a.vec_id
-           UNION ALL
-           SELECT 'ivf_kmeans', a.qid, a.rnk,
-             CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END
-           FROM ivfk a LEFT JOIN truth t
-             ON t.qid = a.qid AND t.vec_id = a.vec_id
-           UNION ALL
-           SELECT 'sq8', a.qid, a.rnk,
-             CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END
-           FROM sq8c a LEFT JOIN truth t
-             ON t.qid = a.qid AND t.vec_id = a.vec_id
-           UNION ALL
-           SELECT 'pq', a.qid, a.rnk,
-             CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END
-           FROM pqc a LEFT JOIN truth t
-             ON t.qid = a.qid AND t.vec_id = a.vec_id
-           UNION ALL
-           SELECT 'ivfpq', a.qid, a.rnk,
-             CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END
-           FROM ivfpqc a LEFT JOIN truth t
-             ON t.qid = a.qid AND t.vec_id = a.vec_id),
+           ${(Seq("lsh" -> "lsh", "ivf" -> "ivf", "ivf_kmeans" -> "ivfk",
+              "sq8" -> "sq8c", "pq" -> "pqc", "ivfpq" -> "ivfpqc",
+              "mlsh" -> "mlshc") ++
+              MrlDims.map(p => s"mrl$p" -> s"mrlc$p"))
+             .map { case (name, cte) =>
+               s"""SELECT '$name' AS method, a.qid, a.rnk,
+                 CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+               FROM $cte a LEFT JOIN truth t
+                 ON t.qid = a.qid AND t.vec_id = a.vec_id"""
+             }.mkString("\n           UNION ALL\n           ")}),
          g AS (SELECT method, qid,
              CAST(count(*) AS BIGINT) AS k,
              CAST(sum(rel) AS BIGINT) AS hits,
@@ -2178,27 +2226,8 @@ object VectorQueries {
     "q186_tombstone_serve" ->
       s"SELECT * FROM ($tombstoneServeSql) ORDER BY qid, rnk",
     "q194_multiprobe_lsh" ->
-      s"""WITH $bucketsCtes,
-         mqb AS (SELECT vec_id AS qid, band, key FROM buckets
-           WHERE vec_id % 50 = 0 AND vec_id < $QBatchMax),
-         mprobes AS (SELECT qid, band, key FROM mqb
-           UNION ALL
-           SELECT qid, band,
-             CAST(xor(key, CAST(power(2, j.range) AS BIGINT)) AS BIGINT)
-           FROM mqb, range(0, $MaxBits) j, nb WHERE j.range < nb.bits),
-         mcand AS (SELECT DISTINCT p.qid, b.vec_id
-           FROM mprobes p JOIN buckets b
-             ON p.band = b.band AND p.key = b.key
-           WHERE b.vec_id <> p.qid),
-         mscored AS (SELECT mcand.qid, mcand.vec_id,
-           ${r6Sql(sqlCosine("eq.embedding", "ev.embedding"))} AS cosine
-           FROM mcand
-           JOIN embeddings eq ON eq.vec_id = mcand.qid
-           JOIN embeddings ev ON ev.vec_id = mcand.vec_id),
-         mres AS (SELECT qid, vec_id FROM
-           (SELECT *, row_number() OVER (PARTITION BY qid
-              ORDER BY cosine DESC, vec_id) AS rnk FROM mscored)
-           WHERE rnk <= $K),
+      s"""WITH $mlshCtes,
+         mres AS (SELECT qid, vec_id FROM mranked WHERE rnk <= $K),
          truth AS (SELECT qid, vec_id FROM
            (WITH $bruteCtes SELECT qid, vec_id FROM ranked
             WHERE rnk <= $K)),
@@ -2251,19 +2280,7 @@ object VectorQueries {
              CAST(count(*) AS BIGINT) AS k,
              CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
                AS BIGINT) AS hits
-           FROM truth t LEFT JOIN (
-             SELECT qid, vec_id FROM (
-               SELECT q.qid, e.vec_id, row_number() OVER (PARTITION BY q.qid
-                   ORDER BY ${r6Sql(sqlCosine(
-                     s"list_slice(eq.embedding, 1, $p)",
-                     s"list_slice(e.embedding, 1, $p)"))} DESC, e.vec_id)
-                 AS rnk
-               FROM (SELECT vec_id AS qid FROM embeddings
-                 WHERE vec_id % 50 = 0 AND vec_id < $QBatchMax) q
-               JOIN embeddings eq ON eq.vec_id = q.qid
-               CROSS JOIN embeddings e
-               WHERE e.vec_id <> q.qid)
-             WHERE rnk <= $K) a
+           FROM truth t LEFT JOIN (${mrlTopKSql(p)}) a
              ON t.qid = a.qid AND t.vec_id = a.vec_id
            GROUP BY t.qid"""
       s"""WITH truth AS (SELECT qid, vec_id FROM
