@@ -736,6 +736,19 @@ object MatchingQueries {
     * inputs (q136 ln precedent), and the per-pair total is an integer
     * sum of constants. */
   def q185FsMatchWeights(s: SparkSession, dir: String): DataFrame = {
+    val (pairs, hist) = fsWeightsChain(s, dir)
+    val res = hist.localCheckpoint()
+    pairs.unpersist()
+    res
+  }
+
+  /** The q185 scoring chain BEFORE the checkpoint/unpersist epilogue
+    * (the q180/q178 exposed-chain pattern): returns (cached pairs
+    * frame to unpersist, histogram frame) so NewQueryPlanSpec can
+    * assert the broadcast/no-cartesian contract on the PHYSICAL plan
+    * instead of the checkpointed RDD scan. */
+  private[graft] def fsWeightsChain(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val (pairs, out) = fsTrajectory(s, dir)
     val params = out.filter(col("iter") === 3).drop("iter")
     // clamp both probabilities to [1, 999999] micro before the log
@@ -771,9 +784,7 @@ object MatchingQueries {
              * 1e6) AS BIGINT)"""))
       .select("band", "n_pairs", "posterior_mic")
       .orderBy("band")
-    val res = hist.localCheckpoint()
-    pairs.unpersist()
-    res
+    (pairs, hist)
   }
 
   val queries: Map[String, Q] = Map(

@@ -828,15 +828,25 @@ class NewQueryPlanSpec extends AnyFunSuite {
   }
 
   test("q185: FS match weights — per-field constants broadcast, combinable histogram") {
-    val df = queries.MatchingQueries.q185FsMatchWeights(spark, sf)
-    // q185 localCheckpoints; assert on the result shape instead: the
-    // histogram must be small (bands) and the posterior monotone in band
-    val rows = df.collect()
-    assert(rows.length < 50, "weight histogram must be band-sized")
-    val post = rows.map(r => (r.getLong(0), r.getLong(2)))
-    assert(post.sortBy(_._1).map(_._2).sliding(2).forall(p =>
-      p.length < 2 || p(0) <= p(1)),
-      "posterior match probability must be monotone in the weight band")
+    // the exposed-chain pattern (q180/q178): assert the physical plan
+    // of the pre-checkpoint chain, THEN the result-shape laws
+    val (pairs, hist) = queries.MatchingQueries.fsWeightsChain(spark, sf)
+    try {
+      val plan = executed(hist)
+      assert(!plan.contains("CartesianProduct"),
+        s"q185's weight join must broadcast the 1-row constants:\n$plan")
+      assert(plan.contains("BroadcastNestedLoopJoin") ||
+        plan.contains("BroadcastHashJoin"),
+        s"q185's per-field weight constants must broadcast:\n$plan")
+      assert(plan.contains("partial_count"),
+        s"q185's band histogram must combine map-side:\n$plan")
+      val rows = hist.collect()
+      assert(rows.length < 50, "weight histogram must be band-sized")
+      val post = rows.map(r => (r.getLong(0), r.getLong(2)))
+      assert(post.sortBy(_._1).map(_._2).sliding(2).forall(p =>
+        p.length < 2 || p(0) <= p(1)),
+        "posterior match probability must be monotone in the weight band")
+    } finally pairs.unpersist()
   }
 
   test("q186: tombstone serve — exclusion before ranking, centroids broadcast") {
