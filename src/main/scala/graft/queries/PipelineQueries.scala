@@ -613,6 +613,73 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** q201: SUFFIX-GROUP EXACT-SUBSTRING DEDUP by prefix doubling —
+    * the suffix-array mode of Lee et al. 2022 in the published
+    * DISTRIBUTED suffix-array construction shape (prefix doubling,
+    * Flick & Aluru 2015): a suffix-array build sorts suffixes by
+    * doubling prefixes; dedup only needs the GROUPS, so each level-2L
+    * key is the pair of level-L keys at (p, p+L) and only level-L
+    * SURVIVORS (suffixes whose L-prefix occurs ≥2 times anywhere in
+    * the corpus) advance — the doubling filter that keeps every round
+    * subquadratic. Three levels (8/16/32 tokens; the corpus analogue
+    * of the paper's 50-BPE threshold, q104's spanK grid doubled
+    * twice) give, per suffix, the longest corpus-duplicated prefix on
+    * the doubling grid — the complement of q104's island spans: q104
+    * reports how much of a doc lies in duplicated REGIONS, q201
+    * reports how DEEP each duplication is (a 32-token verbatim copy
+    * and eight scattered 8-grams have the same q104 coverage but
+    * different q201 profiles).
+    *
+    * Scale shape: every shuffle carries (hash key, doc_id, pos) —
+    * suffix KEYS, never document text; hot keys combine map-side in
+    * the survivor counts (the q104 postings discipline); the level-2L
+    * pass joins only survivors of level L, so corpus-rare text exits
+    * after one round. Dup-16/32 survivor sets shrink monotonically
+    * (a duplicated 16-prefix implies a duplicated 8-prefix with the
+    * same partner — true under hash collisions too, so the doubling
+    * filter never drops a real candidate). Output integer-only. */
+  def q201SuffixDedup(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"),
+        size(col("t")).cast("long").as("n_tokens"))
+    // position-stamped 8-token suffix keys (one native pass)
+    val occ = toks
+      .select(col("doc_id"), posexplode(TextFns.shingleHashes(col("t"), 8)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("h"))
+    def survivors(keyed: DataFrame): DataFrame = {
+      val dup = keyed.groupBy("h").count().filter(col("count") >= 2)
+        .select("h")
+      keyed.join(dup, Seq("h"), "left_semi")
+    }
+    val d8 = survivors(occ)
+    // fold the RAW 8-key at pos+shift into a survivor's running key
+    // (the partner block need not itself survive — only the combined
+    // prefix must repeat); key equality ⟺ equality of the folded
+    // 8-key tuple, the same poly-31 fold both engines spell
+    def extend(surv: DataFrame, shift: Long): DataFrame =
+      surv
+        .join(occ.select(col("doc_id"),
+          (col("pos") - shift).as("pos"), col("h").as("h2")),
+          Seq("doc_id", "pos"))
+        .select(col("doc_id"), col("pos"),
+          ((col("h") * 31 + col("h2")) % TextFns.P).as("h"))
+    val d16 = survivors(extend(d8, 8L))              // covers [p, p+16)
+    val d32 = survivors(extend(extend(d16, 16L), 24L)) // [p, p+32)
+    def perDoc(d: DataFrame, name: String): DataFrame =
+      d.groupBy("doc_id").agg(count(lit(1)).as(name))
+    toks.select("doc_id", "n_tokens")
+      .join(perDoc(d8, "suf8"), Seq("doc_id"), "left")
+      .join(perDoc(d16, "suf16"), Seq("doc_id"), "left")
+      .join(perDoc(d32, "suf32"), Seq("doc_id"), "left")
+      .na.fill(0L, Seq("suf8", "suf16", "suf32"))
+      .withColumn("max_dup_len",
+        when(col("suf32") > 0, 32L).when(col("suf16") > 0, 16L)
+          .when(col("suf8") > 0, 8L).otherwise(0L))
+      .orderBy("doc_id")
+  }
+
   /** q136: distribution-drift report (PSI) — the batch-over-batch
     * monitor a production ingest runs before accepting new data: the
     * corpus hash-splits into a reference and a current batch (q80's
@@ -882,6 +949,7 @@ object PipelineQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "q201_suffix_dedup" -> (q201SuffixDedup _),
     "q197_dataset_card" -> (q197DatasetCard _),
     "q195_cdc_chunking" -> (q195CdcChunking _),
     "q192_padding_waste" -> (q192PaddingWaste _),
@@ -941,6 +1009,51 @@ object PipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // prefix-doubling replay: the same position-stamped 8-keys, the
+    // same poly-31 folds at +8/+16/+24, the same global ≥2 survivor
+    // rule at each level
+    "q201_suffix_dedup" -> {
+      val P = TextFns.P
+      def surv(src: String, out: String): String =
+        s"""$out AS (SELECT s.* FROM $src s JOIN
+           (SELECT h FROM $src GROUP BY h HAVING count(*) >= 2) g
+           USING (h))"""
+      def ext(src: String, shift: Int, out: String): String =
+        s"""$out AS (SELECT a.doc_id, a.pos, (a.h * 31 + b.h) % $P AS h
+           FROM $src a JOIN occ b
+             ON b.doc_id = a.doc_id AND b.pos = a.pos + $shift)"""
+      s"""WITH toks AS (SELECT doc_id, ${TextFns.sqlTokens("text")} AS t
+           FROM documents),
+         occ AS (SELECT doc_id, u.pos, u.h FROM (
+           SELECT doc_id, unnest(list_transform(
+             ${TextFns.sqlShingleHashes("t", 8)},
+             (x, i) -> struct_pack(pos := CAST(i - 1 AS BIGINT), h := x)))
+             AS u FROM toks)),
+         ${surv("occ", "d8")},
+         ${ext("d8", 8, "e16")},
+         ${surv("e16", "d16")},
+         ${ext("d16", 16, "e24")},
+         ${ext("e24", 24, "e32")},
+         ${surv("e32", "d32")},
+         s8 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS suf8
+           FROM d8 GROUP BY doc_id),
+         s16 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS suf16
+           FROM d16 GROUP BY doc_id),
+         s32 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS suf32
+           FROM d32 GROUP BY doc_id)
+         SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+           coalesce(suf8, 0) AS suf8, coalesce(suf16, 0) AS suf16,
+           coalesce(suf32, 0) AS suf32,
+           CAST(CASE WHEN coalesce(suf32, 0) > 0 THEN 32
+             WHEN coalesce(suf16, 0) > 0 THEN 16
+             WHEN coalesce(suf8, 0) > 0 THEN 8 ELSE 0 END AS BIGINT)
+             AS max_dup_len
+         FROM toks t
+         LEFT JOIN s8 ON s8.doc_id = t.doc_id
+         LEFT JOIN s16 ON s16.doc_id = t.doc_id
+         LEFT JOIN s32 ON s32.doc_id = t.doc_id
+         ORDER BY t.doc_id"""
+    },
     "q197_dataset_card" ->
       s"""WITH d AS (SELECT doc_id, source, lang,
            CAST(len(${TextFns.sqlTokens("text")}) AS BIGINT) AS n_tokens,

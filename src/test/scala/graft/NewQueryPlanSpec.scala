@@ -954,6 +954,19 @@ class NewQueryPlanSpec extends AnyFunSuite {
       s"q198's checksum sums must combine map-side:\n$plan")
   }
 
+  test("q201: suffix dedup — keyed shuffles carry suffix keys, survivor counts combine map-side") {
+    val plan = executed(queries.PipelineQueries.q201SuffixDedup(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q201's doubling joins must stay keyed on (doc_id, pos):\n$plan")
+    assert(plan.contains("partial_count"),
+      s"q201's survivor counts must combine map-side (hot keys absorb):\n$plan")
+    // the doubling filter: each level joins SURVIVORS, so the plan
+    // must contain the level-8 semi join before the level-16 extend
+    assert(plan.contains("LeftSemi"),
+      s"q201's survivor restriction must be a semi join:\n$plan")
+  }
+
   test("q155: changelog reconstruction is one combinable agg — no window, no join") {
     import spark.implicits._
     val log = Seq(
