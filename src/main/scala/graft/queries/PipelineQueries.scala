@@ -638,7 +638,12 @@ object PipelineQueries {
     * (a duplicated 16-prefix implies a duplicated 8-prefix with the
     * same partner — true under hash collisions too, so the doubling
     * filter never drops a real candidate). Output integer-only. */
-  def q201SuffixDedup(s: SparkSession, dir: String): DataFrame = {
+  /** The q201/q202 prefix-doubling chain: position-stamped 8-token
+    * suffix keys and the three survivor levels. Returns
+    * (toks, d8, d16, d32) — each dN is (doc_id, pos, h) with the
+    * folded key covering [pos, pos+N). */
+  private def suffixLevels(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
       .select(col("doc_id"), col("t"),
@@ -667,6 +672,11 @@ object PipelineQueries {
           ((col("h") * 31 + col("h2")) % TextFns.P).as("h"))
     val d16 = survivors(extend(d8, 8L))              // covers [p, p+16)
     val d32 = survivors(extend(extend(d16, 16L), 24L)) // [p, p+32)
+    (toks, d8, d16, d32)
+  }
+
+  def q201SuffixDedup(s: SparkSession, dir: String): DataFrame = {
+    val (toks, d8, d16, d32) = suffixLevels(s, dir)
     def perDoc(d: DataFrame, name: String): DataFrame =
       d.groupBy("doc_id").agg(count(lit(1)).as(name))
     toks.select("doc_id", "n_tokens")
@@ -678,6 +688,46 @@ object PipelineQueries {
         when(col("suf32") > 0, 32L).when(col("suf16") > 0, 16L)
           .when(col("suf8") > 0, 8L).otherwise(0L))
       .orderBy("doc_id")
+  }
+
+  /** q202 hot-key occurrence cap: a 32-token substring occurring more
+    * than this many times is boilerplate, not a pairwise-removal
+    * candidate (the q75/q26 capBlocks trade — a pair is lost only if
+    * EVERY shared key is over-cap). */
+  private val DupPairCap = 64L
+
+  /** q202: DUPLICATE-SUBSTRING DOC PAIRS — the removal-actionable
+    * output of exact-substring dedup (Lee et al. 2022 emit the
+    * duplicate clusters, not just coverage): which document PAIRS
+    * share a ≥32-token verbatim substring, and how many distinct
+    * 32-token duplicated prefixes they share. Consumes q201's
+    * level-32 survivor frame: group by the folded 32-key, cap hot
+    * keys ([[DupPairCap]] — a substring in hundreds of docs is
+    * boilerplate, which q81 already measures), pair members within a
+    * key, and roll up per pair with two combinable hash aggregates
+    * (dedup (pair, key) first — NO count-distinct expand at pair
+    * cardinality, the q94 flags rule).
+    *
+    * Scale shape: pair generation is bounded by cap²/2 per key; the
+    * shuffles carry (h, doc_id, pos) then (doc1, doc2) — suffix keys
+    * and id pairs, never text. */
+  def q202DupSubstringPairs(s: SparkSession, dir: String): DataFrame = {
+    val (_, _, _, d32) = suffixLevels(s, dir)
+    val capped = graft.operators.Blocking.capBlocks(d32, Seq("h"), DupPairCap)
+    val occs = capped.select(col("h"), col("doc_id"), col("pos"))
+    val pairKeys = occs
+      .select(col("h"), col("doc_id").as("doc1"), col("pos").as("pos1"))
+      .join(occs.select(col("h"), col("doc_id").as("doc2"),
+        col("pos").as("pos2")), Seq("h"))
+      .filter(col("doc1") < col("doc2"))
+      // one row per (pair, key): earliest aligned positions
+      .groupBy("doc1", "doc2", "h")
+      .agg(min("pos1").as("pos1"), min("pos2").as("pos2"))
+    pairKeys.groupBy("doc1", "doc2")
+      .agg(count(lit(1)).as("n_shared32"),
+        min("pos1").as("first_pos1"),
+        min("pos2").as("first_pos2"))
+      .orderBy("doc1", "doc2")
   }
 
   /** q136: distribution-drift report (PSI) — the batch-over-batch
@@ -950,6 +1000,7 @@ object PipelineQueries {
 
   val queries: Map[String, Q] = Map(
     "q201_suffix_dedup" -> (q201SuffixDedup _),
+    "q202_dup_substring_pairs" -> (q202DupSubstringPairs _),
     "q197_dataset_card" -> (q197DatasetCard _),
     "q195_cdc_chunking" -> (q195CdcChunking _),
     "q192_padding_waste" -> (q192PaddingWaste _),
@@ -1008,33 +1059,54 @@ object PipelineQueries {
          JOIN small_blocks USING (first_lastname))"""
   }
 
+  /** The q201/q202 prefix-doubling chain as CTE text ending in `d32`
+    * (with `toks`/`occ`/`d8`/`d16` in scope) — the oracle replay of
+    * [[suffixLevels]]. */
+  private def suffixChainSql: String = {
+    val P = TextFns.P
+    def surv(src: String, out: String): String =
+      s"""$out AS (SELECT s.* FROM $src s JOIN
+         (SELECT h FROM $src GROUP BY h HAVING count(*) >= 2) g
+         USING (h))"""
+    def ext(src: String, shift: Int, out: String): String =
+      s"""$out AS (SELECT a.doc_id, a.pos, (a.h * 31 + b.h) % $P AS h
+         FROM $src a JOIN occ b
+           ON b.doc_id = a.doc_id AND b.pos = a.pos + $shift)"""
+    s"""toks AS (SELECT doc_id, ${TextFns.sqlTokens("text")} AS t
+         FROM documents),
+       occ AS (SELECT doc_id, u.pos, u.h FROM (
+         SELECT doc_id, unnest(list_transform(
+           ${TextFns.sqlShingleHashes("t", 8)},
+           (x, i) -> struct_pack(pos := CAST(i - 1 AS BIGINT), h := x)))
+           AS u FROM toks)),
+       ${surv("occ", "d8")},
+       ${ext("d8", 8, "e16")},
+       ${surv("e16", "d16")},
+       ${ext("d16", 16, "e24")},
+       ${ext("e24", 24, "e32")},
+       ${surv("e32", "d32")}"""
+  }
+
   val oracles: Map[String, String] = Map(
+    // capped level-32 groups → within-key pairs → two-stage roll-up,
+    // the exact Spark shape
+    "q202_dup_substring_pairs" ->
+      s"""WITH $suffixChainSql,
+         wcap AS (${graft.operators.Blocking.sqlCapKeys(
+            "d32", Seq("h"), DupPairCap)}),
+         kept AS (SELECT d.* FROM d32 d JOIN wcap USING (h)),
+         pk AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, a.h,
+             min(a.pos) AS pos1, min(b.pos) AS pos2
+           FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id, a.h)
+         SELECT doc1, doc2, CAST(count(*) AS BIGINT) AS n_shared32,
+           min(pos1) AS first_pos1, min(pos2) AS first_pos2
+         FROM pk GROUP BY doc1, doc2 ORDER BY doc1, doc2""",
     // prefix-doubling replay: the same position-stamped 8-keys, the
     // same poly-31 folds at +8/+16/+24, the same global ≥2 survivor
     // rule at each level
     "q201_suffix_dedup" -> {
-      val P = TextFns.P
-      def surv(src: String, out: String): String =
-        s"""$out AS (SELECT s.* FROM $src s JOIN
-           (SELECT h FROM $src GROUP BY h HAVING count(*) >= 2) g
-           USING (h))"""
-      def ext(src: String, shift: Int, out: String): String =
-        s"""$out AS (SELECT a.doc_id, a.pos, (a.h * 31 + b.h) % $P AS h
-           FROM $src a JOIN occ b
-             ON b.doc_id = a.doc_id AND b.pos = a.pos + $shift)"""
-      s"""WITH toks AS (SELECT doc_id, ${TextFns.sqlTokens("text")} AS t
-           FROM documents),
-         occ AS (SELECT doc_id, u.pos, u.h FROM (
-           SELECT doc_id, unnest(list_transform(
-             ${TextFns.sqlShingleHashes("t", 8)},
-             (x, i) -> struct_pack(pos := CAST(i - 1 AS BIGINT), h := x)))
-             AS u FROM toks)),
-         ${surv("occ", "d8")},
-         ${ext("d8", 8, "e16")},
-         ${surv("e16", "d16")},
-         ${ext("d16", 16, "e24")},
-         ${ext("e24", 24, "e32")},
-         ${surv("e32", "d32")},
+      s"""WITH $suffixChainSql,
          s8 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS suf8
            FROM d8 GROUP BY doc_id),
          s16 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS suf16

@@ -967,6 +967,17 @@ class NewQueryPlanSpec extends AnyFunSuite {
       s"q201's survivor restriction must be a semi join:\n$plan")
   }
 
+  test("q202: dup-substring pairs — capped key join, two combinable roll-ups") {
+    val plan = executed(queries.PipelineQueries.q202DupSubstringPairs(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q202's pair join must stay keyed on the 32-key:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"q202's roll-ups must combine map-side:\n$plan")
+    assert(plan.contains("LeftSemi"),
+      s"q202's hot-key cap must be the capBlocks semi join:\n$plan")
+  }
+
   test("q155: changelog reconstruction is one combinable agg — no window, no join") {
     import spark.implicits._
     val log = Seq(
