@@ -475,6 +475,31 @@ object MatchingQueries {
       .orderBy("round")
   }
 
+  /** q203: k=6 TRAINED WEIGHTS APPLIED — the q161 train→serve closure
+    * at the reference's real arity: run the q200 Walker to its final
+    * incumbent (6 lattice coordinates, an S9 driver scalar), score
+    * every pair with wᵢ = nᵢ/32 exactly as evaluateSimplex scores a
+    * grid point, keep the top-3 per doc1. The oracle replays the
+    * whole k=6 walk (the q200 visited-points chain) and applies the
+    * same round-3 weights — training and serving provably agree at
+    * k=6 as they do at k=3. */
+  def q203TrainedTotalK6(s: SparkSession, dir: String): DataFrame = {
+    val ps = weightPairScores6(s, dir)
+    val fin = WeightTraining.refineWeightsSimplex(s, ps, labels6(ps), k = 6)
+      .orderBy(col("round").desc).limit(1)
+      .select("n1", "n2", "n3", "n4", "n5", "n6").head
+    val ws = (0 until 6).map(i => fin.getLong(i) / 32.0)
+    val scored = ps.withColumn("total_micro",
+      round((1 to 6).map(i => lit(ws(i - 1)) * col(s"s$i"))
+        .reduce(_ + _) * 1e6).cast("long"))
+    val w = Window.partitionBy("doc1")
+      .orderBy(col("total_micro").desc, col("doc2"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("doc1", "doc2", "total_micro", "rnk")
+      .orderBy("doc1", "rnk")
+  }
+
   /** q94: the FullMatcherApp end-to-end composite (reference
     * `matching/app/FullMatcherApp.scala:38-67`, pipelines 1-2) — the
     * matcher-side counterpart of q93's curation chain. Off the SAME
@@ -808,7 +833,8 @@ object MatchingQueries {
     "q160_weight_refine_k3" -> (q160WeightRefineK3 _),
     "q161_trained_total" -> (q161TrainedTotal _),
     "q199_weight_grid_k6" -> (q199WeightGridK6 _),
-    "q200_weight_refine_k6" -> (q200WeightRefineK6 _))
+    "q200_weight_refine_k6" -> (q200WeightRefineK6 _),
+    "q203_trained_total_k6" -> (q203TrainedTotalK6 _))
 
   /** The 3-type weight-training input as a CTE chain ending in
     * `pairsc3(doc1, doc2, s1, s2, s3)` — the oracle replay of
@@ -1175,6 +1201,19 @@ object MatchingQueries {
            CAST(sum(CASE WHEN accepted AND rnk <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_top3,
            CAST(sum(CASE WHEN accepted THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted
          FROM ranked GROUP BY $k6N ORDER BY n1, n2, n3, n4, n5"""
+    },
+    // k=6 trained serve: the full visited-points walk, then the r3
+    // incumbent's weights applied to every pair (the q161 scheme)
+    "q203_trained_total_k6" -> {
+      val total = (1 to 6).map(i => s"r.n$i/32.0 * p.s$i").mkString(" + ")
+      s"""WITH $k6WalkCtesSql,
+         tot AS (SELECT p.doc1, p.doc2,
+           CAST(round(($total) * 1e6) AS BIGINT) AS total_micro
+           FROM pairsc6 p, k6r3 r),
+         trk AS (SELECT *, row_number() OVER (PARTITION BY doc1
+           ORDER BY total_micro DESC, doc2) AS rnk FROM tot)
+         SELECT doc1, doc2, total_micro, rnk FROM trk
+         WHERE rnk <= 3 ORDER BY doc1, rnk"""
     },
     // k=6 walk: replay only the visited points (coarse pick + three
     // probe rounds generated from each argmin row)
