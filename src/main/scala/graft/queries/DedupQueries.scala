@@ -27,6 +27,39 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** q204: LEAKAGE-FREE SPLIT ASSIGNMENT — the split q123 can only
+    * audit, produced correctly BY CONSTRUCTION: the train/val/test
+    * decision is made per near-dup COMPONENT (q36's connected
+    * components over the shared LSH dup-pair graph), so two
+    * near-duplicate documents can never straddle a split boundary —
+    * the standard decontaminated-split recipe (the failure q123
+    * measures happens exactly when the split key is the doc, not the
+    * dup cluster). The split is the q80 portable-sampler machinery on
+    * the COMPONENT id: bucket = first two hex chars of
+    * md5('graft-split:' || component) — 205/256 (~80%) train,
+    * 25/256 (~10%) val, rest test; reproducible across engines,
+    * partition layouts and re-runs, and monotone under corpus growth
+    * for unchanged components.
+    *
+    * Scale shape: CC is the q36 machinery (edges = dup pairs, never
+    * documents); the bucket is a map-side md5; comp_size is one
+    * combinable count joined back on the component key. PropertySpec
+    * proves the law: ZERO dup pairs straddle splits. */
+  def q204GroupSplit(s: SparkSession, dir: String): DataFrame = {
+    val comps = q36ConnectedComponents(s, dir)
+    val sizes = comps.groupBy("component")
+      .agg(count(lit(1)).as("comp_size"))
+    comps.join(sizes, Seq("component"))
+      .withColumn("bucket",
+        graft.operators.Sampling.bucket(col("component"), "graft-split:"))
+      .withColumn("split",
+        when(col("bucket") < "cd", "train")
+          .when(col("bucket") < "e6", "val")
+          .otherwise("test"))
+      .select("doc_id", "component", "comp_size", "split")
+      .orderBy("doc_id")
+  }
+
   /** J8: blocked dedup self-join — customers in the same nation with
     * account balances within $50 are duplicate suspects.
     *
@@ -414,6 +447,7 @@ object DedupQueries {
     "q123_split_leakage" -> (q123SplitLeakage _),
     "q36_connected_components" -> (q36ConnectedComponents _),
     "q190_incremental_cc" -> (q190IncrementalCc _),
+    "q204_group_split" -> (q204GroupSplit _),
     "q193_source_contamination" -> (q193SourceContamination _),
     "q37_blocked_dedup" -> (q37BlockedDedup _),
     "q38_name_clean" -> (q38NameClean _),
@@ -513,6 +547,19 @@ object DedupQueries {
     "q36_connected_components" ->
       s"""WITH RECURSIVE $componentCtes
          SELECT doc_id, component FROM comp ORDER BY doc_id""",
+    "q204_group_split" ->
+      s"""WITH RECURSIVE $componentCtes,
+         sz AS (SELECT component, CAST(count(*) AS BIGINT) AS comp_size
+           FROM comp GROUP BY component),
+         b AS (SELECT comp.doc_id, comp.component, sz.comp_size,
+             substr(md5('graft-split:' || CAST(comp.component AS VARCHAR)),
+               1, 2) AS bucket
+           FROM comp JOIN sz USING (component))
+         SELECT doc_id, component, comp_size,
+           CASE WHEN bucket < 'cd' THEN 'train'
+                WHEN bucket < 'e6' THEN 'val'
+                ELSE 'test' END AS split
+         FROM b ORDER BY doc_id""",
     // q190's oracle IS the full rebuild — hash equality proves the
     // incremental merge invariant (see q190IncrementalCc scaladoc)
     "q190_incremental_cc" ->

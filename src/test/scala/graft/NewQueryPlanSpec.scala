@@ -978,6 +978,32 @@ class NewQueryPlanSpec extends AnyFunSuite {
       s"q202's hot-key cap must be the capBlocks semi join:\n$plan")
   }
 
+  test("q204: group split — the zero-leakage law and the CC-keyed plan") {
+    import org.apache.spark.sql.functions.col
+    val assign = queries.DedupQueries.q204GroupSplit(spark, sf)
+      .select("doc_id", "split")
+    // THE law: no near-dup pair may straddle a split boundary —
+    // q123 measures this failure on a doc-keyed split; q204 must
+    // make it structurally impossible
+    val pairs = queries.Shared.dupPairs(spark, sf)
+      .select(col("doc1"), col("doc2"))
+    val cross = pairs
+      .join(assign.select(col("doc_id").as("doc1"),
+        col("split").as("s1")), Seq("doc1"))
+      .join(assign.select(col("doc_id").as("doc2"),
+        col("split").as("s2")), Seq("doc2"))
+      .filter(col("s1") =!= col("s2"))
+      .count()
+    assert(cross == 0L, s"$cross dup pairs straddle split boundaries")
+    // every doc gets exactly one split; all three splits non-empty at
+    // this corpus size
+    val n = assign.count()
+    assert(n == Tables.documents(spark, sf).count())
+    val splits = assign.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits.keySet == Set("train", "val", "test"), splits.toString)
+  }
+
   test("q155: changelog reconstruction is one combinable agg — no window, no join") {
     import spark.implicits._
     val log = Seq(
