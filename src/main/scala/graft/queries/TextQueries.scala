@@ -65,6 +65,68 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** q205: INTER-ANNOTATOR AGREEMENT (Cohen's kappa, 1960) — the
+    * label-QC aggregate a curation pipeline runs before trusting any
+    * weak labeler: two independent deterministic annotators label
+    * every document's language and the report is their confusion
+    * matrix plus kappa = (p_o − p_e)/(1 − p_e), the
+    * chance-corrected agreement. Annotator A is q23's stopword-hit
+    * argmax; annotator B is a genuinely different rule — the FIRST
+    * stopword in reading order votes (no stopword → 'und',
+    * ISO-639's undetermined). Kappa near 1 means the cheap labeler
+    * can stand in for the expensive one; kappa near 0 means the two
+    * rules measure different things no matter how often they agree
+    * by luck.
+    *
+    * Exactness: p_o and p_e are integer micro units (counts·1e6 DIV
+    * N, resp. Σ rowN·colN·1e6 DIV N²), kappa is one final round of a
+    * double computed from those exactly-agreed integers (the q136
+    * rule); the p_e = 1 degenerate case yields NULL, not a division
+    * blow-up.
+    *
+    * Scale shape: one token explode joined to a broadcast ≤17-word
+    * dim, per-doc min(struct) votes, then a ≤25-cell confusion
+    * matrix — everything after the explode is combinable; the kappa
+    * scalars derive from the cells (a second pass over ≤25 rows). */
+  def q205LabelKappa(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val a = q23LangId(s, dir)
+      .select(col("doc_id"), col("predicted_lang").as("label_a"))
+    val wordLang = langSets
+      .flatMap { case (lang, words) => words.map(w => (w, lang)) }
+      .toDF("tok", "wl_lang")
+    val firstVote = toks(s, dir)
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .join(broadcast(wordLang), Seq("tok"))
+      .groupBy("doc_id")
+      .agg(min(struct(col("pos"), col("wl_lang"))).as("v"))
+      .select(col("doc_id"), col("v.wl_lang").as("label_b"))
+    val conf = a.join(firstVote, Seq("doc_id"), "left")
+      .na.fill("und", Seq("label_b"))
+      .groupBy("label_a", "label_b")
+      .agg(count(lit(1)).as("n"))
+    val scal = conf.agg(
+        sum("n").as("nn"),
+        sum(when(col("label_a") === col("label_b"), col("n"))
+          .otherwise(0L)).as("diag"))
+    val rowN = conf.groupBy("label_a").agg(sum("n").as("row_n"))
+    val colN = conf.groupBy("label_b").agg(sum("n").as("col_n"))
+    val peNum = rowN.join(colN, col("label_a") === col("label_b"))
+      .agg(sum(col("row_n") * col("col_n")).as("pe_num"))
+    val k = scal.crossJoin(peNum)
+      .withColumn("po_micro", expr("diag * 1000000 div nn"))
+      .withColumn("pe_micro", expr("pe_num * 1000000 div (nn * nn)"))
+      .withColumn("kappa_micro", expr(
+        """CASE WHEN pe_micro >= 1000000 THEN NULL ELSE
+           CAST(round((po_micro - pe_micro) * 1e6
+             / (1000000 - pe_micro)) AS BIGINT) END"""))
+      .select("po_micro", "pe_micro", "kappa_micro")
+    conf.crossJoin(broadcast(k))
+      .select("label_a", "label_b", "n", "po_micro", "pe_micro",
+        "kappa_micro")
+      .orderBy("label_a", "label_b")
+  }
+
   /** Quality scoring: length/stopword/alpha ratios + composite. */
   def q24QualityScore(s: SparkSession, dir: String): DataFrame = {
     val en = langSets.toMap.apply("en")
@@ -501,6 +563,7 @@ object TextQueries {
     "q21_token_stats" -> (q21TokenStats _),
     "q22_exact_dedup" -> (q22ExactDedup _),
     "q23_lang_id" -> (q23LangId _),
+    "q205_label_kappa" -> (q205LabelKappa _),
     "q24_quality_score" -> (q24QualityScore _),
     "q25_minhash_signature" -> (q25MinhashSignature _),
     "q26_lsh_dup_pairs" -> (q26LshDupPairs _),
@@ -766,6 +829,52 @@ object TextQueries {
          SELECT doc_id, lang AS predicted_lang, hits, n_tokens,
            ${r6Sql("hits / n_tokens")} AS ratio
          FROM ranked WHERE rn = 1 ORDER BY doc_id""",
+    // both annotators replayed; p_o/p_e as integer micro units, kappa
+    // one final round of a double from exactly-agreed integers
+    "q205_label_kappa" -> {
+      val wlValues = langSets
+        .flatMap { case (lang, ws) => ws.map(w => s"('$w', '$lang')") }
+        .mkString(", ")
+      s"""WITH $toksCte,
+         la0 AS ($langUnion),
+         la AS (SELECT doc_id, lang AS label_a FROM (
+           SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY hits DESC, lang) AS rn FROM la0) WHERE rn = 1),
+         wl(tok, wl_lang) AS (VALUES $wlValues),
+         tokpos AS (SELECT doc_id, u.pos, u.tok FROM (
+           SELECT doc_id, unnest(list_transform(toks,
+             (x, i) -> struct_pack(pos := i - 1, tok := x))) AS u
+           FROM toks WHERE len(toks) > 0)),
+         fv AS (SELECT doc_id, wl_lang AS label_b FROM (
+           SELECT t.doc_id, t.pos, wl.wl_lang,
+             row_number() OVER (PARTITION BY t.doc_id
+               ORDER BY t.pos, wl.wl_lang) AS rn
+           FROM tokpos t JOIN wl ON wl.tok = t.tok) WHERE rn = 1),
+         conf AS (SELECT la.label_a,
+             coalesce(fv.label_b, 'und') AS label_b,
+             CAST(count(*) AS BIGINT) AS n
+           FROM la LEFT JOIN fv USING (doc_id) GROUP BY 1, 2),
+         sc AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+             CAST(sum(CASE WHEN label_a = label_b THEN n ELSE 0 END)
+               AS BIGINT) AS diag FROM conf),
+         rm AS (SELECT label_a, CAST(sum(n) AS BIGINT) AS row_n
+           FROM conf GROUP BY 1),
+         cm AS (SELECT label_b, CAST(sum(n) AS BIGINT) AS col_n
+           FROM conf GROUP BY 1),
+         pe AS (SELECT CAST(coalesce(sum(row_n * col_n), 0) AS BIGINT)
+             AS pe_num
+           FROM rm JOIN cm ON rm.label_a = cm.label_b),
+         k AS (SELECT diag * 1000000 // nn AS po_micro,
+             pe_num * 1000000 // (nn * nn) AS pe_micro
+           FROM sc, pe),
+         k2 AS (SELECT po_micro, pe_micro,
+             CASE WHEN pe_micro >= 1000000 THEN NULL ELSE
+               CAST(round((po_micro - pe_micro) * 1e6
+                 / (1000000 - pe_micro)) AS BIGINT) END AS kappa_micro
+           FROM k)
+         SELECT label_a, label_b, n, po_micro, pe_micro, kappa_micro
+         FROM conf CROSS JOIN k2 ORDER BY label_a, label_b"""
+    },
     "q24_quality_score" ->
       s"""WITH $toksCte,
          base AS (SELECT doc_id, len(toks) AS n_tokens, length(text) AS text_len,
