@@ -840,10 +840,17 @@ object PipelineQueries {
       .filter(col("n_tokens") > 0)
       // Knuth multiplicative hash, two mixing rounds, 32-bit state:
       // identical integer sequence in Spark and DuckDB (no RNG, no
-      // engine hash function)
+      // engine hash function). The first multiply is decomposed into
+      // 16-bit-safe pieces: doc_id·K mod 2^32 computed as
+      // lo16·K + ((mid16·K) mod 2^16)·2^16 (higher limbs vanish mod
+      // 2^32) — bit-identical to the naive product for doc_id < 2^32
+      // and CORRECT instead of a BIGINT overflow above it (the naive
+      // spelling blew up at the sf10 sweep's 9.9e9 ids; the r10 q180
+      // failure class, caught again only by scale)
       .withColumn("h", expr(
-        """((doc_id * 2654435761 + 104729) % 4294967296) * 48271
-           % 4294967296"""))
+        """((doc_id % 65536) * 2654435761
+           + (doc_id div 65536 % 65536) * 2654435761 % 65536 * 65536
+           + 104729) % 4294967296 * 48271 % 4294967296"""))
       .withColumn("key_nano", expr(
         "CAST(round(ln((h + 0.5) / 4294967296.0) / n_tokens * 1e9) AS BIGINT)"))
     val top = d.orderBy(col("key_nano").desc, col("doc_id"))
@@ -1229,8 +1236,10 @@ object PipelineQueries {
            FROM documents
            WHERE len(${TextFns.sqlTokens("text")}) > 0),
          keyed AS (SELECT doc_id, n_tokens,
-           CAST(round(ln(((((doc_id * 2654435761 + 104729) % 4294967296)
-               * 48271 % 4294967296) + 0.5) / 4294967296.0)
+           CAST(round(ln(((((doc_id % 65536) * 2654435761
+               + (doc_id // 65536 % 65536) * 2654435761 % 65536 * 65536
+               + 104729) % 4294967296 * 48271 % 4294967296) + 0.5)
+               / 4294967296.0)
              / n_tokens * 1e9) AS BIGINT) AS key_nano
            FROM d),
          r AS (SELECT *, row_number() OVER
