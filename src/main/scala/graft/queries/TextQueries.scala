@@ -49,7 +49,10 @@ object TextQueries {
     TextDedup.exactDedup(Tables.documents(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
-  /** Language-ID: stopword-hit argmax with deterministic tiebreak. */
+  /** Language-ID: stopword-hit argmax with deterministic tiebreak.
+    * Zero stopword hits → 'und' (ISO-639 undetermined): a confident
+    * alphabetical argmax over zero evidence is a labeling bug, the
+    * wart q205's annotator disagreement surfaced in round 11. */
   def q23LangId(s: SparkSession, dir: String): DataFrame = {
     val t = toks(s, dir)
     val scores = langSets.map { case (lang, words) =>
@@ -60,7 +63,10 @@ object TextQueries {
     val w = Window.partitionBy("doc_id").orderBy(col("hits").desc, col("lang"))
     scores.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("doc_id"), col("lang").as("predicted_lang"), col("hits"),
+      .select(col("doc_id"),
+        when(col("hits") === 0, lit("und")).otherwise(col("lang"))
+          .as("predicted_lang"),
+        col("hits"),
         col("n_tokens"), r6(col("hits") / col("n_tokens")).as("ratio"))
       .orderBy("doc_id")
   }
@@ -111,11 +117,18 @@ object TextQueries {
           .otherwise(0L)).as("diag"))
     val rowN = conf.groupBy("label_a").agg(sum("n").as("row_n"))
     val colN = conf.groupBy("label_b").agg(sum("n").as("col_n"))
+    // pe_num ≤ nn² and pe_num·1e6 exceed a long once nn passes ~3e9 /
+    // ~3e6 rows respectively (the q179 overflow class, latent here):
+    // widen the whole pe chain to DECIMAL(38,0) — `div` still lands
+    // the quotient back in BIGINT, keeping the integer-micro contract.
     val peNum = rowN.join(colN, col("label_a") === col("label_b"))
-      .agg(sum(col("row_n") * col("col_n")).as("pe_num"))
+      .agg(sum(col("row_n").cast("decimal(38,0)") * col("col_n"))
+        .as("pe_num"))
     val k = scal.crossJoin(peNum)
       .withColumn("po_micro", expr("diag * 1000000 div nn"))
-      .withColumn("pe_micro", expr("pe_num * 1000000 div (nn * nn)"))
+      .withColumn("pe_micro", expr(
+        """CAST(pe_num * 1000000 AS DECIMAL(38,0))
+           div (CAST(nn AS DECIMAL(38,0)) * nn)"""))
       .withColumn("kappa_micro", expr(
         """CASE WHEN pe_micro >= 1000000 THEN NULL ELSE
            CAST(round((po_micro - pe_micro) * 1e6
@@ -826,7 +839,9 @@ object TextQueries {
          scores AS ($langUnion),
          ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
            ORDER BY hits DESC, lang) AS rn FROM scores)
-         SELECT doc_id, lang AS predicted_lang, hits, n_tokens,
+         SELECT doc_id,
+           CASE WHEN hits = 0 THEN 'und' ELSE lang END AS predicted_lang,
+           hits, n_tokens,
            ${r6Sql("hits / n_tokens")} AS ratio
          FROM ranked WHERE rn = 1 ORDER BY doc_id""",
     // both annotators replayed; p_o/p_e as integer micro units, kappa
@@ -837,7 +852,9 @@ object TextQueries {
         .mkString(", ")
       s"""WITH $toksCte,
          la0 AS ($langUnion),
-         la AS (SELECT doc_id, lang AS label_a FROM (
+         la AS (SELECT doc_id,
+             CASE WHEN hits = 0 THEN 'und' ELSE lang END AS label_a
+           FROM (
            SELECT *, row_number() OVER (PARTITION BY doc_id
              ORDER BY hits DESC, lang) AS rn FROM la0) WHERE rn = 1),
          wl(tok, wl_lang) AS (VALUES $wlValues),
@@ -861,11 +878,12 @@ object TextQueries {
            FROM conf GROUP BY 1),
          cm AS (SELECT label_b, CAST(sum(n) AS BIGINT) AS col_n
            FROM conf GROUP BY 1),
-         pe AS (SELECT CAST(coalesce(sum(row_n * col_n), 0) AS BIGINT)
-             AS pe_num
+         pe AS (SELECT coalesce(sum(CAST(row_n AS HUGEINT) * col_n),
+             0) AS pe_num
            FROM rm JOIN cm ON rm.label_a = cm.label_b),
          k AS (SELECT diag * 1000000 // nn AS po_micro,
-             pe_num * 1000000 // (nn * nn) AS pe_micro
+             CAST(pe_num * 1000000 // (CAST(nn AS HUGEINT) * nn)
+               AS BIGINT) AS pe_micro
            FROM sc, pe),
          k2 AS (SELECT po_micro, pe_micro,
              CASE WHEN pe_micro >= 1000000 THEN NULL ELSE
