@@ -874,8 +874,9 @@ object EventQueries {
          lscores AS (${TextQueries.langUnion}),
          lranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
            ORDER BY hits DESC, lang) AS rn FROM lscores),
-         lang AS (SELECT doc_id, lang AS predicted_lang FROM lranked
-           WHERE rn = 1),
+         lang AS (SELECT doc_id,
+             CASE WHEN hits = 0 THEN 'und' ELSE lang END AS predicted_lang
+           FROM lranked WHERE rn = 1),
          qbase AS (SELECT doc_id, len(toks) AS n_tokens,
              length(text) AS text_len,
              len(list_filter(toks, x ->

@@ -661,8 +661,11 @@ object PipelineQueries {
     val d8 = survivors(occ)
     // fold the RAW 8-key at pos+shift into a survivor's running key
     // (the partner block need not itself survive — only the combined
-    // prefix must repeat); key equality ⟺ equality of the folded
-    // 8-key tuple, the same poly-31 fold both engines spell
+    // prefix must repeat). The fold (h·31 + h2) mod P is NOT injective
+    // on tuples (and the base 8-token hash is itself mod-P), so equal
+    // keys are collision-PROBABLE evidence of equal prefixes, not a
+    // proof — false duplicates at ~1/P per comparison. Oracle parity
+    // holds by construction: DuckDB replays the identical fold.
     def extend(surv: DataFrame, shift: Long): DataFrame =
       surv
         .join(occ.select(col("doc_id"),
@@ -1564,8 +1567,9 @@ object PipelineQueries {
          lscores AS (${TextQueries.langUnion}),
          lranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
            ORDER BY hits DESC, lang) AS rn FROM lscores),
-         lang AS (SELECT doc_id, lang AS predicted_lang FROM lranked
-           WHERE rn = 1),
+         lang AS (SELECT doc_id,
+             CASE WHEN hits = 0 THEN 'und' ELSE lang END AS predicted_lang
+           FROM lranked WHERE rn = 1),
          qbase AS (SELECT doc_id, len(toks) AS n_tokens,
              length(text) AS text_len,
              len(list_filter(toks, x ->

@@ -46,8 +46,12 @@ object CurationStream {
     docs
       .withColumn("toks", TextFns.tokens(col("text")))
       .filter(size(col("toks")) > 0)
+      .withColumn("lpick", element_at(array_sort(langArr), 1))
+      // zero stopword hits → 'und' (q23's rule; neg_hits = -hits)
       .withColumn("predicted_lang",
-        element_at(array_sort(langArr), 1).getField("lang"))
+        when(col("lpick").getField("neg_hits") === 0, lit("und"))
+          .otherwise(col("lpick").getField("lang")))
+      .drop("lpick")
       .withColumn("n_tokens", size(col("toks")))
       .withColumn("quality", r6(
         lit(0.3) * least(lit(1.0), col("n_tokens") / 50.0)
