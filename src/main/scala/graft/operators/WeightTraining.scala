@@ -123,10 +123,39 @@ object WeightTraining {
     * aggregates. The lattice coordinates n1..nk key the output (no
     * minted id — they ARE the deterministic identity of a weight
     * point), and totals are micro-quantized before ranking so the
-    * argmin is bit-stable across engines. The shuffle is one pass of
-    * |pairs| × |grid| rows regardless of k. */
+    * argmin is bit-stable across engines.
+    *
+    * Memory bound (round 12): a lattice larger than `chunkPoints` is
+    * evaluated in fixed-size chunks — per-point aggregates are
+    * independent across points, so chunking is EXACT (same rows, same
+    * hashes) while the rank-window frame peaks at |pairs|×chunkPoints
+    * instead of |pairs|×|grid|. At sf10 the one-pass k=6 frame
+    * (|pairs|×126) exceeded the heap at the window sort and spilled
+    * (611.7 s); 4 chunked passes of ≤32 points stay in memory at any
+    * scale for a bounded number of extra scans of the (cached) pair
+    * table. Chunks are cut on the lexicographically-sorted lattice so
+    * the decomposition is deterministic. */
   def evaluateSimplex(pairScores: DataFrame, labels: DataFrame,
-                      grid: DataFrame, k: Int): DataFrame = {
+                      grid: DataFrame, k: Int,
+                      chunkPoints: Int = 32): DataFrame = {
+    val pts = grid.collect() // dimension-sized by contract (≤ C(s+k−1, k−1))
+    if (pts.length <= chunkPoints)
+      evaluateSimplexPass(pairScores, labels, grid, k)
+    else {
+      val spark = grid.sparkSession
+      import scala.math.Ordering.Implicits._
+      val nIdx = (1 to k).map(i => grid.schema.fieldIndex(s"n$i"))
+      val sorted = pts.sortBy(r => nIdx.map(r.getLong).toList)
+      sorted.grouped(chunkPoints).map { chunk =>
+        val g = spark.createDataFrame(
+          java.util.Arrays.asList(chunk: _*), grid.schema)
+        evaluateSimplexPass(pairScores, labels, g, k)
+      }.reduce(_ unionByName _)
+    }
+  }
+
+  private def evaluateSimplexPass(pairScores: DataFrame, labels: DataFrame,
+                                  grid: DataFrame, k: Int): DataFrame = {
     val nCols = (1 to k).map(i => col(s"n$i"))
     val wCols = (1 to k).map(i => col(s"w$i"))
     val total = (1 to k).map(i => col(s"w$i") * col(s"s$i")).reduce(_ + _)
