@@ -132,7 +132,10 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap { batch =>
           batch.map { r =>
-            val bytes = r.getString(1).getBytes("UTF-8")
+            // null text packs as an empty payload (the encode(col,
+            // 'UTF-8') path this replaced was null-safe; keep that)
+            val text = if (r.isNullAt(1)) "" else r.getString(1)
+            val bytes = text.getBytes("UTF-8")
             val side = squareSide(bytes.length)
             val pixels = java.util.Arrays.copyOf(bytes, side * side)
             val img = encodeGray(pixels, side, side, format)
@@ -211,6 +214,132 @@ object Multimodal {
               prev = c; first = false; i += 1
             }
             Row(doc, f, end - start, ssq, peak, zc)
+          }
+        }
+      }(enc)
+  }
+
+  // ---- audio: real RIFF/WAV PCM16 container (JDK javax.sound) ---------
+
+  /** Schema of a packed WAV payload (same shape as [[imageSchema]]:
+    * opaque binary + typed metadata). */
+  val wavSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("payload", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("n_bytes", IntegerType),   // container size incl. header
+      StructField("n_samples", IntegerType), // PCM16 sample count
+      StructField("kind", StringType))))))
+
+  /** Derive the deterministic bipolar 16-bit sample for text byte `b`
+    * at position `i` — the [[audioFrames]] centering ramp scaled to
+    * PCM16 (c8 ∈ [−128,127] → c8·256 ∈ [−32768,32512], exactly the
+    * int16 range, so the sample survives the container round trip
+    * bit-for-bit and the oracle can replay it from ascii()+position). */
+  def pcm16Sample(b: Byte, i: Int): Int =
+    ((((b & 0xff) * 31 + i * 7) % 256) - 128) * 256
+
+  /** Pack each document as a GENUINE RIFF/WAV PCM16 mono file: the
+    * text bytes become bipolar 16-bit samples ([[pcm16Sample]]) and
+    * `javax.sound.sampled.AudioSystem` writes the container (header +
+    * fmt chunk + little-endian data chunk) executor-side — the audio
+    * analogue of [[packImages]]' ImageIO path, pure JDK, no native
+    * audio device touched. Batched per partition. */
+  def packWav(docs: DataFrame, idCol: String, textCol: String,
+              sampleRate: Int = 8000, batchSize: Int = 64): DataFrame = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val enc = org.apache.spark.sql.Encoders.row(wavSchema)
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { r =>
+            val text = if (r.isNullAt(1)) "" else r.getString(1)
+            val bytes = text.getBytes("UTF-8")
+            val pcm = new Array[Byte](bytes.length * 2)
+            var i = 0
+            while (i < bytes.length) {
+              val s = pcm16Sample(bytes(i), i)
+              pcm(2 * i) = (s & 0xff).toByte            // little-endian
+              pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+              i += 1
+            }
+            val fmt = new AudioFormat(sampleRate.toFloat, 16, 1,
+              /*signed=*/ true, /*bigEndian=*/ false)
+            val ais = new AudioInputStream(
+              new ByteArrayInputStream(pcm), fmt, bytes.length.toLong)
+            val bos = new ByteArrayOutputStream()
+            AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+            val wav = bos.toByteArray
+            Row(r.getLong(0), wav,
+              Row(wav.length, bytes.length, "audio/wav-pcm16"))
+          }
+        }
+      }(enc)
+  }
+
+  /** Parse a RIFF/WAV payload back to (sampleRate, bitsPerSample,
+    * samples) through the JDK's container parser — header fields come
+    * from the parsed fmt chunk, samples from the data chunk, so a
+    * hash-green consumer proves genuine container parsing, not a byte
+    * read. Rejects anything but signed little-endian mono PCM16. */
+  def parseWav(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    val f = ais.getFormat
+    require(f.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+      f.getChannels == 1 && f.getSampleSizeInBits == 16 && !f.isBigEndian,
+      s"unsupported WAV format: $f")
+    val data = ais.readAllBytes()
+    val n = data.length / 2
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      out(i) = (data(2 * i) & 0xff) | (data(2 * i + 1).toInt << 8)
+      i += 1
+    }
+    (f.getSampleRate.toInt, f.getSampleSizeInBits, out)
+  }
+
+  val wavFrameSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("frame_idx", IntegerType),
+    StructField("n_samples", IntegerType),
+    StructField("energy_ssq", LongType),
+    StructField("peak", IntegerType),
+    StructField("n_zero_cross", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("bits", IntegerType)))
+
+  /** Per-frame features over PARSED WAV payloads ([[audioFrames]]'
+    * features driven by a real container parse): each frameSize-sample
+    * frame of the decoded PCM16 stream reduces to energy / peak / zero
+    * crossings, with sample_rate and bits carried from the parsed
+    * header so a hash row also pins the fmt-chunk round trip. */
+  def wavFrames(media: DataFrame, frameSize: Int = 256,
+                batchSize: Int = 64): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(wavFrameSchema)
+    media.select("doc_id", "payload")
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.flatMap { r =>
+            val doc = r.getLong(0)
+            val (rate, bits, samples) = parseWav(r.getAs[Array[Byte]](1))
+            val nFrames = (samples.length + frameSize - 1) / frameSize
+            (0 until nFrames).map { f =>
+              val start = f * frameSize
+              val end = math.min(start + frameSize, samples.length)
+              var ssq = 0L; var peak = 0; var zc = 0
+              var prev = 0; var first = true
+              var i = start
+              while (i < end) {
+                val c = samples(i)
+                ssq += c.toLong * c
+                if (math.abs(c) > peak) peak = math.abs(c)
+                if (!first && c.toLong * prev < 0) zc += 1
+                prev = c; first = false; i += 1
+              }
+              Row(doc, f, end - start, ssq, peak, zc, rate, bits)
+            }
           }
         }
       }(enc)
@@ -296,7 +425,8 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap { batch =>
           batch.map { r =>
-            val bytes = r.getString(1).getBytes("UTF-8")
+            val text = if (r.isNullAt(1)) "" else r.getString(1)
+            val bytes = text.getBytes("UTF-8")
             val nFrames = (bytes.length + frameContent - 1) / frameContent
             val bos = new ByteArrayOutputStream()
             var f = 0

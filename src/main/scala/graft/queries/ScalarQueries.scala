@@ -204,8 +204,25 @@ object ScalarQueries {
           "audio/pcm-u8"))
       .orderBy("doc_id", "frame_idx")
 
+  /** WAV-container audio frames (round 12 — finishing the media story
+    * the way packImages finished images): documents pack as GENUINE
+    * RIFF/WAV PCM16 files (javax.sound writes the container
+    * executor-side), every payload is parsed back through the JDK's
+    * audio parser in the batched boundary, and the q109 frame features
+    * run on the PARSED samples — with sample_rate/bits carried from
+    * the parsed fmt chunk. The sample derivation is q109's centering
+    * ramp scaled ×256 into the exact int16 range, so the DuckDB oracle
+    * replays the arithmetic from ascii()+position and a hash-green row
+    * PROVES the pack→parse round trip (header fields included), the
+    * same lossless-codec argument as q46/q75/q83/q90. */
+  def q206WavFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.wavFrames(
+        Multimodal.packWav(Tables.documents(s, dir), "doc_id", "text"))
+      .orderBy("doc_id", "frame_idx")
+
   val queries: Map[String, Q] = Map(
     "q109_audio_frames" -> (q109AudioFrames _),
+    "q206_wav_frames" -> (q206WavFrames _),
     "q39_json_extract" -> (q39JsonExtract _),
     "q40_code_extract" -> (q40CodeExtract _),
     "q41_band_join" -> (q41BandJoin _),
@@ -251,6 +268,33 @@ object ScalarQueries {
            CAST(coalesce(sum(CASE WHEN prev_in IS NOT NULL
              AND c * prev_in < 0 THEN 1 ELSE 0 END), 0) AS INTEGER)
              AS n_zero_cross
+         FROM lagd GROUP BY doc_id, frame_idx
+         ORDER BY doc_id, frame_idx""",
+    // the q109 ramp ×256 (the exact int16 range, lossless through the
+    // PCM16 container); sample_rate/bits replay the packer's constants
+    // — on the Spark side they come from the PARSED WAV header
+    "q206_wav_frames" ->
+      """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n, text
+           FROM documents),
+         px AS (SELECT doc_id, text, unnest(range(0, n)) AS p FROM b),
+         smp AS (SELECT doc_id, CAST(p // 256 AS INTEGER) AS frame_idx, p,
+             (((ascii(substr(text, CAST(p + 1 AS INTEGER), 1)) * 31 + p * 7)
+               % 256) - 128) * 256 AS c
+           FROM px),
+         lagd AS (SELECT doc_id, frame_idx, p, c,
+             CASE WHEN p % 256 = 0 THEN NULL
+               ELSE lag(c) OVER (PARTITION BY doc_id ORDER BY p)
+             END AS prev_in
+           FROM smp)
+         SELECT doc_id, frame_idx,
+           CAST(count(*) AS INTEGER) AS n_samples,
+           CAST(sum(c * c) AS BIGINT) AS energy_ssq,
+           CAST(max(abs(c)) AS INTEGER) AS peak,
+           CAST(coalesce(sum(CASE WHEN prev_in IS NOT NULL
+             AND c * prev_in < 0 THEN 1 ELSE 0 END), 0) AS INTEGER)
+             AS n_zero_cross,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(16 AS INTEGER) AS bits
          FROM lagd GROUP BY doc_id, frame_idx
          ORDER BY doc_id, frame_idx""",
     "q39_json_extract" ->

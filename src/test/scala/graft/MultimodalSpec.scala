@@ -175,6 +175,65 @@ class MultimodalSpec extends AnyFunSuite {
       (1, 44, 241455L, 125, 22)))
   }
 
+  test("WAV PCM16 pack→parse round trip is lossless, header included") {
+    import spark.implicits._
+    val text = "the quick brown fox jumps over the lazy dog " * 7
+    val docs = Seq((9L, text)).toDF("doc_id", "text")
+    val packed = Multimodal.packWav(docs, "doc_id", "text").collect().head
+    val payload = packed.getAs[Array[Byte]](1)
+    // a genuine RIFF container: magic + WAVE form type
+    assert(new String(payload.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(new String(payload.slice(8, 12), "US-ASCII") == "WAVE")
+    val (rate, bits, samples) = Multimodal.parseWav(payload)
+    assert((rate, bits) == (8000, 16))
+    val expected = text.getBytes("UTF-8").zipWithIndex
+      .map { case (b, i) => Multimodal.pcm16Sample(b, i) }
+    assert(samples.toSeq == expected.toSeq,
+      "parsed samples must equal the derivation bit-for-bit")
+  }
+
+  test("pcm16Sample spans exactly the int16 range (container-safe)") {
+    val all = for (b <- 0 to 255; i <- 0 to 255)
+      yield Multimodal.pcm16Sample(b.toByte, i)
+    assert(all.min >= Short.MinValue.toInt && all.max <= Short.MaxValue.toInt)
+    assert(all.min == -32768 && all.max == 32512) // c8·256 endpoints
+  }
+
+  test("checked-in WAV fixture parses to its golden samples") {
+    val in = getClass.getResourceAsStream("/graft/fixtures/ramp_pcm16.wav")
+    assert(in != null, "missing fixture ramp_pcm16.wav")
+    val bytes = in.readAllBytes(); in.close()
+    val (rate, bits, samples) = Multimodal.parseWav(bytes)
+    assert((rate, bits) == (8000, 16))
+    val wavText = "graft wav fixture 0123456789"
+    val expected = wavText.getBytes("UTF-8").zipWithIndex
+      .map { case (b, i) => Multimodal.pcm16Sample(b, i) }
+    assert(samples.toSeq == expected.toSeq)
+    // literal spot goldens (hand-computed, independent of pcm16Sample):
+    // 'g'(103): (103·31+0)%256=121 → −7·256 = −1792
+    // 'r'(114): (114·31+7)%256=213 → 85·256 = 21760
+    assert(samples(0) == -1792 && samples(1) == 21760)
+  }
+
+  test("wavFrames features equal audioFrames features scaled by 256") {
+    import spark.implicits._
+    val text = ("lorem ipsum dolor sit amet " * 12).take(300)
+    val docs = Seq((7L, text)).toDF("doc_id", "text")
+    val u8 = Multimodal.audioFrames(Multimodal.packBinary(docs, "doc_id", "text"))
+      .orderBy("frame_idx").collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getLong(3), r.getInt(4), r.getInt(5)))
+    val w16 = Multimodal.wavFrames(Multimodal.packWav(docs, "doc_id", "text"))
+      .orderBy("frame_idx").collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getLong(3), r.getInt(4), r.getInt(5)))
+    assert(w16.length == u8.length)
+    u8.zip(w16).foreach { case ((fi, n, ssq, peak, zc), (fi2, n2, ssq2, peak2, zc2)) =>
+      assert(fi2 == fi && n2 == n)
+      assert(ssq2 == ssq * 65536L, "energy scales by 256²")
+      assert(peak2 == peak * 256, "peak scales by 256")
+      assert(zc2 == zc, "zero crossings are scale-invariant")
+    }
+  }
+
   test("identical payloads produce identical blockhashes through the frame") {
     import spark.implicits._
     val text = "the quick brown fox jumps over the lazy dog " * 8
