@@ -1671,6 +1671,57 @@ object VectorQueries {
   private def r6Sql(e: String): String =
     s"CAST(round(($e)*1e6) AS BIGINT)/1e6"
 
+  /** The ten q172 method legs, in output order. */
+  private[graft] lazy val q172Methods: Seq[String] =
+    Seq("lsh", "ivf", "ivf_kmeans", "sq8", "pq", "ivfpq", "mlsh") ++
+      MrlDims.map(p => s"mrl$p")
+
+  /** Single-leg q172 oracle (round 12, verdict item 4): the full
+    * metric computation for ONE method — truth chain + that leg's
+    * index chain only. The all-ten-chains replay exceeds this box's
+    * temp disk at sf3 (an IO bound, not a mismatch); replaying leg by
+    * leg materializes at most two index chains at a time, so the one
+    * unified quality artifact gets its own hash rows at scale via
+    * graft.tools.LegVerify + check_oracle. Metric SQL is textually
+    * the same aggregation as the main q172 oracle. */
+  private[graft] def q172LegOracle(method: String): String = {
+    val legSelect = method match {
+      case "lsh" =>
+        s"(WITH $lshCtes SELECT qid, vec_id, rnk FROM ranked WHERE rnk <= $K)"
+      case "ivf" =>
+        s"(WITH $ivfCtes SELECT qid, vec_id, rnk FROM ranked WHERE rnk <= $K)"
+      case "ivf_kmeans" => s"($ivfKmeansSql)"
+      case "sq8"        => s"($sq8Sql)"
+      case "pq"         => s"($pqSql)"
+      case "ivfpq"      => s"($ivfPqSql)"
+      case "mlsh" =>
+        s"(WITH $mlshCtes SELECT qid, vec_id, rnk FROM mranked WHERE rnk <= $K)"
+      case m if m.startsWith("mrl") => s"(${mrlTopKSql(m.drop(3).toInt)})"
+      case m => throw new IllegalArgumentException(s"unknown q172 leg $m")
+    }
+    s"""WITH truth AS (SELECT qid, vec_id FROM
+         (WITH $bruteCtes SELECT qid, vec_id FROM ranked WHERE rnk <= $K)),
+       leg AS (SELECT qid, vec_id, rnk FROM $legSelect),
+       m AS (SELECT '$method' AS method, a.qid, a.rnk,
+           CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+         FROM leg a LEFT JOIN truth t
+           ON t.qid = a.qid AND t.vec_id = a.vec_id),
+       g AS (SELECT method, qid,
+           CAST(count(*) AS BIGINT) AS k,
+           CAST(sum(rel) AS BIGINT) AS hits,
+           min(CASE WHEN rel = 1 THEN rnk END) AS first_rel,
+           CAST(sum(CASE WHEN rel = 1
+             THEN CAST(round(1e6 / log2(rnk + 1)) AS BIGINT)
+             ELSE 0 END) AS BIGINT) AS dcg_micro
+         FROM m GROUP BY 1, 2),
+       i AS (SELECT CAST(sum(CAST(round(1e6 / log2(t.range + 1))
+           AS BIGINT)) AS BIGINT) AS idcg FROM range(1, ${K + 1}) t)
+       SELECT method, qid, k, hits,
+         coalesce(CAST(1000 AS BIGINT) // first_rel, 0) AS mrr_milli,
+         dcg_micro * 1000000 // idcg AS ndcg_micro
+       FROM g CROSS JOIN i ORDER BY method, qid"""
+  }
+
   private val bruteCtes =
     s"""q AS (SELECT vec_id AS qid, embedding AS qemb
          FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < $QBatchMax),
