@@ -262,7 +262,7 @@ object VectorQueries {
     Shared.memoized(s, dir, s"kmeans$kClusters", Seq("cl")) {
       val q = quantized(Tables.embeddings(s, dir))
       lloyd2(q, q.filter(col("vec_id") < kClusters)
-        .select(col("vec_id").as("cl"), col("qe").as("c")))
+        .select(col("vec_id").as("cl"), col("qe").as("c")), kClusters)
     }
 
   /** Exact-integer embedding quantization shared by every k-means leg:
@@ -289,10 +289,63 @@ object VectorQueries {
         first("qe").as("qe"))
       .select(col("vec_id"), col("qe"), col("best.cl").as("cl"))
 
+  /** Above this centroid count the assignment goes hierarchical —
+    * brute n×K is exact but its cost at the [[KMax]] pin (n ≥ ~4.2M →
+    * K = 65536) is ~2¹⁷ distance evals per vector, infeasible on any
+    * executor. Every oracle-verified scale derives K below this
+    * threshold (sf10's 200k vectors → K = 3125), so the exact brute
+    * path is what every hash row replays; the hierarchical path is the
+    * 100-TB regime's approximation, measured by the round-12 KMax
+    * crossover drill. */
+  private[graft] val HierAssignK = 4096
+
+  /** Hierarchical (coarse→fine) Lloyd assignment for the pinned-K
+    * regime: a deterministic ~256-centroid coarse level (every
+    * stride-th centroid by cl) routes each vector to a coarse cell,
+    * then the argmin runs over only that cell's fine centroids —
+    * O(n·(256 + K/256)) instead of O(n·K), the standard IVF trick
+    * (SemDeDup itself clusters 5B embeddings with approximate
+    * assignment). Vectors near coarse boundaries may land in a
+    * neighbouring fine cell; SemDeDup's within-cell-only comparison is
+    * already an approximation of that order. Deterministic end to end
+    * (min(struct) ties, fixed stride). */
+  private def lloydAssignHier(q: DataFrame, cents: DataFrame,
+                              k: Int): DataFrame = {
+    def l2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      graft.functions.VectorExpressions.l2q(a, b)
+    val coarseN = 256L
+    val stride = math.max(1L, k.toLong / coarseN)
+    val coarse = cents.filter(col("cl") % stride === 0)
+      .select(col("cl").as("ccl"), col("c").as("cc"))
+    // fine centroid -> nearest coarse centroid (K × ~256, distributed)
+    val fineMap = cents.crossJoin(broadcast(coarse))
+      .withColumn("d", l2(col("c"), col("cc")))
+      .groupBy("cl")
+      .agg(min(struct(col("d"), col("ccl"))).as("b"), first("c").as("c"))
+      .select(col("b.ccl").as("ccl"), col("cl"), col("c"))
+    // vector -> coarse cell (n × ~256)
+    val vc = q.crossJoin(broadcast(coarse))
+      .withColumn("d", l2(col("qe"), col("cc")))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d"), col("ccl"))).as("b"), first("qe").as("qe"))
+      .select(col("vec_id"), col("qe"), col("b.ccl").as("ccl"))
+    // vector -> fine within its coarse cell (n × ~K/256)
+    vc.join(broadcast(fineMap), Seq("ccl"))
+      .withColumn("d", l2(col("qe"), col("c")))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d"), col("cl"))).as("best"), first("qe").as("qe"))
+      .select(col("vec_id"), col("qe"), col("best.cl").as("cl"))
+  }
+
+  private def assignK(q: DataFrame, cents: DataFrame, k: Int): DataFrame =
+    if (k <= HierAssignK) lloydAssign(q, cents)
+    else lloydAssignHier(q, cents, k)
+
   /** Two Lloyd iterations from seed centroids `c0` (the shape every
-    * oracle replays via `kmeansIterSql`). */
-  private def lloyd2(q: DataFrame, c0: DataFrame): DataFrame =
-    lloydAssign(q, recomputeCentroids(lloydAssign(q, c0)))
+    * oracle replays via `kmeansIterSql`; assignment dispatches to the
+    * hierarchical path above [[HierAssignK]] centroids). */
+  private def lloyd2(q: DataFrame, c0: DataFrame, k: Int): DataFrame =
+    assignK(q, recomputeCentroids(assignK(q, c0, k)), k)
 
   private def recomputeCentroids(a: DataFrame): DataFrame =
     a.select(col("cl"), posexplode(col("qe")).as(Seq("i", "v")))
@@ -400,7 +453,7 @@ object VectorQueries {
     // sort; `vec_id < K` would wrongly include batch ids)
     val c0 = prior.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("cl"), col("qe").as("c"))
-    val cents = recomputeCentroids(lloyd2(prior, c0))
+    val cents = recomputeCentroids(lloyd2(prior, c0, k))
     val asg = batch.crossJoin(broadcast(cents))
       .withColumn("d", graft.functions.VectorExpressions.l2q(col("qe"), col("c")))
       .groupBy("vec_id")
@@ -1290,7 +1343,7 @@ object VectorQueries {
     val k = semDedupK(base.count())
     val c0 = base.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("cl"), col("qe").as("c"))
-    val cents = recomputeCentroids(lloyd2(base, c0))
+    val cents = recomputeCentroids(lloyd2(base, c0, k))
     def cells(q: DataFrame, side: String): DataFrame =
       q.crossJoin(broadcast(cents))
         .withColumn("d",
