@@ -308,6 +308,19 @@ class NewQueryPlanSpec extends AnyFunSuite {
       s"q108's verdict must be exchange-free (stateless stream):\n$plan")
   }
 
+  test("q206: WAV pack->parse->features is map-side until the output sort") {
+    // both codec hops are mapPartitions inside the same partition —
+    // the payload column must never cross an exchange (at 100 TB the
+    // container bytes stay where the text was read)
+    val df = graft.operators.Multimodal.wavFrames(
+      graft.operators.Multimodal.packWav(
+        Tables.documents(spark, sf), "doc_id", "text"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"q206's pack->parse->features chain must be exchange-free:\n$plan")
+  }
+
   // ---- round-9 pins: the session-2 additions (r8 verdict item 4) ----
 
   private def executed(df: org.apache.spark.sql.DataFrame): String = {
