@@ -822,8 +822,12 @@ object MiscQueries {
   /** One unrolled PageRank iteration over `prev(node, r)` — mirrors
     * q121PageRank's integer update exactly (sum of floor-divided
     * contributions, then damping in integer percent). */
+  /** MATERIALIZED: without the hint DuckDB inlines each CTE per
+    * reference, re-evaluating the trades join for every iteration's
+    * edges/outdeg uses — the q160/q161 exponential-replay lesson; at
+    * sf3 the un-hinted chain exceeded 66 G of temp disk. */
   private def prIterSql(i: Int, prev: String): String =
-    s"""it$i AS (SELECT e.dst AS node,
+    s"""it$i AS MATERIALIZED (SELECT e.dst AS node,
          (1000000000000 // nn.n * 15 // 100)
            + CAST(sum(r.r // o.outdeg) AS BIGINT) * 85 // 100 AS r
        FROM $prev r
@@ -1074,7 +1078,7 @@ object MiscQueries {
          FROM g ORDER BY sig_a, sig_b""",
     "q182_trustrank" -> {
       def iterSql(i: Int, prev: String): String =
-        s"""it$i AS (SELECT e.dst AS node,
+        s"""it$i AS MATERIALIZED (SELECT e.dst AS node,
              (CASE WHEN e.dst IN (SELECT node FROM seeds)
                THEN 1000000000000 // ns.n * 15 // 100 ELSE 0 END)
                + CAST(sum(r.r // o.outdeg) AS BIGINT) * 85 // 100 AS r
@@ -1083,13 +1087,13 @@ object MiscQueries {
            JOIN outdeg o ON o.src = e.src
            CROSS JOIN ns
            GROUP BY e.dst, ns.n)"""
-      s"""WITH trades AS (SELECT DISTINCT o_custkey AS c,
+      s"""WITH trades AS MATERIALIZED (SELECT DISTINCT o_custkey AS c,
            l_suppkey + 100000000 AS p
            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-         edges AS (SELECT c AS src, p AS dst FROM trades
+         edges AS MATERIALIZED (SELECT c AS src, p AS dst FROM trades
            UNION ALL SELECT p, c FROM trades),
-         outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
-           FROM edges GROUP BY src),
+         outdeg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT)
+           AS outdeg FROM edges GROUP BY src),
          seeds AS (SELECT c_custkey AS node FROM customer
            WHERE c_mktsegment = 'BUILDING'),
          ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM seeds),
@@ -1106,13 +1110,13 @@ object MiscQueries {
          WHERE node >= 100000000 ORDER BY s_suppkey"""
     },
     "q121_pagerank" ->
-      s"""WITH trades AS (SELECT DISTINCT o_custkey AS c,
+      s"""WITH trades AS MATERIALIZED (SELECT DISTINCT o_custkey AS c,
            l_suppkey + 100000000 AS p
            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-         edges AS (SELECT c AS src, p AS dst FROM trades
+         edges AS MATERIALIZED (SELECT c AS src, p AS dst FROM trades
            UNION ALL SELECT p, c FROM trades),
-         outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
-           FROM edges GROUP BY src),
+         outdeg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT)
+           AS outdeg FROM edges GROUP BY src),
          nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM outdeg),
          r0 AS (SELECT src AS node, 1000000000000 // n AS r
            FROM outdeg CROSS JOIN nn),

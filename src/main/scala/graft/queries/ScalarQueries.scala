@@ -220,9 +220,78 @@ object ScalarQueries {
         Multimodal.packWav(Tables.documents(s, dir), "doc_id", "text"))
       .orderBy("doc_id", "frame_idx")
 
+  /** q207 fingerprint constants (shared with the oracle text):
+    * 32-sample frames, 16 frame-delta bits per word, hot-bucket cap,
+    * duplicate threshold. */
+  private val FpFrame = 32
+  private val FpWordBits = 16
+  private val FpWordCap = 64L
+  private val FpDupMax = 8
+
+  /** q207: AUDIO-FINGERPRINT NEAR-DUP — the Chromaprint shape over the
+    * parsed-WAV path: each document's PCM16 stream reduces to an
+    * energy-delta bit sequence (bit f = 1 iff frame f's energy exceeds
+    * frame f−1's), packed into 16-bit fingerprint words; documents
+    * sharing any exact (word_idx, word) are candidates (the q75
+    * banded-prefilter shape, hot buckets capped); the pair score is
+    * exact hamming over the common words plus a 16-bit penalty per
+    * unshared word position (length mismatch). An exact audio dup has
+    * hamming 0; a tail-edited near-dup shares its early words and
+    * differs late — the same residual-miss trade as every banded
+    * prefilter in the suite.
+    *
+    * Scale shape: frames/words are map-side off the WAV parse plus one
+    * doc-keyed lag window over ~n_frames rows per doc (bounded by doc
+    * length, never corpus-wide); the candidate join is bucket-keyed
+    * and capped; the hamming roll-up joins only candidate pairs to
+    * word tables. Oracle: DuckDB replays the whole chain from
+    * ascii()+position through the identical integer arithmetic. */
+  def q207AudioFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val frames = Multimodal.wavFrames(
+      Multimodal.packWav(Tables.documents(s, dir), "doc_id", "text"),
+      frameSize = FpFrame)
+    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    val bits = frames.select(col("doc_id"), col("frame_idx"), col("energy_ssq"))
+      .withColumn("prev", lag("energy_ssq", 1).over(w))
+      .withColumn("bit", when(col("prev").isNotNull &&
+        col("energy_ssq") > col("prev"), 1L).otherwise(0L))
+    val words = bits
+      .groupBy(col("doc_id"),
+        expr(s"CAST(frame_idx div $FpWordBits AS BIGINT)").as("word_idx"))
+      .agg(expr(
+        s"CAST(sum(bit * CAST(power(2, frame_idx % $FpWordBits) AS BIGINT)) AS BIGINT)")
+        .as("word"))
+    val kept = graft.operators.Blocking.capBlocks(
+      words, Seq("word_idx", "word"), FpWordCap)
+    val cands = kept.select(col("word_idx"), col("word"), col("doc_id").as("doc1"))
+      .join(kept.select(col("word_idx"), col("word"), col("doc_id").as("doc2")),
+        Seq("word_idx", "word"))
+      .filter(col("doc1") < col("doc2"))
+      .select("doc1", "doc2").distinct()
+    val f1 = words.select(col("doc_id").as("doc1"), col("word_idx"),
+      col("word").as("wa"))
+    val f2 = words.select(col("doc_id").as("doc2"), col("word_idx"),
+      col("word").as("wb"))
+    val common = cands.join(f1, Seq("doc1")).join(f2, Seq("doc2", "word_idx"))
+      .groupBy("doc1", "doc2")
+      .agg(count(lit(1)).as("n_common_words"),
+        sum(bit_count(col("wa").bitwiseXOR(col("wb")))).as("ham_common"))
+    val nw = words.groupBy("doc_id").agg(count(lit(1)).as("nw"))
+    common
+      .join(nw.select(col("doc_id").as("doc1"), col("nw").as("nw1")), Seq("doc1"))
+      .join(nw.select(col("doc_id").as("doc2"), col("nw").as("nw2")), Seq("doc2"))
+      .withColumn("hamming", col("ham_common")
+        + (col("nw1") - col("n_common_words")) * FpWordBits
+        + (col("nw2") - col("n_common_words")) * FpWordBits)
+      .withColumn("is_dup", col("hamming") <= FpDupMax)
+      .select("doc1", "doc2", "n_common_words", "hamming", "is_dup")
+      .orderBy("doc1", "doc2")
+  }
+
   val queries: Map[String, Q] = Map(
     "q109_audio_frames" -> (q109AudioFrames _),
     "q206_wav_frames" -> (q206WavFrames _),
+    "q207_audio_fingerprint" -> (q207AudioFingerprint _),
     "q39_json_extract" -> (q39JsonExtract _),
     "q40_code_extract" -> (q40CodeExtract _),
     "q41_band_join" -> (q41BandJoin _),
@@ -297,6 +366,56 @@ object ScalarQueries {
            CAST(16 AS INTEGER) AS bits
          FROM lagd GROUP BY doc_id, frame_idx
          ORDER BY doc_id, frame_idx""",
+    // the fingerprint chain replayed end to end: 32-sample frame
+    // energies from the ramp, energy-delta bits, 16-bit words, capped
+    // banded candidates, hamming + length penalty
+    "q207_audio_fingerprint" ->
+      s"""WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n, text
+           FROM documents),
+         smp AS (SELECT doc_id, u.frame_idx, u.c FROM (
+           SELECT doc_id, unnest(list_transform(range(0, n),
+             i -> struct_pack(
+               frame_idx := i // $FpFrame,
+               c := (((ascii(substr(text, CAST(i + 1 AS INTEGER), 1)) * 31
+                 + i * 7) % 256) - 128) * 256))) AS u
+           FROM b)),
+         fe AS (SELECT doc_id, frame_idx, CAST(sum(c * c) AS BIGINT) AS e
+           FROM smp GROUP BY doc_id, frame_idx),
+         fb AS (SELECT doc_id, frame_idx,
+             CASE WHEN lag(e) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+                 IS NOT NULL
+               AND e > lag(e) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+               THEN 1 ELSE 0 END AS bit
+           FROM fe),
+         words AS (SELECT doc_id, frame_idx // $FpWordBits AS word_idx,
+             CAST(sum(bit * CAST(power(2, frame_idx % $FpWordBits) AS BIGINT))
+               AS BIGINT) AS word
+           FROM fb GROUP BY doc_id, frame_idx // $FpWordBits),
+         wcap AS (${graft.operators.Blocking.sqlCapKeys(
+               "words", Seq("word_idx", "word"), FpWordCap)}),
+         wkept AS (SELECT w.* FROM words w JOIN wcap USING (word_idx, word)),
+         cands AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+           FROM wkept a JOIN wkept b
+             ON a.word_idx = b.word_idx AND a.word = b.word
+              AND a.doc_id < b.doc_id),
+         cm AS (SELECT doc1, doc2,
+             CAST(count(*) AS BIGINT) AS n_common_words,
+             CAST(sum(bit_count(xor(x.word, y.word))) AS BIGINT) AS hamc
+           FROM cands
+           JOIN words x ON x.doc_id = doc1
+           JOIN words y ON y.doc_id = doc2 AND y.word_idx = x.word_idx
+           GROUP BY doc1, doc2),
+         nw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nw
+           FROM words GROUP BY doc_id)
+         SELECT doc1, doc2, n_common_words,
+           hamc + (n1.nw - n_common_words) * $FpWordBits
+             + (n2.nw - n_common_words) * $FpWordBits AS hamming,
+           hamc + (n1.nw - n_common_words) * $FpWordBits
+             + (n2.nw - n_common_words) * $FpWordBits <= $FpDupMax AS is_dup
+         FROM cm
+         JOIN nw n1 ON n1.doc_id = doc1
+         JOIN nw n2 ON n2.doc_id = doc2
+         ORDER BY doc1, doc2""",
     "q39_json_extract" ->
       """SELECT event_type, count(*) AS n_events,
          CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
