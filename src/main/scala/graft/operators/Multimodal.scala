@@ -206,8 +206,12 @@ object Multimodal {
             var prev = 0; var first = true
             var i = start
             while (i < end) {
-              // bipolar centering: sample from byte value + position
-              val c = (((bytes(i) & 0xff) * 31 + i * 7) % 256) - 128
+              // bipolar centering: sample from byte value + position.
+              // Ramp in Long: i*7 overflows Int past ~306 MB docs and
+              // a negative % would silently diverge from the BIGINT
+              // oracle (ADVICE r12) — same value below the threshold.
+              val c = ((((bytes(i) & 0xff).toLong * 31 + i.toLong * 7)
+                % 256).toInt) - 128
               ssq += c.toLong * c
               if (math.abs(c) > peak) peak = math.abs(c)
               if (!first && c * prev < 0) zc += 1
@@ -235,9 +239,15 @@ object Multimodal {
     * at position `i` — the [[audioFrames]] centering ramp scaled to
     * PCM16 (c8 ∈ [−128,127] → c8·256 ∈ [−32768,32512], exactly the
     * int16 range, so the sample survives the container round trip
-    * bit-for-bit and the oracle can replay it from ascii()+position). */
+    * bit-for-bit and the oracle can replay it from the byte+position).
+    *
+    * Ramp arithmetic in Long: `i * 7` overflows Int once a document
+    * passes ~306 MB, and the negative `%` result would escape the
+    * int16 range and silently diverge from the oracle's BIGINT
+    * spelling (ADVICE r12); Long keeps the two engines identical at
+    * any document size. */
   def pcm16Sample(b: Byte, i: Int): Int =
-    ((((b & 0xff) * 31 + i * 7) % 256) - 128) * 256
+    (((((b & 0xff).toLong * 31 + i.toLong * 7) % 256).toInt) - 128) * 256
 
   /** Pack each document as a GENUINE RIFF/WAV PCM16 mono file: the
     * text bytes become bipolar 16-bit samples ([[pcm16Sample]]) and

@@ -309,20 +309,22 @@ object ScalarQueries {
           FROM toks))"""
 
   val oracles: Map[String, String] = Map(
-    // ASCII-corpus assumption (ADVICE r7): this oracle indexes
-    // CHARACTERS (ascii(substr(text, p+1, 1))) while p ranges over
-    // octet_length BYTES and the Spark side iterates UTF-8 bytes —
-    // parity holds because the synthetic corpus is pure ASCII (byte ==
-    // char), the same latent assumption as the q75/q90 image oracles.
-    // A multi-byte corpus would shift positions and NULL out
-    // past-the-end substr — it must fail loudly at the generator, not
-    // hash-mismatch here.
+    // Byte-level parity (ADVICE r12 closing ADVICE r7's latent ASCII
+    // contract for the audio family): the sample at position p is the
+    // TRUE UTF-8 byte, extracted from hex(encode(text)) — two hex
+    // chars per byte, so byte p is substr(hx, 2p+1, 2) — instead of
+    // the character-indexed ascii(substr(text, p+1, 1)) that diverged
+    // from the Spark side's byte iteration on any multibyte text
+    // (shifted positions + NULLs past the end). q109/q206/q207 now
+    // hold for arbitrary UTF-8; the q75/q90 image oracles retain the
+    // documented ASCII-only fixture contract.
     "q109_audio_frames" ->
-      """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n, text
-           FROM documents),
-         px AS (SELECT doc_id, text, unnest(range(0, n)) AS p FROM b),
+      """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n,
+           hex(encode(text)) AS hx FROM documents),
+         px AS (SELECT doc_id, hx, unnest(range(0, n)) AS p FROM b),
          smp AS (SELECT doc_id, CAST(p // 256 AS INTEGER) AS frame_idx, p,
-             ((ascii(substr(text, CAST(p + 1 AS INTEGER), 1)) * 31 + p * 7)
+             ((CAST('0x' || substr(hx, CAST(2 * p + 1 AS INTEGER), 2)
+                 AS INTEGER) * 31 + p * 7)
                % 256) - 128 AS c
            FROM px),
          lagd AS (SELECT doc_id, frame_idx, p, c,
@@ -343,11 +345,12 @@ object ScalarQueries {
     // PCM16 container); sample_rate/bits replay the packer's constants
     // — on the Spark side they come from the PARSED WAV header
     "q206_wav_frames" ->
-      """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n, text
-           FROM documents),
-         px AS (SELECT doc_id, text, unnest(range(0, n)) AS p FROM b),
+      """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n,
+           hex(encode(text)) AS hx FROM documents),
+         px AS (SELECT doc_id, hx, unnest(range(0, n)) AS p FROM b),
          smp AS (SELECT doc_id, CAST(p // 256 AS INTEGER) AS frame_idx, p,
-             (((ascii(substr(text, CAST(p + 1 AS INTEGER), 1)) * 31 + p * 7)
+             (((CAST('0x' || substr(hx, CAST(2 * p + 1 AS INTEGER), 2)
+                 AS INTEGER) * 31 + p * 7)
                % 256) - 128) * 256 AS c
            FROM px),
          lagd AS (SELECT doc_id, frame_idx, p, c,
@@ -370,13 +373,14 @@ object ScalarQueries {
     // energies from the ramp, energy-delta bits, 16-bit words, capped
     // banded candidates, hamming + length penalty
     "q207_audio_fingerprint" ->
-      s"""WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n, text
-           FROM documents),
+      s"""WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n,
+           hex(encode(text)) AS hx FROM documents),
          smp AS (SELECT doc_id, u.frame_idx, u.c FROM (
            SELECT doc_id, unnest(list_transform(range(0, n),
              i -> struct_pack(
                frame_idx := i // $FpFrame,
-               c := (((ascii(substr(text, CAST(i + 1 AS INTEGER), 1)) * 31
+               c := (((CAST('0x' || substr(hx, CAST(2 * i + 1 AS INTEGER), 2)
+                 AS INTEGER) * 31
                  + i * 7) % 256) - 128) * 256))) AS u
            FROM b)),
          fe AS (SELECT doc_id, frame_idx, CAST(sum(c * c) AS BIGINT) AS e

@@ -121,9 +121,13 @@ object TextQueries {
     // ~3e6 rows respectively (the q179 overflow class, latent here):
     // widen the whole pe chain to DECIMAL(38,0) — `div` still lands
     // the quotient back in BIGINT, keeping the integer-micro contract.
+    // coalesce to 0 like the oracle: an empty marginal join (no label
+    // appears on both sides) must yield pe_micro = 0, not NULL —
+    // engine parity on the degenerate confusion matrix (ADVICE r12)
     val peNum = rowN.join(colN, col("label_a") === col("label_b"))
-      .agg(sum(col("row_n").cast("decimal(38,0)") * col("col_n"))
-        .as("pe_num"))
+      .agg(coalesce(
+        sum(col("row_n").cast("decimal(38,0)") * col("col_n")),
+        lit(0).cast("decimal(38,0)")).as("pe_num"))
     val k = scal.crossJoin(peNum)
       .withColumn("po_micro", expr("diag * 1000000 div nn"))
       .withColumn("pe_micro", expr(

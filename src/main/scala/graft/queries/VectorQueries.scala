@@ -281,7 +281,7 @@ object VectorQueries {
     * q106/q116 once K became corpus-derived. Per-vector argmin via
     * min(struct) instead of a rank window: no sort, map-side partial
     * aggregation over the broadcast-join output. */
-  private def lloydAssign(q: DataFrame, cents: DataFrame): DataFrame =
+  private[graft] def lloydAssign(q: DataFrame, cents: DataFrame): DataFrame =
     q.crossJoin(broadcast(cents))
       .withColumn("d", graft.functions.VectorExpressions.l2q(col("qe"), col("c")))
       .groupBy("vec_id")
@@ -309,7 +309,7 @@ object VectorQueries {
     * neighbouring fine cell; SemDeDup's within-cell-only comparison is
     * already an approximation of that order. Deterministic end to end
     * (min(struct) ties, fixed stride). */
-  private def lloydAssignHier(q: DataFrame, cents: DataFrame,
+  private[graft] def lloydAssignHier(q: DataFrame, cents: DataFrame,
                               k: Int): DataFrame = {
     def l2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       graft.functions.VectorExpressions.l2q(a, b)
@@ -337,9 +337,17 @@ object VectorQueries {
       .select(col("vec_id"), col("qe"), col("best.cl").as("cl"))
   }
 
-  private def assignK(q: DataFrame, cents: DataFrame, k: Int): DataFrame =
+  private[graft] def assignK(q: DataFrame, cents: DataFrame, k: Int): DataFrame =
     if (k <= HierAssignK) lloydAssign(q, cents)
-    else lloydAssignHier(q, cents, k)
+    else {
+      // visible, not silent (ADVICE r12): above the threshold results
+      // are approximate (coarse-cell routing) and not DuckDB-replayable
+      // — large-scale runs must be able to see which regime they ran in
+      System.err.println(s"[graft] kmeans assignment: K=$k > " +
+        s"HierAssignK=$HierAssignK — hierarchical (APPROXIMATE) " +
+        "coarse->fine path engaged; results not oracle-replayable")
+      lloydAssignHier(q, cents, k)
+    }
 
   /** Two Lloyd iterations from seed centroids `c0` (the shape every
     * oracle replays via `kmeansIterSql`; assignment dispatches to the
