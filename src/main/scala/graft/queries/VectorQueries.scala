@@ -607,6 +607,49 @@ object VectorQueries {
       .orderBy("method", "qid")
   }
 
+  /** Drill support ([[graft.tools.HierDrill]]): the pinned-K regime's
+    * correctness cross-check the round-12 verdict asked for. The
+    * K = 65536 regime is not DuckDB-replayable (the oracle would
+    * materialize n×K), so this measures, at drill scale, how often the
+    * hierarchical assignment agrees with the exact brute argmin on a
+    * sampled vector subset — against the SAME centroid table the q106
+    * chain builds (seed = K smallest ids, one assignment + recompute).
+    * Returns one row: corpus size, K, sample size, agreement count,
+    * and the summed assigned-distance inflation of hier over brute
+    * (micro-ratio) — the one-sided error the approximation pays. */
+  private[graft] def hierAgreementProbe(s: SparkSession, dir: String,
+      sampleEvery: Long): DataFrame = {
+    val n = Tables.embeddings(s, dir).count()
+    val k = semDedupK(n)
+    require(k > HierAssignK,
+      s"probe targets the pinned regime; corpus derives K=$k <= $HierAssignK")
+    val q = quantized(Tables.embeddings(s, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c0 = q.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cl"), col("qe").as("c"))
+    val c1 = recomputeCentroids(assignK(q, c0, k.toInt))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    c1.count()
+    val sample = q.filter(pmod(col("vec_id"), lit(sampleEvery)) === 0)
+    val l2 = graft.functions.VectorExpressions.l2q(col("qe"), col("c"))
+    def withD(asg: DataFrame, cl: String, d: String) = asg
+      .join(c1, asg("cl") === c1("cl")).drop(c1("cl"))
+      .select(col("vec_id"), col("cl").as(cl), l2.as(d))
+    val b = withD(lloydAssign(sample, c1), "cl_brute", "d_brute")
+    val h = withD(lloydAssignHier(sample, c1, k.toInt), "cl_hier", "d_hier")
+    b.join(h, Seq("vec_id"))
+      .agg(count(lit(1)).as("sample_n"),
+        sum(when(col("cl_brute") === col("cl_hier"), 1L).otherwise(0L))
+          .as("agree_n"),
+        sum("d_brute").as("sum_d_brute"),
+        sum("d_hier").as("sum_d_hier"))
+      .select(lit(n).as("n_vectors"), lit(k).as("k"),
+        col("sample_n"), col("agree_n"),
+        (col("agree_n") * 1000 / col("sample_n")).as("agree_milli"),
+        (col("sum_d_hier").cast("decimal(38,0)") * 1000000 /
+          col("sum_d_brute")).cast("long").as("d_inflation_micro"))
+  }
+
   private val SemDupTau = 0.35
   /** Target mean SemDeDup cell size; K = max(8, ceil(n/TargetCell)). */
   private val TargetCell = 64L
