@@ -385,7 +385,14 @@ object MlQueries {
     "small" -> "small", "sort" -> "sort", "spark" -> "spark",
     "stream" -> "stream", "table" -> "tabl", "the" -> "the",
     "value" -> "valu", "vector" -> "vector", "window" -> "window")
-    .map { case (t, st) => s"('$t', '$st')" }.mkString(", ")
+    .map { case (t, st) => s"('$t', '$st')" }.mkString(", ") + ", " +
+    // ScaleUp replica tokens (zrep1..zrep99, the ' zrepN' text suffix):
+    // hand-derived identity — every Porter rule matches a LETTER
+    // suffix, and these end in a digit, so no step fires. Without
+    // these the q55 oracle's designed loud-fail (inner join on a
+    // closed vocabulary) rejects every ScaleUp fixture — caught by
+    // the round-13 full-suite replay on the high-id fixture.
+    (1 to 99).map(r => s"('zrep$r', 'zrep$r')").mkString(", ")
 
   /** q56/q66/q57 replay frozen-parameter inference relationally
     * (forest = generated nested CASEs; embeddings = integer VALUES

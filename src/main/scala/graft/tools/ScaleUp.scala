@@ -23,9 +23,16 @@ import org.apache.spark.sql.functions._
   */
 object ScaleUp {
 
+  /** Optional 4th arg `stride`: the per-replica key shift (default
+    * 10⁸). `stride = 1100000000` with 10 replicas spans ids from the
+    * unshifted base (replica 0 — so `vec_id < K` seeds and fixed query
+    * batches stay populated) up to 9.9e9 (replica 9) — the >2³² id
+    * regime (the q179 overflow class) at small data cost, so the
+    * DuckDB hash gate can replay id-arithmetic queries whose
+    * monolithic sf10 replays are disk-bound (round 13: q106, q178). */
   def replicate(spark: SparkSession, src: String, dst: String,
-                reps: Int): Unit = {
-    val S = 100000000L
+                reps: Int, stride: Long = 100000000L): Unit = {
+    val S = stride
 
     for (t <- Seq("region", "nation"))
       spark.read.parquet(s"$src/$t.parquet")
@@ -74,6 +81,7 @@ object ScaleUp {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("/tmp/graft_sf0.3")
     val reps = args.lift(2).map(_.toInt).getOrElse(3)
+    val stride = args.lift(3).map(_.toLong).getOrElse(100000000L)
     val spark = SparkSession.builder()
       .master("local[16]")
       .config("spark.sql.shuffle.partitions", "16")
@@ -82,7 +90,7 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    replicate(spark, src, dst, reps)
+    replicate(spark, src, dst, reps, stride)
     spark.stop()
   }
 }
