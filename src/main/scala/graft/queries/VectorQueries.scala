@@ -633,21 +633,33 @@ object VectorQueries {
     val sample = q.filter(pmod(col("vec_id"), lit(sampleEvery)) === 0)
     val l2 = graft.functions.VectorExpressions.l2q(col("qe"), col("c"))
     def withD(asg: DataFrame, cl: String, d: String) = asg
-      .join(c1, asg("cl") === c1("cl")).drop(c1("cl"))
-      .select(col("vec_id"), col("cl").as(cl), l2.as(d))
+      .select(col("vec_id"), col("qe"), col("cl").as(cl))
+      .join(c1.select(col("cl").as(cl), col("c")), Seq(cl))
+      .select(col("vec_id"), col(cl), l2.as(d))
     val b = withD(lloydAssign(sample, c1), "cl_brute", "d_brute")
     val h = withD(lloydAssignHier(sample, c1, k.toInt), "cl_hier", "d_hier")
     b.join(h, Seq("vec_id"))
+      .withColumn("infl_micro",
+        (col("d_hier").cast("decimal(38,0)") * 1000000 / col("d_brute"))
+          .cast("long") - 1000000L)
       .agg(count(lit(1)).as("sample_n"),
         sum(when(col("cl_brute") === col("cl_hier"), 1L).otherwise(0L))
           .as("agree_n"),
+        sum(when(col("d_brute") === col("d_hier"), 1L).otherwise(0L))
+          .as("d_equal_n"),
         sum("d_brute").as("sum_d_brute"),
-        sum("d_hier").as("sum_d_hier"))
+        sum("d_hier").as("sum_d_hier"),
+        expr("percentile_approx(infl_micro, array(0.5, 0.9, 0.99), 10000)")
+          .as("infl_p"))
       .select(lit(n).as("n_vectors"), lit(k).as("k"),
         col("sample_n"), col("agree_n"),
         (col("agree_n") * 1000 / col("sample_n")).as("agree_milli"),
+        col("d_equal_n"),
         (col("sum_d_hier").cast("decimal(38,0)") * 1000000 /
-          col("sum_d_brute")).cast("long").as("d_inflation_micro"))
+          col("sum_d_brute")).cast("long").as("d_inflation_micro"),
+        col("infl_p").getItem(0).as("infl_p50_micro"),
+        col("infl_p").getItem(1).as("infl_p90_micro"),
+        col("infl_p").getItem(2).as("infl_p99_micro"))
   }
 
   private val SemDupTau = 0.35
