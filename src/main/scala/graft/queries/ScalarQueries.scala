@@ -315,9 +315,15 @@ object ScalarQueries {
     // chars per byte, so byte p is substr(hx, 2p+1, 2) — instead of
     // the character-indexed ascii(substr(text, p+1, 1)) that diverged
     // from the Spark side's byte iteration on any multibyte text
-    // (shifted positions + NULLs past the end). q109/q206/q207 now
-    // hold for arbitrary UTF-8; the q75/q90 image oracles retain the
-    // documented ASCII-only fixture contract.
+    // (shifted positions + NULLs past the end). The media family's
+    // NUMERIC oracles (q109/q206/q207 audio, q46/q75/q90 image) now
+    // hold for arbitrary UTF-8 — verified on a fixture with 2-, 3- and
+    // 4-byte sequences. The one scoped exception is q83: its frame
+    // SLICING is byte-granular by design (fixed-size stills, like any
+    // real container), so its decoded frame_str/frame_len columns are
+    // only byte==char faithful on ASCII corpora — documented at the
+    // query, and the multibyte screen confirms exactly that column
+    // (and nothing else) diverges.
     "q109_audio_frames" ->
       """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n,
            hex(encode(text)) AS hx FROM documents),
@@ -467,14 +473,15 @@ object ScalarQueries {
     // the text (bucket = ascii // 32; the s*s - n zero pads land in
     // bucket 0). Hash equality proves the codec round trip is exact.
     "q46_multimodal_features" ->
-      ("""WITH sides AS (SELECT doc_id, text,
+      ("""WITH sides AS (SELECT doc_id, hex(encode(text)) AS hx,
            octet_length(encode(text)) AS n,
            greatest(16, CAST(ceil(sqrt(CAST(octet_length(encode(text))
              AS DOUBLE))) AS INTEGER)) AS s
            FROM documents),
          ch AS (SELECT doc_id,
-             ascii(substr(text, CAST(p + 1 AS INTEGER), 1)) // 32 AS bkt
-           FROM (SELECT doc_id, text, unnest(range(0, n)) AS p FROM sides)),
+             CAST('0x' || substr(hx, CAST(2 * p + 1 AS INTEGER), 2)
+               AS INTEGER) // 32 AS bkt
+           FROM (SELECT doc_id, hx, unnest(range(0, n)) AS p FROM sides)),
          hist AS (SELECT doc_id, bkt, count(*) AS c
            FROM ch GROUP BY doc_id, bkt)
          SELECT d.doc_id, CAST(d.n AS INTEGER) AS n_bytes, d.s AS w,
@@ -486,23 +493,24 @@ object ScalarQueries {
         + """ FROM sides d LEFT JOIN hist ON d.doc_id = hist.doc_id
          GROUP BY d.doc_id, d.n, d.s
          ORDER BY d.doc_id"""),
-    // blockhash-256 in SQL: the payload is ASCII text, so byte p of the
-    // square side×side image is ascii(substr(text, p+1, 1)) (0 beyond
+    // blockhash-256 in SQL: byte p of the square side×side image is
+    // the p-th UTF-8 byte, extracted from hex(encode(text)) (0 beyond
     // the text — the zero padding). Block means are double divisions,
     // band medians average sorted ranks 32/33, bits pack MSB-first via
     // HUGEINT with an explicit two's-complement fold to signed BIGINT —
     // every step the exact arithmetic blockhash256 does on the JVM.
     "q75_blockhash_pairs" ->
-      s"""WITH sides AS (SELECT doc_id, text,
+      s"""WITH sides AS (SELECT doc_id, hex(encode(text)) AS hx,
            octet_length(encode(text)) AS n,
            greatest(16, CAST(ceil(sqrt(CAST(octet_length(encode(text)) AS DOUBLE)))
              AS INTEGER)) AS s
            FROM documents),
-         px AS (SELECT doc_id, s, n, text, unnest(range(0, s * s)) AS p FROM sides),
+         px AS (SELECT doc_id, s, n, hx, unnest(range(0, s * s)) AS p FROM sides),
          pb AS (SELECT doc_id,
              least((p // s) * 16 // s, 15) AS by,
              least((p % s) * 16 // s, 15) AS bx,
-             CASE WHEN p < n THEN ascii(substr(text, CAST(p + 1 AS INTEGER), 1))
+             CASE WHEN p < n THEN CAST('0x' ||
+                 substr(hx, CAST(2 * p + 1 AS INTEGER), 2) AS INTEGER)
                ELSE 0 END AS v
            FROM px),
          bl AS (SELECT doc_id, by * 16 + bx AS bi,
@@ -557,16 +565,17 @@ object ScalarQueries {
     // integer half-up means ((sm + cnt//2) // cnt — exactly
     // resizeGray's JVM arithmetic on the zero-padded square tiling)
     "q90_thumbnail_blocks" ->
-      """WITH sides AS (SELECT doc_id, text,
+      """WITH sides AS (SELECT doc_id, hex(encode(text)) AS hx,
            octet_length(encode(text)) AS n,
            greatest(16, CAST(ceil(sqrt(CAST(octet_length(encode(text)) AS DOUBLE)))
              AS INTEGER)) AS s
            FROM documents),
-         px AS (SELECT doc_id, s, n, text, unnest(range(0, s * s)) AS p FROM sides),
+         px AS (SELECT doc_id, s, n, hx, unnest(range(0, s * s)) AS p FROM sides),
          pb AS (SELECT doc_id, s,
              least((p // s) * 8 // s, 7) AS by,
              least((p % s) * 8 // s, 7) AS bx,
-             CASE WHEN p < n THEN ascii(substr(text, CAST(p + 1 AS INTEGER), 1))
+             CASE WHEN p < n THEN CAST('0x' ||
+                 substr(hx, CAST(2 * p + 1 AS INTEGER), 2) AS INTEGER)
                ELSE 0 END AS v
            FROM px),
          bl AS (SELECT doc_id, CAST(max(s) AS INTEGER) AS s,
