@@ -77,6 +77,13 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         // per-query progress on stderr so a wedged run is diagnosable
         System.err.println(f"[bench] run $run $name rows=$n ${dt}%.1f s")
+        // cache retirement (round-13 verdict item 1): drop this
+        // query's transient persists now that it is done, and keep the
+        // total persisted working set under the scratch budget —
+        // without this a 207-query sf10 sweep accumulates ~55 G of
+        // dead rdd blocks and the late heavies ENOSPC on 80 G scratch
+        queries.Shared.retireTransients()
+        queries.Shared.enforceBudget(spark)
         name -> (dt, n >= 0)
       }
       // drop every session-level cache so the next sweep is cold —

@@ -27,6 +27,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // same cache retirement as Bench: sf10 replay sweeps run through
+      // this main and hit the identical scratch budget
+      queries.Shared.retireTransients()
+      queries.Shared.enforceBudget(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -245,7 +245,9 @@ object Multimodal {
     * passes ~306 MB, and the negative `%` result would escape the
     * int16 range and silently diverge from the oracle's BIGINT
     * spelling (ADVICE r12); Long keeps the two engines identical at
-    * any document size. */
+    * any document size (the oracle side holds up its end with BIGINT
+    * substr positions — ADVICE r13 — so neither engine re-introduces
+    * a 32-bit position cap). */
   def pcm16Sample(b: Byte, i: Int): Int =
     (((((b & 0xff).toLong * 31 + i.toLong * 7) % 256).toInt) - 128) * 256
 

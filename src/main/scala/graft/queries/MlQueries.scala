@@ -386,13 +386,16 @@ object MlQueries {
     "stream" -> "stream", "table" -> "tabl", "the" -> "the",
     "value" -> "valu", "vector" -> "vector", "window" -> "window")
     .map { case (t, st) => s"('$t', '$st')" }.mkString(", ") + ", " +
-    // ScaleUp replica tokens (zrep1..zrep99, the ' zrepN' text suffix):
-    // hand-derived identity — every Porter rule matches a LETTER
-    // suffix, and these end in a digit, so no step fires. Without
-    // these the q55 oracle's designed loud-fail (inner join on a
-    // closed vocabulary) rejects every ScaleUp fixture — caught by
-    // the round-13 full-suite replay on the high-id fixture.
-    (1 to 99).map(r => s"('zrep$r', 'zrep$r')").mkString(", ")
+    // ScaleUp replica tokens (zrep1..zrep{MaxReps-1}, the ' zrepN'
+    // text suffix): hand-derived identity — every Porter rule matches
+    // a LETTER suffix, and these end in a digit, so no step fires.
+    // Without these the q55 oracle's designed loud-fail (inner join on
+    // a closed vocabulary) rejects every ScaleUp fixture — caught by
+    // the round-13 full-suite replay on the high-id fixture. The bound
+    // is ScaleUp.MaxReps (enforced by its require), so the two can't
+    // drift apart (ADVICE r13).
+    (1 until graft.tools.ScaleUp.MaxReps)
+      .map(r => s"('zrep$r', 'zrep$r')").mkString(", ")
 
   /** q56/q66/q57 replay frozen-parameter inference relationally
     * (forest = generated nested CASEs; embeddings = integer VALUES

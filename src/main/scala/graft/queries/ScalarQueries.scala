@@ -245,7 +245,8 @@ object ScalarQueries {
     * length, never corpus-wide); the candidate join is bucket-keyed
     * and capped; the hamming roll-up joins only candidate pairs to
     * word tables. Oracle: DuckDB replays the whole chain from
-    * ascii()+position through the identical integer arithmetic. */
+    * hex(encode())-extracted bytes (byte-exact for arbitrary UTF-8,
+    * round 13) through the identical integer arithmetic. */
   def q207AudioFingerprint(s: SparkSession, dir: String): DataFrame = {
     val frames = Multimodal.wavFrames(
       Multimodal.packWav(Tables.documents(s, dir), "doc_id", "text"),
@@ -263,11 +264,33 @@ object ScalarQueries {
         .as("word"))
     val kept = graft.operators.Blocking.capBlocks(
       words, Seq("word_idx", "word"), FpWordCap)
-    val cands = kept.select(col("word_idx"), col("word"), col("doc_id").as("doc1"))
+    val exactCands = kept
+      .select(col("word_idx"), col("word"), col("doc_id").as("doc1"))
       .join(kept.select(col("word_idx"), col("word"), col("doc_id").as("doc2")),
         Seq("word_idx", "word"))
       .filter(col("doc1") < col("doc2"))
-      .select("doc1", "doc2").distinct()
+      .select("doc1", "doc2")
+    // multi-probe (round-13 verdict item 3, the q194 lever wired to
+    // the audio buckets): a near-dup whose every word drifted by one
+    // bit shares NO exact key — the engineered scattered family's
+    // 0/58 structural miss in RECALL.md — so each kept word also
+    // probes its 16 single-bit-flip neighbours. Probing one side of
+    // the join suffices (w2 = w1 XOR bit is symmetric); probe buckets
+    // carry the same hot-bucket cap, and precision stays 1.0 because
+    // candidates are still scored by exact hamming.
+    val probes = graft.operators.Blocking.capBlocks(
+      kept.select(col("doc_id"), col("word_idx"),
+        explode(expr(s"transform(sequence(0, ${FpWordBits - 1}), " +
+          "b -> word ^ shiftleft(CAST(1 AS BIGINT), b))")).as("word")),
+      Seq("word_idx", "word"), FpWordCap)
+    val probeCands = probes
+      .select(col("word_idx"), col("word"), col("doc_id").as("da"))
+      .join(kept.select(col("word_idx"), col("word"), col("doc_id").as("db")),
+        Seq("word_idx", "word"))
+      .filter(col("da") =!= col("db"))
+      .select(least(col("da"), col("db")).as("doc1"),
+        greatest(col("da"), col("db")).as("doc2"))
+    val cands = exactCands.unionByName(probeCands).distinct()
     val f1 = words.select(col("doc_id").as("doc1"), col("word_idx"),
       col("word").as("wa"))
     val f2 = words.select(col("doc_id").as("doc2"), col("word_idx"),
@@ -329,7 +352,7 @@ object ScalarQueries {
            hex(encode(text)) AS hx FROM documents),
          px AS (SELECT doc_id, hx, unnest(range(0, n)) AS p FROM b),
          smp AS (SELECT doc_id, CAST(p // 256 AS INTEGER) AS frame_idx, p,
-             ((CAST('0x' || substr(hx, CAST(2 * p + 1 AS INTEGER), 2)
+             ((CAST('0x' || substr(hx, CAST(2 * p + 1 AS BIGINT), 2)
                  AS INTEGER) * 31 + p * 7)
                % 256) - 128 AS c
            FROM px),
@@ -355,7 +378,7 @@ object ScalarQueries {
            hex(encode(text)) AS hx FROM documents),
          px AS (SELECT doc_id, hx, unnest(range(0, n)) AS p FROM b),
          smp AS (SELECT doc_id, CAST(p // 256 AS INTEGER) AS frame_idx, p,
-             (((CAST('0x' || substr(hx, CAST(2 * p + 1 AS INTEGER), 2)
+             (((CAST('0x' || substr(hx, CAST(2 * p + 1 AS BIGINT), 2)
                  AS INTEGER) * 31 + p * 7)
                % 256) - 128) * 256 AS c
            FROM px),
@@ -385,7 +408,7 @@ object ScalarQueries {
            SELECT doc_id, unnest(list_transform(range(0, n),
              i -> struct_pack(
                frame_idx := i // $FpFrame,
-               c := (((CAST('0x' || substr(hx, CAST(2 * i + 1 AS INTEGER), 2)
+               c := (((CAST('0x' || substr(hx, CAST(2 * i + 1 AS BIGINT), 2)
                  AS INTEGER) * 31
                  + i * 7) % 256) - 128) * 256))) AS u
            FROM b)),
@@ -404,10 +427,23 @@ object ScalarQueries {
          wcap AS (${graft.operators.Blocking.sqlCapKeys(
                "words", Seq("word_idx", "word"), FpWordCap)}),
          wkept AS (SELECT w.* FROM words w JOIN wcap USING (word_idx, word)),
+         probes0 AS (SELECT doc_id, word_idx,
+             xor(word, CAST(1 AS BIGINT) << b) AS word
+           FROM wkept, range(0, $FpWordBits) t(b)),
+         pcap AS (${graft.operators.Blocking.sqlCapKeys(
+               "probes0", Seq("word_idx", "word"), FpWordCap)}),
+         pkept AS (SELECT p.* FROM probes0 p
+           JOIN pcap USING (word_idx, word)),
          cands AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
            FROM wkept a JOIN wkept b
              ON a.word_idx = b.word_idx AND a.word = b.word
-              AND a.doc_id < b.doc_id),
+              AND a.doc_id < b.doc_id
+           UNION
+           SELECT DISTINCT least(p.doc_id, w.doc_id) AS doc1,
+             greatest(p.doc_id, w.doc_id) AS doc2
+           FROM pkept p JOIN wkept w
+             ON p.word_idx = w.word_idx AND p.word = w.word
+              AND p.doc_id <> w.doc_id),
          cm AS (SELECT doc1, doc2,
              CAST(count(*) AS BIGINT) AS n_common_words,
              CAST(sum(bit_count(xor(x.word, y.word))) AS BIGINT) AS hamc
@@ -479,7 +515,7 @@ object ScalarQueries {
              AS DOUBLE))) AS INTEGER)) AS s
            FROM documents),
          ch AS (SELECT doc_id,
-             CAST('0x' || substr(hx, CAST(2 * p + 1 AS INTEGER), 2)
+             CAST('0x' || substr(hx, CAST(2 * p + 1 AS BIGINT), 2)
                AS INTEGER) // 32 AS bkt
            FROM (SELECT doc_id, hx, unnest(range(0, n)) AS p FROM sides)),
          hist AS (SELECT doc_id, bkt, count(*) AS c
@@ -510,7 +546,7 @@ object ScalarQueries {
              least((p // s) * 16 // s, 15) AS by,
              least((p % s) * 16 // s, 15) AS bx,
              CASE WHEN p < n THEN CAST('0x' ||
-                 substr(hx, CAST(2 * p + 1 AS INTEGER), 2) AS INTEGER)
+                 substr(hx, CAST(2 * p + 1 AS BIGINT), 2) AS INTEGER)
                ELSE 0 END AS v
            FROM px),
          bl AS (SELECT doc_id, by * 16 + bx AS bi,
@@ -575,7 +611,7 @@ object ScalarQueries {
              least((p // s) * 8 // s, 7) AS by,
              least((p % s) * 8 // s, 7) AS bx,
              CASE WHEN p < n THEN CAST('0x' ||
-                 substr(hx, CAST(2 * p + 1 AS INTEGER), 2) AS INTEGER)
+                 substr(hx, CAST(2 * p + 1 AS BIGINT), 2) AS INTEGER)
                ELSE 0 END AS v
            FROM px),
          bl AS (SELECT doc_id, CAST(max(s) AS INTEGER) AS s,

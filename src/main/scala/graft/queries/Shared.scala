@@ -23,14 +23,79 @@ object Shared {
   private val memo =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
-  // every frame this module persisted, so long-lived sessions can
-  // release them (VERDICT r3: session-lifetime caches accumulating is
-  // wrong for a resident service at scale)
+  // LRU stamps for the memo frames (monotonic counter, not wall time —
+  // wall time can collide under the concurrent warm build)
+  private val lastUse =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+  private val useCounter = new java.util.concurrent.atomic.AtomicLong
+
+  // every ANONYMOUS frame this module persisted (per-query transients
+  // registered via track), so long-lived sessions can release them
+  // (VERDICT r3: session-lifetime caches accumulating is wrong for a
+  // resident service at scale). Memo frames live in `memo` only.
   private val tracked =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
 
-  /** Register an externally-persisted frame for [[clear]] eviction. */
+  /** Register an externally-persisted frame for retirement. These are
+    * per-query transients (a frame one query's plan reads several
+    * times): no other query ever holds a reference, so the sweep
+    * harness retires them as soon as the consuming query finishes
+    * ([[retireTransients]]) instead of letting dead blocks accumulate
+    * across a 207-query sweep — at sf10 that accumulation was ~55 G of
+    * scratch, the round-13 single-JVM ENOSPC mechanism. */
   def track(df: DataFrame): DataFrame = { tracked.add(df); df }
+
+  /** Unpersist every anonymous per-query transient (non-blocking).
+    * Call after each query in a multi-query sweep — correctness is
+    * unaffected (an unpersisted frame recomputes if ever re-read) and
+    * no transient has consumers beyond its own query. */
+  def retireTransients(): Unit = {
+    var df = tracked.poll()
+    while (df != null) { df.unpersist(false); df = tracked.poll() }
+  }
+
+  /** Session-cache storage budget in bytes (mem + disk), the
+    * executor-scratch line item a 100 TB deployment has to set: when
+    * total persisted storage exceeds it, [[enforceBudget]] evicts
+    * least-recently-used memo frames until back under. 0 disables.
+    * Default 24 GiB — far above any sf0.1 working set (no effect on
+    * the canonical bench) and comfortably inside this box's 80 G
+    * scratch at sf10. */
+  val cacheBudgetBytes: Long =
+    sys.env.getOrElse("SPARK_GRAFT_CACHE_BUDGET_GB", "24").toLong << 30
+
+  /** Evict least-recently-used memoized frames until total persisted
+    * RDD storage (memory + disk, ALL blocks — the budget is a machine
+    * resource, not a bookkeeping one) fits [[cacheBudgetBytes]]. An
+    * evicted family is dropped from the memo too, so a late consumer
+    * transparently rebuilds (and re-persists) it — a visible recompute,
+    * never a wrong answer. Blocking unpersist so the re-measure after
+    * each eviction is truthful. */
+  def enforceBudget(s: SparkSession,
+                    budget: Long = cacheBudgetBytes): Unit = synchronized {
+    if (budget <= 0) return
+    def total: Long = s.sparkContext.getRDDStorageInfo
+      .map(i => i.memSize + i.diskSize).sum
+    var t = total
+    if (t <= budget) return
+    val lru = memo.keys.toSeq.sortBy(k => lastUse.getOrElse(k, 0L))
+    for (k <- lru if t > budget) {
+      memo.remove(k).foreach(_.unpersist(true))
+      lastUse.remove(k)
+      // the status store behind getRDDStorageInfo is event-bus fed —
+      // async even for a blocking unpersist — so poll briefly until
+      // the re-measure reflects this eviction, or the loop would
+      // over-evict frames the budget no longer requires dropping
+      val before = t
+      var waited = 0
+      t = total
+      while (t >= before && waited < 2000) {
+        Thread.sleep(50); waited += 50; t = total
+      }
+      System.err.println(s"[graft] cache budget: evicted $k " +
+        s"(${before >> 20} MiB -> ${t >> 20} MiB cached)")
+    }
+  }
 
   /** Unpersist every frame this registry persisted (non-blocking) and
     * drop the memo table. Call between workloads in a long-lived
@@ -38,8 +103,8 @@ object Shared {
   def clear(): Unit = {
     memo.values.foreach(_.unpersist(false))
     memo.clear()
-    var df = tracked.poll()
-    while (df != null) { df.unpersist(false); df = tracked.poll() }
+    lastUse.clear()
+    retireTransients()
   }
 
   /** Persist `build` once per (session, dir). When `parts` is given,
@@ -54,13 +119,16 @@ object Shared {
     * satisfies the ClusteredDistribution requirement). */
   def memoized(s: SparkSession, dir: String, key: String,
                parts: Seq[String] = Nil)
-              (build: => DataFrame): DataFrame =
-    memo.getOrElseUpdate(s"${s.sparkContext.applicationId}|$dir|$key", {
+              (build: => DataFrame): DataFrame = {
+    val mk = s"${s.sparkContext.applicationId}|$dir|$key"
+    lastUse.put(mk, useCounter.incrementAndGet())
+    memo.getOrElseUpdate(mk, {
       val n = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
       val df = if (parts.isEmpty) build
         else build.repartition(n, parts.map(col): _*)
-      track(df.persist(StorageLevel.MEMORY_AND_DISK))
+      df.persist(StorageLevel.MEMORY_AND_DISK)
     })
+  }
 
   /** Build + force every expensive cross-query cache up-front
     * (VERDICT r7 item 6): with the caches warm, per-query bench times

@@ -53,8 +53,20 @@ object TextQueries {
     * Zero stopword hits → 'und' (ISO-639 undetermined): a confident
     * alphabetical argmax over zero evidence is a labeling bug, the
     * wart q205's annotator disagreement surfaced in round 11. */
-  def q23LangId(s: SparkSession, dir: String): DataFrame = {
-    val t = toks(s, dir)
+  def q23LangId(s: SparkSession, dir: String): DataFrame =
+    langArgmax(toks(s, dir))
+      .select(col("doc_id"),
+        when(col("hits") === 0, lit("und")).otherwise(col("lang"))
+          .as("predicted_lang"),
+        col("hits"),
+        col("n_tokens"), r6(col("hits") / col("n_tokens")).as("ratio"))
+      .orderBy("doc_id")
+
+  /** q23's stopword-hit argmax rule over a `(doc_id, toks, …)` frame —
+    * one definition shared with q205's annotator A so the two can
+    * never drift. Returns the winning `(doc_id, lang, hits, n_tokens)`
+    * row per document (ties broken by lang asc). */
+  private def langArgmax(t: DataFrame): DataFrame = {
     val scores = langSets.map { case (lang, words) =>
       t.select(col("doc_id"), size(col("toks")).as("n_tokens"), lit(lang).as("lang"),
         size(filter(col("toks"),
@@ -63,12 +75,38 @@ object TextQueries {
     val w = Window.partitionBy("doc_id").orderBy(col("hits").desc, col("lang"))
     scores.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("doc_id"),
-        when(col("hits") === 0, lit("und")).otherwise(col("lang"))
-          .as("predicted_lang"),
-        col("hits"),
-        col("n_tokens"), r6(col("hits") / col("n_tokens")).as("ratio"))
-      .orderBy("doc_id")
+      .select("doc_id", "lang", "hits", "n_tokens")
+  }
+
+  /** Deterministic calibration-probe documents for q205 (round-13
+    * verdict item 5): without them the corpus is degenerate for
+    * inter-annotator agreement — the synthetic text carries ONLY
+    * English stopwords, so the argmax and first-vote annotators agree
+    * perfectly and kappa pins at exactly 1, leaving the off-diagonal
+    * confusion / chance-correction arithmetic latent at the gate.
+    * Injecting a fixed gold calibration set alongside the corpus is
+    * standard IAA practice; this one is built from the SAME literal
+    * sequence on both engines (the oracle embeds it as VALUES), so
+    * parity is by construction.
+    *
+    * Cell (i, j), i ≠ j: docs `"w_j w_i w_i"` where w_l is language
+    * l's first stopword — argmax says lang_i (2 hits > 1), first-vote
+    * says lang_j (reading order), landing count `i + 2j + 1` in
+    * off-diagonal cell (lang_i, lang_j). The counts are deliberately
+    * ASYMMETRIC (cell (0,1) = 3 vs cell (1,0) = 2, etc.) so a
+    * row/column-marginal transposition in the p_e chain shifts the
+    * hash instead of hiding in a symmetric matrix. Diagonal cells get
+    * 2 docs each, and doc_ids are negative so no corpus or ScaleUp id
+    * (all positive) can ever collide. */
+  private[graft] val calibrationFamily: Seq[(Long, String)] = {
+    val w = langSets.map(_._2.head) // der, the, el, le — disjoint sets
+    for {
+      i <- 0 to 3
+      j <- 0 to 3
+      cnt = if (i == j) 2 else i + 2 * j + 1
+      k <- 1 to cnt
+    } yield (-(100L * i + 10L * j + k),
+      if (i == j) s"${w(i)} ${w(i)}" else s"${w(j)} ${w(i)} ${w(i)}")
   }
 
   /** q205: INTER-ANNOTATOR AGREEMENT (Cohen's kappa, 1960) — the
@@ -82,7 +120,12 @@ object TextQueries {
     * ISO-639's undetermined). Kappa near 1 means the cheap labeler
     * can stand in for the expensive one; kappa near 0 means the two
     * rules measure different things no matter how often they agree
-    * by luck.
+    * by luck. Both annotators label the corpus PLUS the fixed
+    * [[calibrationFamily]] gold set — on the all-English corpus alone
+    * the annotators agree perfectly and kappa degenerates to exactly
+    * 1, leaving the off-diagonal arithmetic untested (round-13
+    * verdict); the calibration docs force a full asymmetric 5×5-able
+    * confusion matrix so the gate hash pins the complete p_e chain.
     *
     * Exactness: p_o and p_e are integer micro units (counts·1e6 DIV
     * N, resp. Σ rowN·colN·1e6 DIV N²), kappa is one final round of a
@@ -96,12 +139,17 @@ object TextQueries {
     * scalars derive from the cells (a second pass over ≤25 rows). */
   def q205LabelKappa(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val a = q23LangId(s, dir)
-      .select(col("doc_id"), col("predicted_lang").as("label_a"))
+    val all = toks(s, dir).select(col("doc_id"), col("toks"))
+      .unionByName(calibrationFamily.toDF("doc_id", "text")
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("toks")))
+    val a = langArgmax(all)
+      .select(col("doc_id"),
+        when(col("hits") === 0, lit("und")).otherwise(col("lang"))
+          .as("label_a"))
     val wordLang = langSets
       .flatMap { case (lang, words) => words.map(w => (w, lang)) }
       .toDF("tok", "wl_lang")
-    val firstVote = toks(s, dir)
+    val firstVote = all
       .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
       .join(broadcast(wordLang), Seq("tok"))
       .groupBy("doc_id")
@@ -849,12 +897,20 @@ object TextQueries {
            ${r6Sql("hits / n_tokens")} AS ratio
          FROM ranked WHERE rn = 1 ORDER BY doc_id""",
     // both annotators replayed; p_o/p_e as integer micro units, kappa
-    // one final round of a double from exactly-agreed integers
+    // one final round of a double from exactly-agreed integers. The
+    // calibration gold set is the SAME Scala literal the query uses,
+    // embedded as VALUES — parity by construction.
     "q205_label_kappa" -> {
       val wlValues = langSets
         .flatMap { case (lang, ws) => ws.map(w => s"('$w', '$lang')") }
         .mkString(", ")
-      s"""WITH $toksCte,
+      val calValues = calibrationFamily
+        .map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+      s"""WITH cal(doc_id, text) AS (VALUES $calValues),
+         alldocs AS (SELECT doc_id, text FROM documents
+           UNION ALL SELECT CAST(doc_id AS BIGINT), text FROM cal),
+         toks AS (SELECT doc_id, text, ${sqlTokens("text")} AS toks
+           FROM alldocs),
          la0 AS ($langUnion),
          la AS (SELECT doc_id,
              CASE WHEN hits = 0 THEN 'und' ELSE lang END AS label_a

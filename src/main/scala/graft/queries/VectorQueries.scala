@@ -299,20 +299,34 @@ object VectorQueries {
     * crossover drill. */
   private[graft] val HierAssignK = 4096
 
+  /** Coarse cells probed per vector on the hierarchical path. 2 = the
+    * standard IVF nprobe move: the K=65536 drill (BASELINE round-14
+    * row) prices the runner-up probe at ~2× fine-candidate cost for a
+    * materially thinner boundary-miss tail, so production assignment
+    * uses it; [[graft.tools.HierDrill]] measures both arms. */
+  private[graft] val HierNProbe = 2
+
   /** Hierarchical (coarse→fine) Lloyd assignment for the pinned-K
     * regime: a deterministic ~256-centroid coarse level (every
-    * stride-th centroid by cl) routes each vector to a coarse cell,
-    * then the argmin runs over only that cell's fine centroids —
-    * O(n·(256 + K/256)) instead of O(n·K), the standard IVF trick
-    * (SemDeDup itself clusters 5B embeddings with approximate
-    * assignment). Vectors near coarse boundaries may land in a
-    * neighbouring fine cell; SemDeDup's within-cell-only comparison is
-    * already an approximation of that order. Deterministic end to end
-    * (min(struct) ties, fixed stride). */
+    * stride-th centroid by cl) routes each vector to its `nprobe`
+    * nearest coarse cells, then the argmin runs over only those cells'
+    * fine centroids — O(n·(256 + nprobe·K/256)) instead of O(n·K), the
+    * standard IVF trick (SemDeDup itself clusters 5B embeddings with
+    * approximate assignment). Vectors near coarse boundaries may land
+    * in a neighbouring fine cell; nprobe = 2 (the standard IVF move)
+    * checks the runner-up coarse cell too, roughly halving that
+    * boundary-miss tail for ~2× fine-candidate cost — priced by
+    * [[graft.tools.HierDrill]], adopted per the round-13 verdict.
+    * The runner-up cell comes from a SECOND map-side-combinable
+    * min(struct) sweep (recomputing the broadcast distances, never
+    * shuffling the n×256 frame), so both passes stay partial-agg
+    * friendly at corpus scale. Deterministic end to end (min(struct)
+    * ties, fixed stride). */
   private[graft] def lloydAssignHier(q: DataFrame, cents: DataFrame,
-                              k: Int): DataFrame = {
+                              k: Int, nprobe: Int = HierNProbe): DataFrame = {
     def l2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       graft.functions.VectorExpressions.l2q(a, b)
+    require(nprobe == 1 || nprobe == 2, s"nprobe $nprobe not in {1, 2}")
     val coarseN = 256L
     val stride = math.max(1L, k.toLong / coarseN)
     val coarse = cents.filter(col("cl") % stride === 0)
@@ -323,13 +337,32 @@ object VectorQueries {
       .groupBy("cl")
       .agg(min(struct(col("d"), col("ccl"))).as("b"), first("c").as("c"))
       .select(col("b.ccl").as("ccl"), col("cl"), col("c"))
-    // vector -> coarse cell (n × ~256)
-    val vc = q.crossJoin(broadcast(coarse))
+    // vector -> nearest coarse cell (n × ~256, map-side combined)
+    val v1 = q.crossJoin(broadcast(coarse))
       .withColumn("d", l2(col("qe"), col("cc")))
       .groupBy("vec_id")
       .agg(min(struct(col("d"), col("ccl"))).as("b"), first("qe").as("qe"))
       .select(col("vec_id"), col("qe"), col("b.ccl").as("ccl"))
-    // vector -> fine within its coarse cell (n × ~K/256)
+    // vector -> runner-up coarse cell: re-sweep with the winner masked
+    // out. An n-row join (vec_id -> winner) + another broadcast
+    // distance pass — no n×256 shuffle anywhere. SHUFFLE_HASH on the
+    // 16-byte/row winner side: Catalyst's default SMJ would sort the
+    // wide qe vectors (n × ~600 B per side) and 32 concurrent sorts
+    // exhausted execution memory at the 4.5 M-vector drill; a hash
+    // build of (vec_id, ccl1) per partition is a few MB at any scale.
+    val vc =
+      if (nprobe <= 1) v1
+      else v1.unionByName(
+        q.join(v1.select(col("vec_id"), col("ccl").as("ccl1"))
+            .hint("SHUFFLE_HASH"), Seq("vec_id"))
+          .crossJoin(broadcast(coarse))
+          .filter(col("ccl") =!= col("ccl1"))
+          .withColumn("d", l2(col("qe"), col("cc")))
+          .groupBy("vec_id")
+          .agg(min(struct(col("d"), col("ccl"))).as("b"), first("qe").as("qe"))
+          .select(col("vec_id"), col("qe"), col("b.ccl").as("ccl")))
+    // vector -> fine argmin over the union of its probed cells
+    // (n × ~nprobe·K/256); the groupBy merges both probes' candidates
     vc.join(broadcast(fineMap), Seq("ccl"))
       .withColumn("d", l2(col("qe"), col("c")))
       .groupBy("vec_id")
@@ -618,7 +651,7 @@ object VectorQueries {
     * and the summed assigned-distance inflation of hier over brute
     * (micro-ratio) — the one-sided error the approximation pays. */
   private[graft] def hierAgreementProbe(s: SparkSession, dir: String,
-      sampleEvery: Long): DataFrame = {
+      sampleEvery: Long, nprobe: Int = HierNProbe): DataFrame = {
     val n = Tables.embeddings(s, dir).count()
     val k = semDedupK(n)
     require(k > HierAssignK,
@@ -637,24 +670,40 @@ object VectorQueries {
       .join(c1.select(col("cl").as(cl), col("c")), Seq(cl))
       .select(col("vec_id"), col(cl), l2.as(d))
     val b = withD(lloydAssign(sample, c1), "cl_brute", "d_brute")
-    val h = withD(lloydAssignHier(sample, c1, k.toInt), "cl_hier", "d_hier")
+    val h = withD(lloydAssignHier(sample, c1, k.toInt, nprobe),
+      "cl_hier", "d_hier")
+    // d_brute = 0 happens when a sampled vector IS a centroid (seeds
+    // are corpus vectors): the ratio is undefined there, and non-ANSI
+    // division would yield NULL that percentile_approx silently drops
+    // (ADVICE r13). A (0, 0) pair is a perfect tie → inflation 0; a
+    // (0, >0) pair is a hier miss with no finite ratio → excluded from
+    // the percentiles but COUNTED explicitly in d_brute_zero_miss_n so
+    // it can't hide.
     b.join(h, Seq("vec_id"))
       .withColumn("infl_micro",
-        (col("d_hier").cast("decimal(38,0)") * 1000000 / col("d_brute"))
-          .cast("long") - 1000000L)
+        when(col("d_brute") === 0,
+          when(col("d_hier") === 0, lit(0L)).otherwise(lit(null)))
+          .otherwise(
+            (col("d_hier").cast("decimal(38,0)") * 1000000 / col("d_brute"))
+              .cast("long") - 1000000L))
       .agg(count(lit(1)).as("sample_n"),
         sum(when(col("cl_brute") === col("cl_hier"), 1L).otherwise(0L))
           .as("agree_n"),
         sum(when(col("d_brute") === col("d_hier"), 1L).otherwise(0L))
           .as("d_equal_n"),
+        sum(when(col("d_brute") === 0, 1L).otherwise(0L))
+          .as("d_brute_zero_n"),
+        sum(when(col("d_brute") === 0 && col("d_hier") > 0, 1L)
+          .otherwise(0L)).as("d_brute_zero_miss_n"),
         sum("d_brute").as("sum_d_brute"),
         sum("d_hier").as("sum_d_hier"),
         expr("percentile_approx(infl_micro, array(0.5, 0.9, 0.99), 10000)")
           .as("infl_p"))
       .select(lit(n).as("n_vectors"), lit(k).as("k"),
+        lit(nprobe).as("nprobe"),
         col("sample_n"), col("agree_n"),
         (col("agree_n") * 1000 / col("sample_n")).as("agree_milli"),
-        col("d_equal_n"),
+        col("d_equal_n"), col("d_brute_zero_n"), col("d_brute_zero_miss_n"),
         (col("sum_d_hier").cast("decimal(38,0)") * 1000000 /
           col("sum_d_brute")).cast("long").as("d_inflation_micro"),
         col("infl_p").getItem(0).as("infl_p50_micro"),
@@ -2811,4 +2860,152 @@ object VectorQueries {
            WHERE e.vec_id <> p.qid),
          ranked AS (SELECT *, row_number() OVER (PARTITION BY qid
            ORDER BY cosine DESC, vec_id) AS rnk FROM scored)"""
+
+  // ---- sharded DuckDB replay plans (round-13 verdict item 2) -------
+
+  /** Staged replay plans for the two oracles whose MONOLITHIC DuckDB
+    * replays are disk-bound at sf10 volume: q106 materializes an
+    * n×K = 625 M-row distance frame, q178 an unbucketed neighbour
+    * expansion. Both decompose exactly like tools/q207_shard_verify.py:
+    * the row-independent stages run in shards (bounding DuckDB temp to
+    * one shard's expansion), the cross-cutting tail runs once. The SQL
+    * here is generated from the SAME constants and helper spellings as
+    * the monolithic oracles above (single-sourced — no hand-copied
+    * drift), and `tools/shard_replay.py` executes it.
+    *
+    * Stage kinds: `once` (run as-is), `shard` (run per shard with
+    * `{S}`/`{NSH}` substituted — every sharded stage INSERTs into a
+    * pre-created table), `loop` (statements split on `;;`, repeated
+    * until the stage's single SELECT returns 0 — the min-label
+    * fixpoint that replaces q178's recursive `reach` closure, whose
+    * row count is Σ|component|² by construction and therefore
+    * quadratic in the sf10 replica cliques; the fixpoint computes the
+    * identical min-reachable-core-id labelling in O(edges · diameter)).
+    * The final stage must leave a `want` table for the comparator. */
+  private[graft] def shardReplayPlan(name: String): Seq[(String, String)] = {
+    def assignShard(dst: String, cents: String) =
+      s"""INSERT INTO $dst SELECT vec_id, qe, cl FROM (
+           SELECT *, row_number() OVER (PARTITION BY vec_id
+             ORDER BY d, cl) AS rn
+           FROM (SELECT q.vec_id, q.qe, c.cl,
+               list_sum(list_transform(range(1, ${Dim + 1}),
+                 i -> (q.qe[i]-c.c[i])*(q.qe[i]-c.c[i]))) AS d
+             FROM (SELECT * FROM qt WHERE vec_id % {NSH} = {S}) q
+             CROSS JOIN $cents c))
+         WHERE rn = 1"""
+    def recompute(dst: String, asg: String) =
+      s"""CREATE TABLE $dst AS SELECT cl, list(v ORDER BY i) AS c FROM (
+           SELECT cl, i, CAST(sum(qe[i]) AS BIGINT) // count(*) AS v
+           FROM $asg, range(1, ${Dim + 1}) t(i) GROUP BY cl, i)
+         GROUP BY cl"""
+    name match {
+      case "q106_semdedup" => Seq(
+        "once" ->
+          """CREATE TABLE qt AS SELECT vec_id, list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE)*1e6) AS BIGINT) + 1000000)
+             AS qe FROM embeddings""",
+        "once" ->
+          s"""CREATE TABLE c0 AS SELECT vec_id AS cl, qe AS c FROM qt
+             WHERE vec_id < (SELECT least($KMax, greatest(8,
+               CAST(ceil(count(*) / 64.0) AS BIGINT))) FROM qt)""",
+        "once" -> "CREATE TABLE a1 (vec_id BIGINT, qe BIGINT[], cl BIGINT)",
+        "shard" -> assignShard("a1", "c0"),
+        "once" -> recompute("c1", "a1"),
+        "once" -> "CREATE TABLE a2 (vec_id BIGINT, qe BIGINT[], cl BIGINT)",
+        "shard" -> assignShard("a2", "c1"),
+        "once" ->
+          s"""CREATE TABLE want AS
+             WITH m AS (SELECT a2.vec_id, a2.cl, e.embedding
+                 FROM a2 JOIN embeddings e USING (vec_id)),
+               cells AS (SELECT cl, CAST(count(*) AS BIGINT) AS n_cell
+                 FROM m GROUP BY cl),
+               priors AS (SELECT * FROM (SELECT vec_id, cl, embedding,
+                   row_number() OVER (PARTITION BY cl ORDER BY vec_id)
+                     AS prior_rank FROM m)
+                 WHERE prior_rank <= $CellCap),
+               pr AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
+                   ${r6Sql(sqlCosine("a.embedding", "b.embedding"))} AS cosine
+                 FROM priors a JOIN m b ON a.cl = b.cl AND a.vec_id < b.vec_id),
+               hits AS (SELECT v2 AS vec_id, max(cosine) AS best_prior_cos
+                 FROM pr WHERE cosine >= $SemDupTau GROUP BY v2)
+             SELECT m.vec_id, m.cl, cells.n_cell,
+               coalesce(hits.best_prior_cos, -1.0) AS best_prior_cos,
+               hits.best_prior_cos IS NOT NULL AS is_dup
+             FROM m JOIN cells USING (cl) LEFT JOIN hits USING (vec_id)""")
+      case "q178_dbscan" => Seq(
+        "once" -> s"""CREATE TABLE pl AS SELECT h, plane FROM (
+             WITH ${graft.operators.VectorSearch.sqlPlanesCte(planes)}
+             SELECT * FROM planes)""",
+        "once" -> s"""CREATE TABLE nbx AS
+             SELECT ${lshBitsSql("count(*)")} AS bits FROM embeddings""",
+        "once" -> "CREATE TABLE buckets (vec_id BIGINT, band BIGINT, key BIGINT)",
+        "shard" ->
+          s"""INSERT INTO buckets
+             SELECT vec_id, h // bits AS band,
+               CAST(sum(bit * CAST(power(2, h % bits) AS BIGINT))
+                 AS BIGINT) AS key
+             FROM (SELECT e.vec_id, p.h, nbx.bits,
+                 CASE WHEN ${graft.operators.VectorSearch
+                   .sqlDotD("e.embedding", "p.plane")} >= 0
+                   THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+               FROM (SELECT * FROM embeddings
+                 WHERE vec_id % {NSH} = {S}) e, pl p, nbx
+               WHERE p.h < $Bands * nbx.bits)
+             GROUP BY vec_id, h // bits""",
+        "once" -> "CREATE TABLE nbr0 (v1 BIGINT, v2 BIGINT)",
+        "shard" ->
+          s"""INSERT INTO nbr0 SELECT v1, v2 FROM (
+               SELECT v1, v2,
+                 ${r6Sql(sqlCosine("e1.embedding", "e2.embedding"))} AS cosine
+               FROM (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+                   FROM (SELECT * FROM buckets
+                     WHERE hash(band, key) % {NSH} = {S}) a
+                   JOIN buckets b ON a.band = b.band AND a.key = b.key
+                     AND a.vec_id < b.vec_id) c
+               JOIN embeddings e1 ON e1.vec_id = c.v1
+               JOIN embeddings e2 ON e2.vec_id = c.v2)
+             WHERE cosine >= $DbscanEps""",
+        // the same pair can surface from different (band, key) groups
+        // in different shards — dedupe once, then the DBSCAN tail
+        "once" ->
+          """CREATE TABLE nbr AS SELECT DISTINCT v1, v2 FROM nbr0;;
+             CREATE TABLE sym AS SELECT v1 AS a, v2 AS b FROM nbr
+               UNION ALL SELECT v2, v1 FROM nbr;;
+             CREATE TABLE deg AS SELECT a, CAST(count(*) AS BIGINT) AS deg
+               FROM sym GROUP BY a""",
+        "once" ->
+          s"""CREATE TABLE core AS SELECT a FROM deg
+               WHERE deg >= $DbscanMinPts;;
+             CREATE TABLE ce AS SELECT s.a, s.b FROM sym s
+               JOIN core c1 ON s.a = c1.a JOIN core c2 ON s.b = c2.a;;
+             CREATE TABLE lbl AS SELECT a, a AS cluster FROM core""",
+        "loop" ->
+          """CREATE OR REPLACE TABLE lbl2 AS
+               SELECT l.a, least(l.cluster, coalesce(m.mn, l.cluster))
+                 AS cluster
+               FROM lbl l LEFT JOIN (SELECT ce.a, min(l2.cluster) AS mn
+                 FROM ce JOIN lbl l2 ON l2.a = ce.b GROUP BY ce.a) m
+                 ON m.a = l.a;;
+             SELECT count(*) FROM lbl l JOIN lbl2 n
+               ON l.a = n.a AND l.cluster <> n.cluster;;
+             CREATE OR REPLACE TABLE lbl AS SELECT * FROM lbl2""",
+        "once" ->
+          """CREATE TABLE want AS
+             WITH comp AS (SELECT a, cluster FROM lbl),
+               border AS (SELECT s.a, min(c.cluster) AS cluster
+                 FROM sym s JOIN comp c ON s.b = c.a
+                 WHERE s.a NOT IN (SELECT a FROM core) GROUP BY s.a)
+             SELECT e.vec_id, coalesce(d.deg, 0) AS deg,
+               CASE WHEN cm.cluster IS NOT NULL THEN 'core'
+                    WHEN bd.cluster IS NOT NULL THEN 'border'
+                    ELSE 'noise' END AS role,
+               coalesce(cm.cluster, bd.cluster, -1) AS cluster
+             FROM embeddings e
+             LEFT JOIN deg d ON d.a = e.vec_id
+             LEFT JOIN comp cm ON cm.a = e.vec_id
+             LEFT JOIN border bd ON bd.a = e.vec_id""")
+      case other =>
+        throw new IllegalArgumentException(s"no shard plan for $other")
+    }
+  }
 }

@@ -23,6 +23,21 @@ import org.apache.spark.sql.functions._
   */
 object ScaleUp {
 
+  /** Smallest stride that clears every base-fixture key: the
+    * driver-generated tables top out well below 10⁸ on any sf the
+    * sandbox ships (lineitem ~6·10⁵ at sf0.1), so a shift of 10⁸ per
+    * replica can never collide keys across replicas. Enforced below
+    * so a bad caller fails loudly instead of corrupting the fixture
+    * (ADVICE r13). */
+  val MinStride: Long = 100000000L
+
+  /** Replica-count ceiling, tied to the q55 stem vocabulary: the
+    * oracle's closed stem table enumerates `zrep1..zrep{MaxReps-1}`
+    * (graft.queries.MlQueries references this constant), so a fixture
+    * with more replicas would re-introduce the loud-fail the round-13
+    * high-id screen caught (ADVICE r13). Raise both together. */
+  val MaxReps: Int = 100
+
   /** Optional 4th arg `stride`: the per-replica key shift (default
     * 10⁸). `stride = 1100000000` with 10 replicas spans ids from the
     * unshifted base (replica 0 — so `vec_id < K` seeds and fixed query
@@ -32,6 +47,10 @@ object ScaleUp {
     * monolithic sf10 replays are disk-bound (round 13: q106, q178). */
   def replicate(spark: SparkSession, src: String, dst: String,
                 reps: Int, stride: Long = 100000000L): Unit = {
+    require(stride >= MinStride,
+      s"stride $stride < $MinStride would collide keys across replicas")
+    require(reps >= 1 && reps <= MaxReps,
+      s"reps $reps outside 1..$MaxReps (q55 stem vocabulary bound)")
     val S = stride
 
     for (t <- Seq("region", "nation"))

@@ -19,8 +19,11 @@ sf_dir, out_dir = sys.argv[1], sys.argv[2]
 NSH = int(sys.argv[3]) if len(sys.argv) > 3 else 30
 con = duckdb.connect()
 con.execute("SET preserve_insertion_order=false")
-con.execute(f"CREATE VIEW documents AS SELECT * FROM "
-            f"'{sf_dir}/documents.parquet/*.parquet'")
+import os
+doc_path = f"{sf_dir}/documents.parquet"
+if os.path.isdir(doc_path):  # Spark-written dir (ScaleUp fixtures)
+    doc_path += "/*.parquet"
+con.execute(f"CREATE VIEW documents AS SELECT * FROM '{doc_path}'")
 con.execute("CREATE TABLE words (doc_id BIGINT, word_idx BIGINT, word BIGINT)")
 for s in range(NSH):
     con.execute(f"""
@@ -49,14 +52,29 @@ for s in range(NSH):
     print(f"shard {s + 1}/{NSH}: total words "
           f"{con.sql('SELECT count(*) FROM words').fetchone()[0]}")
 
+# candidate/hamming tail: SQL identical to the monolithic oracle in
+# ScalarQueries, INCLUDING the round-14 multi-probe CTEs (single-bit
+# flip neighbour keys, probe buckets capped like exact buckets)
 want = con.sql("""
   WITH wcap AS (SELECT word_idx, word FROM words
       GROUP BY word_idx, word HAVING count(*) <= 64),
   wkept AS (SELECT w.* FROM words w JOIN wcap USING (word_idx, word)),
+  probes0 AS (SELECT doc_id, word_idx,
+      xor(word, CAST(1 AS BIGINT) << b) AS word
+    FROM wkept, range(0, 16) t(b)),
+  pcap AS (SELECT word_idx, word FROM probes0
+      GROUP BY word_idx, word HAVING count(*) <= 64),
+  pkept AS (SELECT p.* FROM probes0 p JOIN pcap USING (word_idx, word)),
   cands AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
     FROM wkept a JOIN wkept b
       ON a.word_idx = b.word_idx AND a.word = b.word
-       AND a.doc_id < b.doc_id),
+       AND a.doc_id < b.doc_id
+    UNION
+    SELECT DISTINCT least(p.doc_id, w.doc_id) AS doc1,
+      greatest(p.doc_id, w.doc_id) AS doc2
+    FROM pkept p JOIN wkept w
+      ON p.word_idx = w.word_idx AND p.word = w.word
+       AND p.doc_id <> w.doc_id),
   cm AS (SELECT doc1, doc2,
       CAST(count(*) AS BIGINT) AS n_common_words,
       CAST(sum(bit_count(xor(x.word, y.word))) AS BIGINT) AS hamc
