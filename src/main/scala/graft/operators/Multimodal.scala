@@ -487,9 +487,16 @@ object Multimodal {
     val schema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("frame_idx", LongType),
-      StructField("frame_str", StringType),
+      StructField("frame_hex", StringType),
       StructField("frame_len", IntegerType)))
     val enc = org.apache.spark.sql.Encoders.row(schema)
+    // frame content is reported as HEX BYTES, not a decoded string
+    // (round 14): a 64-byte still window can split a multibyte UTF-8
+    // sequence, so "the frame as text" is not well-defined on
+    // non-ASCII corpora — that was q83's one scoped ASCII-only column
+    // (round-13 screen). Hex of the unpadded bytes is byte-exact for
+    // arbitrary UTF-8 in both engines, closing the exception.
+    val hexDigits = "0123456789ABCDEF"
     frames.select("doc_id", "frame_idx", "frame")
       .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap { batch =>
@@ -497,8 +504,14 @@ object Multimodal {
             val (_, _, px) = decodeGray(r.getAs[Array[Byte]](2))
             var end = px.length
             while (end > 0 && px(end - 1) == 0) end -= 1
-            Row(r.getLong(0), r.getLong(1),
-              new String(px, 0, end, "UTF-8"), end)
+            val sb = new java.lang.StringBuilder(end * 2)
+            var i = 0
+            while (i < end) {
+              sb.append(hexDigits((px(i) & 0xff) >> 4))
+              sb.append(hexDigits(px(i) & 0xf))
+              i += 1
+            }
+            Row(r.getLong(0), r.getLong(1), sb.toString, end)
           }
         }
       }(enc)

@@ -180,8 +180,11 @@ object ScalarQueries {
     * encoded frames concatenate into one payload. frameSample slices
     * every 2nd still with pure Column expressions (no decode in the
     * slicing path), then each sampled still is ImageIO-decoded back
-    * to its text chunk. Byte and character offsets agree because the
-    * corpus is ASCII, so DuckDB replays the slicing with substr —
+    * to its byte chunk, reported as hex (round 14: byte-exact for
+    * arbitrary UTF-8 — a still window can split a multibyte sequence,
+    * so hex bytes, not a decoded string, is the well-defined frame
+    * contract; this closed the suite's one scoped ASCII-only column).
+    * DuckDB replays the slicing with substr over hex(encode(text)) —
     * the hash match proves encode→slice→decode round-trips every
     * frame exactly. */
   def q83FrameSample(s: SparkSession, dir: String): DataFrame = {
@@ -341,12 +344,12 @@ object ScalarQueries {
     // (shifted positions + NULLs past the end). The media family's
     // NUMERIC oracles (q109/q206/q207 audio, q46/q75/q90 image) now
     // hold for arbitrary UTF-8 — verified on a fixture with 2-, 3- and
-    // 4-byte sequences. The one scoped exception is q83: its frame
-    // SLICING is byte-granular by design (fixed-size stills, like any
-    // real container), so its decoded frame_str/frame_len columns are
-    // only byte==char faithful on ASCII corpora — documented at the
-    // query, and the multibyte screen confirms exactly that column
-    // (and nothing else) diverges.
+    // 4-byte sequences. Round 14 closed the last scoped exception:
+    // q83's frame content is now hex BYTES (a byte-granular still
+    // window can split a multibyte sequence, so a decoded frame
+    // STRING was only well-defined on ASCII) — the whole media family
+    // is byte-exact for arbitrary UTF-8, and the ScaleUp fixtures
+    // carry multibyte suffixes by default to keep it enforced.
     "q109_audio_frames" ->
       """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n,
            hex(encode(text)) AS hx FROM documents),
@@ -493,15 +496,20 @@ object ScalarQueries {
          SELECT doc_id, count(*) AS n_runs, max(run_len) AS max_run,
            CAST(sum(run_len) AS BIGINT) AS n_hits
          FROM runs GROUP BY doc_id ORDER BY doc_id""",
+    // frame content as hex BYTES (round 14): substr over the hex of
+    // the encoded text — byte-exact for arbitrary UTF-8, closing the
+    // char-granular frame_str exception the round-13 multibyte screen
+    // scoped (a 64-byte still can split a multibyte sequence, so "the
+    // frame as text" was only defined on ASCII corpora)
     "q83_frame_sample" ->
-      """WITH f AS (SELECT doc_id, text,
+      """WITH f AS (SELECT doc_id, hex(encode(text)) AS hx,
+           octet_length(encode(text)) AS n,
            unnest(range(0,
              (octet_length(encode(text)) + 63) // 64, 2)) AS frame_idx
          FROM documents)
          SELECT doc_id, frame_idx,
-           substr(text, CAST(frame_idx * 64 + 1 AS INTEGER), 64) AS frame_str,
-           CAST(length(substr(text, CAST(frame_idx * 64 + 1 AS INTEGER), 64))
-             AS INTEGER) AS frame_len
+           substr(hx, CAST(frame_idx * 128 + 1 AS BIGINT), 128) AS frame_hex,
+           CAST(least(64, n - frame_idx * 64) AS INTEGER) AS frame_len
          FROM f ORDER BY doc_id, frame_idx""",
     // real-decode feature oracle: the Spark side PNG-encodes the
     // square-tiled text bytes and ImageIO-decodes them back before

@@ -282,12 +282,29 @@ object VectorQueries {
     * min(struct) instead of a rank window: no sort, map-side partial
     * aggregation over the broadcast-join output. */
   private[graft] def lloydAssign(q: DataFrame, cents: DataFrame): DataFrame =
-    q.crossJoin(broadcast(cents))
-      .withColumn("d", graft.functions.VectorExpressions.l2q(col("qe"), col("c")))
-      .groupBy("vec_id")
-      .agg(min(struct(col("d"), col("cl"))).as("best"),
-        first("qe").as("qe"))
-      .select(col("vec_id"), col("qe"), col("best.cl").as("cl"))
+    attachQe(q,
+      q.crossJoin(broadcast(cents))
+        .select(col("vec_id"), struct(
+          graft.functions.VectorExpressions.l2q(col("qe"), col("c")).as("d"),
+          col("cl")).as("s"))
+        .groupBy("vec_id")
+        .agg(min("s").as("best"))
+        .select(col("vec_id"), col("best.cl").as("cl")))
+
+  /** Re-attach the quantized vector to a narrow `(vec_id, cl)`
+    * assignment. min(struct) is not HashAggregate-able (struct
+    * buffers), so the argmin runs as a SortAggregate over the n×K
+    * candidate expansion — carrying the ~600 B qe payload through
+    * that sort multiplied its spill ~20× (the round-14 drill ENOSPC'd
+    * a 77 G scratch on exactly this); keeping the aggregate rows at
+    * (vec_id, d, cl) and joining qe back afterwards makes the spill
+    * proportional to candidates, not candidates × vector width. The
+    * narrow side builds the hash map (SHUFFLE_HASH), the wide vectors
+    * stream. */
+  private def attachQe(q: DataFrame, asg: DataFrame): DataFrame =
+    q.select(col("vec_id"), col("qe"))
+      .join(asg.hint("SHUFFLE_HASH"), Seq("vec_id"))
+      .select(col("vec_id"), col("qe"), col("cl"))
 
   /** Above this centroid count the assignment goes hierarchical —
     * brute n×K is exact but its cost at the [[KMax]] pin (n ≥ ~4.2M →
@@ -337,19 +354,20 @@ object VectorQueries {
       .groupBy("cl")
       .agg(min(struct(col("d"), col("ccl"))).as("b"), first("c").as("c"))
       .select(col("b.ccl").as("ccl"), col("cl"), col("c"))
-    // vector -> nearest coarse cell (n × ~256, map-side combined)
+    // Every vector-side argmin below keeps the aggregate rows NARROW
+    // — (vec_id, d, cell) only, vectors re-attached afterwards via
+    // [[attachQe]]'s hash join — because min(struct) sort-aggregates
+    // the candidate expansion and the qe payload would multiply its
+    // spill ~20× (the round-14 drill measured exactly that).
+    // vector -> nearest coarse cell (n × ~256)
     val v1 = q.crossJoin(broadcast(coarse))
-      .withColumn("d", l2(col("qe"), col("cc")))
-      .groupBy("vec_id")
-      .agg(min(struct(col("d"), col("ccl"))).as("b"), first("qe").as("qe"))
-      .select(col("vec_id"), col("qe"), col("b.ccl").as("ccl"))
+      .select(col("vec_id"),
+        struct(l2(col("qe"), col("cc")).as("d"), col("ccl")).as("s"))
+      .groupBy("vec_id").agg(min("s").as("b"))
+      .select(col("vec_id"), col("b.ccl").as("ccl"))
     // vector -> runner-up coarse cell: re-sweep with the winner masked
-    // out. An n-row join (vec_id -> winner) + another broadcast
-    // distance pass — no n×256 shuffle anywhere. SHUFFLE_HASH on the
-    // 16-byte/row winner side: Catalyst's default SMJ would sort the
-    // wide qe vectors (n × ~600 B per side) and 32 concurrent sorts
-    // exhausted execution memory at the 4.5 M-vector drill; a hash
-    // build of (vec_id, ccl1) per partition is a few MB at any scale.
+    // out. An n-row hash join (vec_id -> winner, 16 B/row build side)
+    // + another broadcast distance pass — no n×256 shuffle anywhere.
     val vc =
       if (nprobe <= 1) v1
       else v1.unionByName(
@@ -357,17 +375,19 @@ object VectorQueries {
             .hint("SHUFFLE_HASH"), Seq("vec_id"))
           .crossJoin(broadcast(coarse))
           .filter(col("ccl") =!= col("ccl1"))
-          .withColumn("d", l2(col("qe"), col("cc")))
-          .groupBy("vec_id")
-          .agg(min(struct(col("d"), col("ccl"))).as("b"), first("qe").as("qe"))
-          .select(col("vec_id"), col("qe"), col("b.ccl").as("ccl")))
+          .select(col("vec_id"),
+            struct(l2(col("qe"), col("cc")).as("d"), col("ccl")).as("s"))
+          .groupBy("vec_id").agg(min("s").as("b"))
+          .select(col("vec_id"), col("b.ccl").as("ccl")))
     // vector -> fine argmin over the union of its probed cells
     // (n × ~nprobe·K/256); the groupBy merges both probes' candidates
-    vc.join(broadcast(fineMap), Seq("ccl"))
-      .withColumn("d", l2(col("qe"), col("c")))
-      .groupBy("vec_id")
-      .agg(min(struct(col("d"), col("cl"))).as("best"), first("qe").as("qe"))
-      .select(col("vec_id"), col("qe"), col("best.cl").as("cl"))
+    attachQe(q,
+      q.join(vc.hint("SHUFFLE_HASH"), Seq("vec_id"))
+        .join(broadcast(fineMap), Seq("ccl"))
+        .select(col("vec_id"),
+          struct(l2(col("qe"), col("c")).as("d"), col("cl")).as("s"))
+        .groupBy("vec_id").agg(min("s").as("best"))
+        .select(col("vec_id"), col("best.cl").as("cl")))
   }
 
   private[graft] def assignK(q: DataFrame, cents: DataFrame, k: Int): DataFrame =

@@ -82,8 +82,16 @@ object ScaleUp {
       .withColumn("event_id", col("event_id") + k)
       .withColumn("user_id", col("user_id") + k))
     rep("documents")((d, k) => {
+      // replica suffix carries 2-, 3- and 4-byte UTF-8 sequences by
+      // default (é, 世, 😀 — round-13 verdict item 6): every ScaleUp
+      // fixture permanently enforces the media family's byte-exactness
+      // work (hex(encode()) oracles) instead of leaving it to one-off
+      // screens. The multibyte block contains no [a-z0-9], so the
+      // tokenizer sees only the ' zrepN' token (q55's closed stem
+      // vocabulary is untouched), and both engines count codepoints
+      // for length(), so n_chars stays engine-exact.
       val t = if (k == 0L) col("text")
-        else concat(col("text"), lit(s" zrep${k / S}"))
+        else concat(col("text"), lit(s" zrep${k / S} é世😀"))
       d.withColumn("doc_id", col("doc_id") + k)
         .withColumn("text", t)
         // length(col("text")) AFTER the replace — reusing `t` here

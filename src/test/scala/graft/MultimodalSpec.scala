@@ -152,8 +152,14 @@ class MultimodalSpec extends AnyFunSuite {
         Multimodal.frameSample(reel, frameBytes, 1))
       .orderBy("frame_idx").collect()
     assert(all.length == 5)
-    val glued = all.map(_.getAs[String]("frame_str")).mkString
-    assert(glued == text, "decoding every frame restores the text")
+    // frame content is hex bytes (round 14, byte-exact for arbitrary
+    // UTF-8); decoding the glued hex must restore the source text
+    val glued = all.map(_.getAs[String]("frame_hex")).mkString
+    assert(glued.length % 2 == 0)
+    val bytes = glued.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    assert(new String(bytes, "UTF-8") == text,
+      "decoding every frame restores the text")
+    assert(all.map(_.getAs[Int]("frame_len")).sum * 2 == glued.length)
     val sampled = Multimodal.decodeFrameText(
       Multimodal.frameSample(reel, frameBytes, 2)).collect()
     assert(sampled.map(_.getLong(1)).sorted.toSeq == Seq(0L, 2L, 4L))
