@@ -49,12 +49,19 @@ object Bench {
     }
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_(n)) }
-    // SPARK_GRAFT_REVERSE=1 sweeps in reverse name order — the
+    // run order is FAMILY-CLUSTERED (SweepOrder): each memo family's
+    // consumers run contiguously, so a finite cache budget rebuilds
+    // each family at most once instead of once per consumer cluster —
+    // the round-14 sf10 thrash was exactly the alphabetical order
+    // scattering the matchPairs consumers (2.54× like-for-like).
+    // Reported keys stay name-sorted; only execution order changes.
+    // SPARK_GRAFT_REVERSE=1 sweeps in reverse order — the
     // order-independence probe for the shared-cache accounting below
     // (two sweeps in opposite order should agree per-query once the
     // cache build is its own step)
+    val clustered = SweepOrder.sort(sorted)
     val names = if (sys.env.get("SPARK_GRAFT_REVERSE").contains("1"))
-      sorted.reverse else sorted
+      clustered.reverse else clustered
     // Full-suite sweeps pre-build the cross-query caches as an explicit
     // `cache_build` step (VERDICT r7 item 6): the cost is real work and
     // stays in the total, but per-query times become order-independent
@@ -72,6 +79,7 @@ object Bench {
         Seq("cache_build" -> (dt, ok))
       } else Nil
       val times = warmTime ++ names.map { case (name, fn) =>
+        queries.Shared.beginQuery(name)
         val t0 = System.nanoTime()
         val n = try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
@@ -86,6 +94,12 @@ object Bench {
         queries.Shared.enforceBudget(spark)
         name -> (dt, n >= 0)
       }
+      // memo-consumption report (sweep-order design tool): which
+      // queries touched which cross-query cache family this run
+      if (sys.env.contains("SPARK_GRAFT_TOUCH_REPORT"))
+        queries.Shared.touchReport.foreach { case (k, qs) =>
+          System.err.println(s"[touch] $k -> ${qs.mkString(",")}")
+        }
       // drop every session-level cache so the next sweep is cold —
       // otherwise run 2 times the cached path, not the query
       queries.Shared.clear()

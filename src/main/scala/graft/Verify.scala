@@ -19,9 +19,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    // same family-clustered order as Bench: sf10 replay sweeps run
+    // through this main and hit the identical cache budget
+    SweepOrder.sort(SparkEntry.queries.toSeq)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
+      queries.Shared.beginQuery(name)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -38,6 +38,21 @@ object Blocking {
     in.join(small, keys, "left_semi")
   }
 
+  /** Multi-probe expansion (Lv et al. 2007's 1-step probe set): one
+    * row per (input row, flipped bit), with `keyCol` XOR'd by each
+    * single bit below `bits`. This is the query-side recall lever
+    * every banded prefilter shares — q194 probes its LSH band keys,
+    * q207 its fingerprint words — extracted here so the next banded
+    * prefilter gets it (and the one spelling) for free. Emits ONLY the
+    * flipped rows: callers union the originals back when the exact
+    * bucket should also be probed, and keep the hot-bucket cap on the
+    * probe side ([[capBlocks]]) because a probe landing in a hot
+    * bucket blows up the candidate join exactly like an exact hit. */
+  def bitFlipProbes(df: DataFrame, keyCol: String, bits: Int): DataFrame =
+    df.withColumn(keyCol, explode(expr(
+      s"transform(sequence(0, ${bits - 1}), " +
+        s"b -> $keyCol ^ shiftleft(CAST(1 AS BIGINT), b))")))
+
   /** The matching DuckDB oracle fragment: CTE text selecting the
     * under-cap keys of `rel`, to semi-join against. */
   def sqlCapKeys(rel: String, keys: Seq[String], cap: Long): String =

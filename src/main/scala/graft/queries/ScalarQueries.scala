@@ -102,7 +102,7 @@ object ScalarQueries {
     * padding zeros into bucket 0) — a hash match proves the real
     * encode→decode round trip, not just the plumbing. */
   def q46MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
-    val packed = Multimodal.packImages(Tables.documents(s, dir), "doc_id", "text")
+    val packed = Multimodal.packImages(MediaCalibration.withProbes(s, dir), "doc_id", "text")
     val feats = Multimodal.extractFeatures(packed)
     feats.select(
         Seq(col("doc_id"), col("content_bytes").as("n_bytes"), col("w")) ++
@@ -135,7 +135,7 @@ object ScalarQueries {
     * every banded-LSH cap in the suite makes. */
   def q75BlockhashPairs(s: SparkSession, dir: String): DataFrame = {
     val hashes = Multimodal.blockhashes(
-      Multimodal.packImages(Tables.documents(s, dir), "doc_id", "text"))
+      Multimodal.packImages(MediaCalibration.withProbes(s, dir), "doc_id", "text"))
     val words = graft.operators.Blocking.capBlocks(
       hashes.select(col("doc_id"),
         posexplode(array(col("h0"), col("h1"), col("h2"), col("h3")))
@@ -168,7 +168,7 @@ object ScalarQueries {
     * decode + resize end to end. */
   def q90ThumbnailBlocks(s: SparkSession, dir: String): DataFrame = {
     val thumbs = Multimodal.resizeThumbs(
-      Multimodal.packImages(Tables.documents(s, dir), "doc_id", "text"), 8, 8)
+      Multimodal.packImages(MediaCalibration.withProbes(s, dir), "doc_id", "text"), 8, 8)
     thumbs.select(col("doc_id"), col("w"), col("h"),
         posexplode(col("means")).as(Seq("block_idx", "mean_byte")))
       .orderBy("doc_id", "block_idx")
@@ -188,7 +188,7 @@ object ScalarQueries {
     * the hash match proves encode→slice→decode round-trips every
     * frame exactly. */
   def q83FrameSample(s: SparkSession, dir: String): DataFrame = {
-    val reel = Multimodal.packFrameReel(Tables.documents(s, dir), "doc_id", "text")
+    val reel = Multimodal.packFrameReel(MediaCalibration.withProbes(s, dir), "doc_id", "text")
     val frameBytes = Multimodal.encodedFrameSize(64, "bmp")
     Multimodal.decodeFrameText(Multimodal.frameSample(reel, frameBytes, 2))
       .orderBy("doc_id", "frame_idx")
@@ -203,7 +203,7 @@ object ScalarQueries {
     * [[graft.operators.Multimodal.audioFrames]]. */
   def q109AudioFrames(s: SparkSession, dir: String): DataFrame =
     Multimodal.audioFrames(
-        Multimodal.packBinary(Tables.documents(s, dir), "doc_id", "text",
+        Multimodal.packBinary(MediaCalibration.withProbes(s, dir), "doc_id", "text",
           "audio/pcm-u8"))
       .orderBy("doc_id", "frame_idx")
 
@@ -220,7 +220,7 @@ object ScalarQueries {
     * same lossless-codec argument as q46/q75/q83/q90. */
   def q206WavFrames(s: SparkSession, dir: String): DataFrame =
     Multimodal.wavFrames(
-        Multimodal.packWav(Tables.documents(s, dir), "doc_id", "text"))
+        Multimodal.packWav(MediaCalibration.withProbes(s, dir), "doc_id", "text"))
       .orderBy("doc_id", "frame_idx")
 
   /** q207 fingerprint constants (shared with the oracle text):
@@ -230,6 +230,97 @@ object ScalarQueries {
   private val FpWordBits = 16
   private val FpWordCap = 64L
   private val FpDupMax = 8
+
+  /** q207 oracle SQL, in fragments shared by the monolithic oracle
+    * (the sf0.01 gate) and the sharded sf3+/sf10 replay plan
+    * ([[shardReplayPlan]]) — one spelling, so the two can never drift
+    * (ADVICE r15: the standalone q207 shard tool hand-copied
+    * FpWordBits/FpWordCap as literals). */
+  // byte ramp → 32-sample frame energies → (doc_id, word_idx, word);
+  // `filter` shards the per-document expansion (doc-independent)
+  private def fpWordsSql(filter: String): String =
+    s"""WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n,
+           hex(encode(text)) AS hx FROM ${MediaCalibration.sqlRelation} documents$filter),
+         smp AS (SELECT doc_id, u.frame_idx, u.c FROM (
+           SELECT doc_id, unnest(list_transform(range(0, n),
+             i -> struct_pack(
+               frame_idx := i // $FpFrame,
+               c := (((CAST('0x' || substr(hx, CAST(2 * i + 1 AS BIGINT), 2)
+                 AS INTEGER) * 31
+                 + i * 7) % 256) - 128) * 256))) AS u
+           FROM b)),
+         fe AS (SELECT doc_id, frame_idx, CAST(sum(c * c) AS BIGINT) AS e
+           FROM smp GROUP BY doc_id, frame_idx),
+         fb AS (SELECT doc_id, frame_idx,
+             CASE WHEN lag(e) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+                 IS NOT NULL
+               AND e > lag(e) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+               THEN 1 ELSE 0 END AS bit
+           FROM fe)
+         SELECT doc_id, frame_idx // $FpWordBits AS word_idx,
+             CAST(sum(bit * CAST(power(2, frame_idx % $FpWordBits) AS BIGINT))
+               AS BIGINT) AS word
+           FROM fb GROUP BY doc_id, frame_idx // $FpWordBits"""
+  // capped exact buckets + capped 1-bit-flip probe buckets → candidate
+  // pairs → exact hamming + per-unshared-word penalty; reads `words`
+  // (a CTE in the monolithic oracle, a materialized table sharded)
+  private def fpTailSql: String =
+    s"""wcap AS (${graft.operators.Blocking.sqlCapKeys(
+               "words", Seq("word_idx", "word"), FpWordCap)}),
+         wkept AS (SELECT w.* FROM words w JOIN wcap USING (word_idx, word)),
+         probes0 AS (SELECT doc_id, word_idx,
+             xor(word, CAST(1 AS BIGINT) << b) AS word
+           FROM wkept, range(0, $FpWordBits) t(b)),
+         pcap AS (${graft.operators.Blocking.sqlCapKeys(
+               "probes0", Seq("word_idx", "word"), FpWordCap)}),
+         pkept AS (SELECT p.* FROM probes0 p
+           JOIN pcap USING (word_idx, word)),
+         cands AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+           FROM wkept a JOIN wkept b
+             ON a.word_idx = b.word_idx AND a.word = b.word
+              AND a.doc_id < b.doc_id
+           UNION
+           SELECT DISTINCT least(p.doc_id, w.doc_id) AS doc1,
+             greatest(p.doc_id, w.doc_id) AS doc2
+           FROM pkept p JOIN wkept w
+             ON p.word_idx = w.word_idx AND p.word = w.word
+              AND p.doc_id <> w.doc_id),
+         cm AS (SELECT doc1, doc2,
+             CAST(count(*) AS BIGINT) AS n_common_words,
+             CAST(sum(bit_count(xor(x.word, y.word))) AS BIGINT) AS hamc
+           FROM cands
+           JOIN words x ON x.doc_id = doc1
+           JOIN words y ON y.doc_id = doc2 AND y.word_idx = x.word_idx
+           GROUP BY doc1, doc2),
+         nw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nw
+           FROM words GROUP BY doc_id)
+         SELECT doc1, doc2, n_common_words,
+           hamc + (n1.nw - n_common_words) * $FpWordBits
+             + (n2.nw - n_common_words) * $FpWordBits AS hamming,
+           hamc + (n1.nw - n_common_words) * $FpWordBits
+             + (n2.nw - n_common_words) * $FpWordBits <= $FpDupMax AS is_dup
+         FROM cm
+         JOIN nw n1 ON n1.doc_id = doc1
+         JOIN nw n2 ON n2.doc_id = doc2
+         ORDER BY doc1, doc2"""
+
+  /** Sharded replay plan for q207 (the sf3/sf10-volume gate — the
+    * monolithic replay's per-byte expansion is disk-bound there): the
+    * per-document `words` stage runs in doc shards, the candidate/
+    * hamming tail once over the materialized table. Executed by
+    * `tools/shard_replay.py` via [[graft.tools.ShardSqlDump]]; same
+    * fragments as the monolithic oracle above. */
+  private[graft] def shardReplayPlan(name: String): Seq[(String, String)] =
+    name match {
+      case "q207_audio_fingerprint" => Seq(
+        "once" ->
+          "CREATE TABLE words (doc_id BIGINT, word_idx BIGINT, word BIGINT)",
+        "shard" ->
+          s"INSERT INTO words ${fpWordsSql(" WHERE ((doc_id % {NSH}) + {NSH}) % {NSH} = {S}")}",
+        "once" -> s"CREATE TABLE want AS WITH $fpTailSql")
+      case other =>
+        throw new IllegalArgumentException(s"no shard plan for $other")
+    }
 
   /** q207: AUDIO-FINGERPRINT NEAR-DUP — the Chromaprint shape over the
     * parsed-WAV path: each document's PCM16 stream reduces to an
@@ -252,7 +343,7 @@ object ScalarQueries {
     * round 13) through the identical integer arithmetic. */
   def q207AudioFingerprint(s: SparkSession, dir: String): DataFrame = {
     val frames = Multimodal.wavFrames(
-      Multimodal.packWav(Tables.documents(s, dir), "doc_id", "text"),
+      Multimodal.packWav(MediaCalibration.withProbes(s, dir), "doc_id", "text"),
       frameSize = FpFrame)
     val w = Window.partitionBy("doc_id").orderBy("frame_idx")
     val bits = frames.select(col("doc_id"), col("frame_idx"), col("energy_ssq"))
@@ -282,9 +373,8 @@ object ScalarQueries {
     // carry the same hot-bucket cap, and precision stays 1.0 because
     // candidates are still scored by exact hamming.
     val probes = graft.operators.Blocking.capBlocks(
-      kept.select(col("doc_id"), col("word_idx"),
-        explode(expr(s"transform(sequence(0, ${FpWordBits - 1}), " +
-          "b -> word ^ shiftleft(CAST(1 AS BIGINT), b))")).as("word")),
+      graft.operators.Blocking.bitFlipProbes(
+        kept.select("doc_id", "word_idx", "word"), "word", FpWordBits),
       Seq("word_idx", "word"), FpWordCap)
     val probeCands = probes
       .select(col("word_idx"), col("word"), col("doc_id").as("da"))
@@ -351,8 +441,8 @@ object ScalarQueries {
     // is byte-exact for arbitrary UTF-8, and the ScaleUp fixtures
     // carry multibyte suffixes by default to keep it enforced.
     "q109_audio_frames" ->
-      """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n,
-           hex(encode(text)) AS hx FROM documents),
+      s"""WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n,
+           hex(encode(text)) AS hx FROM ${MediaCalibration.sqlRelation} documents),
          px AS (SELECT doc_id, hx, unnest(range(0, n)) AS p FROM b),
          smp AS (SELECT doc_id, CAST(p // 256 AS INTEGER) AS frame_idx, p,
              ((CAST('0x' || substr(hx, CAST(2 * p + 1 AS BIGINT), 2)
@@ -377,8 +467,8 @@ object ScalarQueries {
     // PCM16 container); sample_rate/bits replay the packer's constants
     // — on the Spark side they come from the PARSED WAV header
     "q206_wav_frames" ->
-      """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n,
-           hex(encode(text)) AS hx FROM documents),
+      s"""WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n,
+           hex(encode(text)) AS hx FROM ${MediaCalibration.sqlRelation} documents),
          px AS (SELECT doc_id, hx, unnest(range(0, n)) AS p FROM b),
          smp AS (SELECT doc_id, CAST(p // 256 AS INTEGER) AS frame_idx, p,
              (((CAST('0x' || substr(hx, CAST(2 * p + 1 AS BIGINT), 2)
@@ -403,68 +493,11 @@ object ScalarQueries {
          ORDER BY doc_id, frame_idx""",
     // the fingerprint chain replayed end to end: 32-sample frame
     // energies from the ramp, energy-delta bits, 16-bit words, capped
-    // banded candidates, hamming + length penalty
+    // banded candidates, hamming + length penalty — composed from the
+    // SAME fragments as the sharded sf10 plan ([[shardReplayPlan]])
     "q207_audio_fingerprint" ->
-      s"""WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n,
-           hex(encode(text)) AS hx FROM documents),
-         smp AS (SELECT doc_id, u.frame_idx, u.c FROM (
-           SELECT doc_id, unnest(list_transform(range(0, n),
-             i -> struct_pack(
-               frame_idx := i // $FpFrame,
-               c := (((CAST('0x' || substr(hx, CAST(2 * i + 1 AS BIGINT), 2)
-                 AS INTEGER) * 31
-                 + i * 7) % 256) - 128) * 256))) AS u
-           FROM b)),
-         fe AS (SELECT doc_id, frame_idx, CAST(sum(c * c) AS BIGINT) AS e
-           FROM smp GROUP BY doc_id, frame_idx),
-         fb AS (SELECT doc_id, frame_idx,
-             CASE WHEN lag(e) OVER (PARTITION BY doc_id ORDER BY frame_idx)
-                 IS NOT NULL
-               AND e > lag(e) OVER (PARTITION BY doc_id ORDER BY frame_idx)
-               THEN 1 ELSE 0 END AS bit
-           FROM fe),
-         words AS (SELECT doc_id, frame_idx // $FpWordBits AS word_idx,
-             CAST(sum(bit * CAST(power(2, frame_idx % $FpWordBits) AS BIGINT))
-               AS BIGINT) AS word
-           FROM fb GROUP BY doc_id, frame_idx // $FpWordBits),
-         wcap AS (${graft.operators.Blocking.sqlCapKeys(
-               "words", Seq("word_idx", "word"), FpWordCap)}),
-         wkept AS (SELECT w.* FROM words w JOIN wcap USING (word_idx, word)),
-         probes0 AS (SELECT doc_id, word_idx,
-             xor(word, CAST(1 AS BIGINT) << b) AS word
-           FROM wkept, range(0, $FpWordBits) t(b)),
-         pcap AS (${graft.operators.Blocking.sqlCapKeys(
-               "probes0", Seq("word_idx", "word"), FpWordCap)}),
-         pkept AS (SELECT p.* FROM probes0 p
-           JOIN pcap USING (word_idx, word)),
-         cands AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
-           FROM wkept a JOIN wkept b
-             ON a.word_idx = b.word_idx AND a.word = b.word
-              AND a.doc_id < b.doc_id
-           UNION
-           SELECT DISTINCT least(p.doc_id, w.doc_id) AS doc1,
-             greatest(p.doc_id, w.doc_id) AS doc2
-           FROM pkept p JOIN wkept w
-             ON p.word_idx = w.word_idx AND p.word = w.word
-              AND p.doc_id <> w.doc_id),
-         cm AS (SELECT doc1, doc2,
-             CAST(count(*) AS BIGINT) AS n_common_words,
-             CAST(sum(bit_count(xor(x.word, y.word))) AS BIGINT) AS hamc
-           FROM cands
-           JOIN words x ON x.doc_id = doc1
-           JOIN words y ON y.doc_id = doc2 AND y.word_idx = x.word_idx
-           GROUP BY doc1, doc2),
-         nw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nw
-           FROM words GROUP BY doc_id)
-         SELECT doc1, doc2, n_common_words,
-           hamc + (n1.nw - n_common_words) * $FpWordBits
-             + (n2.nw - n_common_words) * $FpWordBits AS hamming,
-           hamc + (n1.nw - n_common_words) * $FpWordBits
-             + (n2.nw - n_common_words) * $FpWordBits <= $FpDupMax AS is_dup
-         FROM cm
-         JOIN nw n1 ON n1.doc_id = doc1
-         JOIN nw n2 ON n2.doc_id = doc2
-         ORDER BY doc1, doc2""",
+      s"""WITH words AS (${fpWordsSql("")}),
+         $fpTailSql""",
     "q39_json_extract" ->
       """SELECT event_type, count(*) AS n_events,
          CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
@@ -502,11 +535,11 @@ object ScalarQueries {
     // scoped (a 64-byte still can split a multibyte sequence, so "the
     // frame as text" was only defined on ASCII corpora)
     "q83_frame_sample" ->
-      """WITH f AS (SELECT doc_id, hex(encode(text)) AS hx,
+      s"""WITH f AS (SELECT doc_id, hex(encode(text)) AS hx,
            octet_length(encode(text)) AS n,
            unnest(range(0,
              (octet_length(encode(text)) + 63) // 64, 2)) AS frame_idx
-         FROM documents)
+         FROM ${MediaCalibration.sqlRelation} documents)
          SELECT doc_id, frame_idx,
            substr(hx, CAST(frame_idx * 128 + 1 AS BIGINT), 128) AS frame_hex,
            CAST(least(64, n - frame_idx * 64) AS INTEGER) AS frame_len
@@ -517,11 +550,11 @@ object ScalarQueries {
     // the text (bucket = ascii // 32; the s*s - n zero pads land in
     // bucket 0). Hash equality proves the codec round trip is exact.
     "q46_multimodal_features" ->
-      ("""WITH sides AS (SELECT doc_id, hex(encode(text)) AS hx,
+      (s"""WITH sides AS (SELECT doc_id, hex(encode(text)) AS hx,
            octet_length(encode(text)) AS n,
            greatest(16, CAST(ceil(sqrt(CAST(octet_length(encode(text))
              AS DOUBLE))) AS INTEGER)) AS s
-           FROM documents),
+           FROM ${MediaCalibration.sqlRelation} documents),
          ch AS (SELECT doc_id,
              CAST('0x' || substr(hx, CAST(2 * p + 1 AS BIGINT), 2)
                AS INTEGER) // 32 AS bkt
@@ -548,7 +581,7 @@ object ScalarQueries {
            octet_length(encode(text)) AS n,
            greatest(16, CAST(ceil(sqrt(CAST(octet_length(encode(text)) AS DOUBLE)))
              AS INTEGER)) AS s
-           FROM documents),
+           FROM ${MediaCalibration.sqlRelation} documents),
          px AS (SELECT doc_id, s, n, hx, unnest(range(0, s * s)) AS p FROM sides),
          pb AS (SELECT doc_id,
              least((p // s) * 16 // s, 15) AS by,
@@ -609,11 +642,11 @@ object ScalarQueries {
     // integer half-up means ((sm + cnt//2) // cnt — exactly
     // resizeGray's JVM arithmetic on the zero-padded square tiling)
     "q90_thumbnail_blocks" ->
-      """WITH sides AS (SELECT doc_id, hex(encode(text)) AS hx,
+      s"""WITH sides AS (SELECT doc_id, hex(encode(text)) AS hx,
            octet_length(encode(text)) AS n,
            greatest(16, CAST(ceil(sqrt(CAST(octet_length(encode(text)) AS DOUBLE)))
              AS INTEGER)) AS s
-           FROM documents),
+           FROM ${MediaCalibration.sqlRelation} documents),
          px AS (SELECT doc_id, s, n, hx, unnest(range(0, s * s)) AS p FROM sides),
          pb AS (SELECT doc_id, s,
              least((p // s) * 8 // s, 7) AS by,

@@ -17,17 +17,64 @@ import graft.operators.TextDedup
   * (the round-1 bench died from exactly that accumulated shuffle
   * volume). Keyed by (applicationId, dir, name) so scale factors and
   * fresh sessions never collide.
+  *
+  * The memo lives under a byte budget ([[enforceBudget]]): persisted
+  * storage is executor scratch, and a 100 TB deployment has to bound
+  * it. Round 14 measured BOTH failure modes at sf10 — unbounded cache
+  * = ENOSPC (r13), an undersized fixed budget + LRU eviction = 2.54×
+  * recompute thrash (r14's 24 GiB default vs the ~31 GiB hot family).
+  * Round 15 takes the priced fix: the default budget derives from the
+  * scratch volume's free space at startup, and eviction is weighted
+  * by measured rebuild cost so the expensive quadratic family is the
+  * LAST thing dropped, not LRU-equal with a cheap shingle table.
   */
 object Shared {
 
   private val memo =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
-  // LRU stamps for the memo frames (monotonic counter, not wall time —
-  // wall time can collide under the concurrent warm build)
-  private val lastUse =
+  // per-key build lock: TrieMap.getOrElseUpdate may evaluate a racing
+  // builder twice and discard one — harmless for a lazy plan, but the
+  // memoized build is now EAGER (materialize + measure), so a discard
+  // would leak a fully-built persisted frame
+  private val buildLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+
+  // measured build wall-seconds per memo key (the rebuild price the
+  // eviction policy weighs against bytes freed)
+  private val buildSec =
+    scala.collection.concurrent.TrieMap.empty[String, Double]
+
+  // budget-enforcement epoch of each frame's last access: enforceBudget
+  // runs once per query in a sweep, so "lastEpoch == current epoch"
+  // means "touched by the query that just finished" — the frames most
+  // likely re-read by the NEXT query of the same family cluster
+  private val lastEpoch =
     scala.collection.concurrent.TrieMap.empty[String, Long]
-  private val useCounter = new java.util.concurrent.atomic.AtomicLong
+  @volatile private var epoch = 0L
+
+  // sweep-order instrumentation: (memo key, query name) pairs, so a
+  // discovery run can dump which queries consume which cache family
+  // (the family-clustered bench order is generated from this, not
+  // hand-guessed)
+  @volatile private var curQuery: String = ""
+  private val touches =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Unit]
+
+  /** Name the query about to run (sweep harnesses only; ignored when
+    * unset) — feeds the memo-touch report. */
+  def beginQuery(name: String): Unit = curQuery = name
+
+  /** memo key → query names that touched it, for sweep-order design. */
+  def touchReport: Seq[(String, Seq[String])] = touches.keys.toSeq
+    .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toSeq.sortBy(_._1)
+
+  /** Test hook: overwrite a frame's measured rebuild cost so the
+    * eviction-policy specs are deterministic (real costs are wall
+    * time). */
+  private[graft] def setBuildCostForTest(s: SparkSession, dir: String,
+                                         key: String, sec: Double): Unit =
+    buildSec.put(s"${s.sparkContext.applicationId}|$dir|$key", sec)
 
   // every ANONYMOUS frame this module persisted (per-query transients
   // registered via track), so long-lived sessions can release them
@@ -45,56 +92,117 @@ object Shared {
     * scratch, the round-13 single-JVM ENOSPC mechanism. */
   def track(df: DataFrame): DataFrame = { tracked.add(df); df }
 
-  /** Unpersist every anonymous per-query transient (non-blocking).
-    * Call after each query in a multi-query sweep — correctness is
-    * unaffected (an unpersisted frame recomputes if ever re-read) and
-    * no transient has consumers beyond its own query. */
+  /** Unpersist every anonymous per-query transient. BLOCKING: the
+    * caller's next step is usually [[enforceBudget]]'s storage
+    * snapshot, and an async removal racing that snapshot inflates the
+    * measured total with already-dead blocks (ADVICE r15) — the
+    * over-eviction amplifier. Correctness is unaffected either way
+    * (an unpersisted frame recomputes if ever re-read) and no
+    * transient has consumers beyond its own query. */
   def retireTransients(): Unit = {
     var df = tracked.poll()
-    while (df != null) { df.unpersist(false); df = tracked.poll() }
+    while (df != null) { df.unpersist(true); df = tracked.poll() }
   }
 
-  /** Session-cache storage budget in bytes (mem + disk), the
-    * executor-scratch line item a 100 TB deployment has to set: when
-    * total persisted storage exceeds it, [[enforceBudget]] evicts
-    * least-recently-used memo frames until back under. 0 disables.
-    * Default 24 GiB — far above any sf0.1 working set (no effect on
-    * the canonical bench) and comfortably inside this box's 80 G
-    * scratch at sf10. */
-  val cacheBudgetBytes: Long =
-    sys.env.getOrElse("SPARK_GRAFT_CACHE_BUDGET_GB", "24").toLong << 30
+  /** Session-cache storage budget in bytes (mem + disk): when total
+    * persisted storage exceeds it, [[enforceBudget]] evicts memo
+    * frames until back under. 0 disables.
+    *
+    * Default: 60% of the scratch volume's FREE space, measured once at
+    * startup — the round-14 verdict's exact finding was that a fixed
+    * one-box constant (24 GiB) turned into engine policy: far above
+    * any sf0.1 working set (no effect on the canonical bench) yet
+    * below the ~31 GiB sf10 hot family, which the LRU then rebuilt
+    * ~15 times (2.54× like-for-like). Sizing to the machine is what a
+    * per-executor deployment does; SPARK_GRAFT_CACHE_BUDGET_GB stays
+    * as the explicit override (whole GiB; malformed values warn and
+    * fall back rather than poisoning every query with an
+    * ExceptionInInitializerError). */
+  val cacheBudgetBytes: Long = {
+    def derived: Long = {
+      // persisted blocks + shuffle files land under spark.local.dir
+      // (java.io.tmpdir when unset, as in local[] mode here)
+      val dir = sys.props.get("spark.local.dir")
+        .orElse(sys.env.get("SPARK_LOCAL_DIRS").map(_.split(",").head))
+        .getOrElse(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+      val usable = new java.io.File(dir).getUsableSpace
+      math.max(usable * 6 / 10, 1L << 30)
+    }
+    sys.env.get("SPARK_GRAFT_CACHE_BUDGET_GB") match {
+      case Some(v) => v.toLongOption match {
+        case Some(g) => g << 30
+        case None =>
+          System.err.println("[graft] SPARK_GRAFT_CACHE_BUDGET_GB=" +
+            s"'$v' is not a whole number of GiB; using the " +
+            "scratch-derived default")
+          derived
+      }
+      case None => derived
+    }
+  }
 
-  /** Evict least-recently-used memoized frames until total persisted
-    * RDD storage (memory + disk, ALL blocks — the budget is a machine
-    * resource, not a bookkeeping one) fits [[cacheBudgetBytes]]. An
-    * evicted family is dropped from the memo too, so a late consumer
-    * transparently rebuilds (and re-persists) it — a visible recompute,
-    * never a wrong answer. Blocking unpersist so the re-measure after
-    * each eviction is truthful. */
+  /** Evict memoized frames until total persisted RDD storage (memory +
+    * disk, ALL blocks — the budget is a machine resource, not a
+    * bookkeeping one) fits [[cacheBudgetBytes]]. An evicted family is
+    * dropped from the memo too, so a late consumer transparently
+    * rebuilds (and re-persists) it — a visible recompute, never a
+    * wrong answer.
+    *
+    * Accounting: ONE storage snapshot, each evicted frame's own size
+    * (resolved to its cache RDD via GraftCacheProbe) subtracted from
+    * the running total. The round-14 spelling re-polled the event-bus
+    * -fed global total after every eviction; a lagging total made it
+    * over-evict, and each never-materialized frame burned a 2 s poll
+    * (ADVICE r15).
+    *
+    * Order: cheapest rebuild per byte freed first — ascending
+    * buildSec/bytes, both measured at memoization time — so the
+    * quadratic match family (expensive to rebuild, the round-14
+    * thrash) outlives cheap shingle/bucket tables at equal recency.
+    * Frames touched since the previous enforceBudget call (i.e. by the
+    * query that just finished) are evicted only after everything else:
+    * under a family-clustered sweep they are exactly the frames the
+    * next query re-reads. */
   def enforceBudget(s: SparkSession,
                     budget: Long = cacheBudgetBytes): Unit = synchronized {
-    if (budget <= 0) return
-    def total: Long = s.sparkContext.getRDDStorageInfo
-      .map(i => i.memSize + i.diskSize).sum
-    var t = total
-    if (t <= budget) return
-    val lru = memo.keys.toSeq.sortBy(k => lastUse.getOrElse(k, 0L))
-    for (k <- lru if t > budget) {
-      memo.remove(k).foreach(_.unpersist(true))
-      lastUse.remove(k)
-      // the status store behind getRDDStorageInfo is event-bus fed —
-      // async even for a blocking unpersist — so poll briefly until
-      // the re-measure reflects this eviction, or the loop would
-      // over-evict frames the budget no longer requires dropping
-      val before = t
-      var waited = 0
-      t = total
-      while (t >= before && waited < 2000) {
-        Thread.sleep(50); waited += 50; t = total
+    if (budget <= 0) { epoch += 1; return }
+    val infos = s.sparkContext.getRDDStorageInfo
+    var total = infos.map(i => i.memSize + i.diskSize).sum
+    val curEpoch = epoch
+    epoch += 1
+    if (total <= budget) return
+    val sizeOf = infos.map(i => i.id -> (i.memSize + i.diskSize)).toMap
+    def frameBytes(df: DataFrame): Long =
+      org.apache.spark.sql.GraftCacheProbe.cachedRddId(df)
+        .flatMap(sizeOf.get).getOrElse(0L)
+    val order = memo.toSeq
+      .map { case (k, df) => (k, df, frameBytes(df)) }
+      // a frame with no accounted storage frees nothing: skip it
+      // instead of burning an eviction (and a rebuild) on it
+      .filter(_._3 > 0L)
+      .sortBy { case (k, _, bytes) =>
+        (if (lastEpoch.getOrElse(k, -1L) == curEpoch) 1 else 0,
+         buildSec.getOrElse(k, 0.0) / bytes.toDouble)
       }
-      System.err.println(s"[graft] cache budget: evicted $k " +
-        s"(${before >> 20} MiB -> ${t >> 20} MiB cached)")
+    var memoBytes = order.map(_._3).sum
+    for ((k, df, bytes) <- order if total > budget) {
+      memo.remove(k)
+      lastEpoch.remove(k)
+      df.unpersist(true)
+      total -= bytes
+      memoBytes -= bytes
+      System.err.println(f"[graft] cache budget: evicted $k " +
+        f"(${bytes >> 20} MiB, build ${buildSec.getOrElse(k, 0.0)}%.1f s; " +
+        f"${total >> 20} MiB persisted vs budget ${budget >> 20} MiB)")
     }
+    // the memo is all this policy CAN evict; if non-memo persists
+    // dominate, say so — a sweep reading this line can tell budget
+    // thrash from an untracked caller persist (ADVICE r15)
+    if (total > budget)
+      System.err.println(s"[graft] cache budget: memo exhausted, " +
+        s"${total >> 20} MiB persisted vs budget ${budget >> 20} MiB — " +
+        s"residual non-memo storage ${(total - memoBytes) >> 20} MiB " +
+        "(un-retired transients or caller persists)")
   }
 
   /** Unpersist every frame this registry persisted (non-blocking) and
@@ -103,31 +211,46 @@ object Shared {
   def clear(): Unit = {
     memo.values.foreach(_.unpersist(false))
     memo.clear()
-    lastUse.clear()
+    lastEpoch.clear()
+    buildSec.clear()
     retireTransients()
   }
 
-  /** Persist `build` once per (session, dir). When `parts` is given,
-    * the frame is hash-repartitioned on those columns with an explicit
-    * partition count BEFORE caching: AQE otherwise coalesces the final
-    * exchange to a few 64 MB partitions, and every later aggregation
-    * over the cache then runs nearly serially with million-entry
-    * per-task hash maps (measured 43 s vs 9 s on the 9M-row candidate
-    * frame). An explicit count pins parallelism, and partitioning by
-    * the downstream group keys lets those groupBys skip their shuffle
+  /** Persist `build` once per (session, dir), MATERIALIZED eagerly so
+    * (a) its rebuild cost is measured where the eviction policy needs
+    * it and (b) its storage footprint is real by the time any budget
+    * decision reads it. When `parts` is given, the frame is
+    * hash-repartitioned on those columns with an explicit partition
+    * count BEFORE caching: AQE otherwise coalesces the final exchange
+    * to a few 64 MB partitions, and every later aggregation over the
+    * cache then runs nearly serially with million-entry per-task hash
+    * maps (measured 43 s vs 9 s on the 9M-row candidate frame). An
+    * explicit count pins parallelism, and partitioning by the
+    * downstream group keys lets those groupBys skip their shuffle
     * entirely (HashPartitioning on a subset of the grouping keys
     * satisfies the ClusteredDistribution requirement). */
   def memoized(s: SparkSession, dir: String, key: String,
                parts: Seq[String] = Nil)
               (build: => DataFrame): DataFrame = {
     val mk = s"${s.sparkContext.applicationId}|$dir|$key"
-    lastUse.put(mk, useCounter.incrementAndGet())
-    memo.getOrElseUpdate(mk, {
-      val n = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-      val df = if (parts.isEmpty) build
-        else build.repartition(n, parts.map(col): _*)
-      df.persist(StorageLevel.MEMORY_AND_DISK)
-    })
+    lastEpoch.put(mk, epoch)
+    if (curQuery.nonEmpty) touches.put((key, curQuery), ())
+    memo.get(mk).getOrElse {
+      val lock = buildLocks.getOrElseUpdate(mk, new Object)
+      lock.synchronized {
+        memo.get(mk).getOrElse {
+          val t0 = System.nanoTime()
+          val n = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+          val df = if (parts.isEmpty) build
+            else build.repartition(n, parts.map(col): _*)
+          val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+          p.count()
+          buildSec.put(mk, (System.nanoTime() - t0) / 1e9)
+          memo.put(mk, p)
+          p
+        }
+      }
+    }
   }
 
   /** Build + force every expensive cross-query cache up-front

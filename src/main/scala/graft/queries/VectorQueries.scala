@@ -934,9 +934,7 @@ object VectorQueries {
       .filter(col("vec_id") % 50 === 0 && col("vec_id") < QBatchMax)
       .select(col("vec_id").as("qid"), col("band"), col("key"))
     val probes = qb.unionByName(
-      qb.withColumn("j", explode(sequence(lit(0), lit(bits - 1))))
-        .select(col("qid"), col("band"),
-          expr("CAST(key ^ shiftleft(1L, j) AS BIGINT)").as("key")))
+      graft.operators.Blocking.bitFlipProbes(qb, "key", bits))
     val cand = probes
       .join(buckets.select(col("band"), col("key"), col("vec_id")),
         Seq("band", "key"))
@@ -2886,7 +2884,7 @@ object VectorQueries {
   /** Staged replay plans for the two oracles whose MONOLITHIC DuckDB
     * replays are disk-bound at sf10 volume: q106 materializes an
     * n×K = 625 M-row distance frame, q178 an unbucketed neighbour
-    * expansion. Both decompose exactly like tools/q207_shard_verify.py:
+    * expansion. Both decompose like the q207 plan in ScalarQueries:
     * the row-independent stages run in shards (bounding DuckDB temp to
     * one shard's expansion), the cross-cutting tail runs once. The SQL
     * here is generated from the SAME constants and helper spellings as

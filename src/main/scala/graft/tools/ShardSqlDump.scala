@@ -13,7 +13,12 @@ package graft.tools
 object ShardSqlDump {
   def main(args: Array[String]): Unit = {
     val name = args(0)
-    val stages = graft.queries.VectorQueries.shardReplayPlan(name)
+    // each plan lives next to the monolithic oracle whose fragments it
+    // shares: vector queries (q106/q178) in VectorQueries, the audio
+    // fingerprint (q207) in ScalarQueries
+    val stages =
+      if (name.startsWith("q207")) graft.queries.ScalarQueries.shardReplayPlan(name)
+      else graft.queries.VectorQueries.shardReplayPlan(name)
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"

@@ -4,16 +4,28 @@ import org.apache.spark.storage.StorageLevel
 import org.scalatest.funsuite.AnyFunSuite
 import graft.queries.Shared
 
-/** The session-cache retirement policy (round-13 verdict item 1): a
-  * 207-query sweep must not accumulate dead persisted blocks across
-  * queries — at sf10 that accumulation was ~55 G of scratch and the
-  * single-JVM suite ENOSPC'd. Two mechanisms, both engine-level:
-  * anonymous per-query transients are retired as soon as their query
-  * finishes ([[Shared.retireTransients]]), and the memoized
-  * cross-query families live under an LRU byte budget
-  * ([[Shared.enforceBudget]]) — eviction drops the frame from the
-  * memo too, so a late consumer transparently rebuilds it (visible
-  * recompute, never a wrong answer). */
+/** The session-cache retirement policy (round-13 verdict item 1,
+  * hardened round 15): a 207-query sweep must not accumulate dead
+  * persisted blocks across queries — at sf10 that accumulation was
+  * ~55 G of scratch and the single-JVM suite ENOSPC'd. Two
+  * mechanisms, both engine-level: anonymous per-query transients are
+  * retired as soon as their query finishes
+  * ([[Shared.retireTransients]]), and the memoized cross-query
+  * families live under a byte budget ([[Shared.enforceBudget]]) —
+  * eviction drops the frame from the memo too, so a late consumer
+  * transparently rebuilds it (visible recompute, never a wrong
+  * answer).
+  *
+  * Round 15 policy (the round-14 sf10 thrash fix): eviction is
+  * weighted by measured rebuild cost — cheapest rebuild per byte
+  * freed goes first, so the quadratic match family (the most
+  * expensive build in the suite) is the LAST thing dropped — and
+  * frames touched by the query that just finished are protected
+  * until everything older is gone (under a family-clustered sweep
+  * they are exactly what the next query re-reads). Accounting is one
+  * storage snapshot with per-frame sizes (GraftCacheProbe), not the
+  * round-14 re-poll of the lagging global total.
+  */
 class CacheRetirementSpec extends AnyFunSuite {
   import TestSpark._
 
@@ -23,47 +35,117 @@ class CacheRetirementSpec extends AnyFunSuite {
     df.count()
     assert(df.storageLevel !== StorageLevel.NONE)
     Shared.retireTransients()
-    // unpersist(false) is async on the block side but the storage
-    // level flips synchronously
     assert(df.storageLevel === StorageLevel.NONE)
   }
 
-  test("enforceBudget evicts LRU memo frames until under budget, " +
-      "and an evicted family rebuilds on next access") {
+  test("memoized materializes eagerly: the frame has accounted storage " +
+      "before any consumer acts on it") {
+    Shared.clear()
+    val m = Shared.memoized(spark, "/cache-spec-eager", "fam")(
+      spark.range(0, 12345).toDF("x"))
+    // no .count() here — memoized itself must have materialized
+    val id = org.apache.spark.sql.GraftCacheProbe.cachedRddId(m)
+    assert(id.isDefined, "cached buffers not built at memoization time")
+    assert(spark.sparkContext.getRDDStorageInfo.exists(i =>
+      i.id == id.get && i.memSize + i.diskSize > 0),
+      "materialized frame has no storage entry")
+    Shared.clear()
+  }
+
+  test("enforceBudget evicts the cheapest rebuild per byte first and " +
+      "an evicted family rebuilds on next access") {
     Shared.clear()
     // ranges differ: the cache manager matches CANONICALIZED plans
     // (aliases erased), so two identical ranges would share one cache
     // entry and unpersisting one would drop both
-    val a = Shared.memoized(spark, "/cache-spec", "famA")(
-      spark.range(0, 50000).toDF("x"))
-    a.count()
-    val b = Shared.memoized(spark, "/cache-spec", "famB")(
-      spark.range(0, 60000).toDF("y"))
-    b.count()
-    // touch A again: B becomes the LRU frame
-    assert(Shared.memoized(spark, "/cache-spec", "famA")(
-      fail("famA must still be memoized")) eq a)
+    val dir = "/cache-spec"
+    val cheap = Shared.memoized(spark, dir, "famCheap")(
+      spark.range(0, 60000).toDF("x"))
+    val dear = Shared.memoized(spark, dir, "famDear")(
+      spark.range(0, 50000).toDF("y"))
+    // injected costs: famCheap rebuilds in ~no time, famDear is the
+    // quadratic family — wall-clock-measured costs would be flaky here
+    Shared.setBuildCostForTest(spark, dir, "famCheap", 0.001)
+    Shared.setBuildCostForTest(spark, dir, "famDear", 100.0)
+    // age both frames out of the protected (current-epoch) set
+    Shared.enforceBudget(spark, Long.MaxValue)
     def total = spark.sparkContext.getRDDStorageInfo
       .map(i => i.memSize + i.diskSize).sum
     val t0 = total
     assert(t0 > 0L)
-    // a budget the session already exceeds by one byte: exactly the
-    // LRU frame (B) must go, A must survive
+    // one byte over budget: exactly the cheap-per-byte frame must go,
+    // the expensive family must survive — the opposite of what byte-
+    // blind LRU did at sf10 (famCheap is also the LARGER frame, so
+    // size alone would pick it too; the next test isolates cost)
     Shared.enforceBudget(spark, t0 - 1)
-    assert(b.storageLevel === StorageLevel.NONE, "LRU frame not evicted")
-    assert(a.storageLevel !== StorageLevel.NONE, "MRU frame wrongly evicted")
+    assert(cheap.storageLevel === StorageLevel.NONE,
+      "cheap-rebuild frame not evicted")
+    assert(dear.storageLevel !== StorageLevel.NONE,
+      "expensive family wrongly evicted")
     // evicted family rebuilds: the memo no longer returns the old frame
     var rebuilt = false
-    val b2 = Shared.memoized(spark, "/cache-spec", "famB") {
-      rebuilt = true; spark.range(0, 10).toDF("y")
+    val c2 = Shared.memoized(spark, dir, "famCheap") {
+      rebuilt = true; spark.range(0, 10).toDF("x")
     }
     assert(rebuilt, "evicted family must rebuild on next access")
-    assert(!(b2 eq b))
+    assert(!(c2 eq cheap))
     // a generous budget evicts nothing
-    val aBefore = a.storageLevel
+    val dearBefore = dear.storageLevel
     Shared.enforceBudget(spark, Long.MaxValue)
-    assert(a.storageLevel === aBefore)
+    assert(dear.storageLevel === dearBefore)
     Shared.clear()
+  }
+
+  test("rebuild cost outranks size: a small expensive frame outlives a " +
+      "large cheap one") {
+    Shared.clear()
+    val dir = "/cache-spec-cost"
+    val big = Shared.memoized(spark, dir, "bigCheap")(
+      spark.range(0, 80000).toDF("x"))
+    val small = Shared.memoized(spark, dir, "smallDear")(
+      spark.range(0, 20000).toDF("y"))
+    Shared.setBuildCostForTest(spark, dir, "bigCheap", 0.001)
+    Shared.setBuildCostForTest(spark, dir, "smallDear", 100.0)
+    Shared.enforceBudget(spark, Long.MaxValue) // age out of protection
+    def total = spark.sparkContext.getRDDStorageInfo
+      .map(i => i.memSize + i.diskSize).sum
+    Shared.enforceBudget(spark, total - 1)
+    assert(big.storageLevel === StorageLevel.NONE)
+    assert(small.storageLevel !== StorageLevel.NONE)
+    Shared.clear()
+  }
+
+  test("frames touched by the just-finished query are evicted last") {
+    Shared.clear()
+    val dir = "/cache-spec-epoch"
+    // ranges differ: identical ranges canonicalize to ONE cache entry
+    val recent = Shared.memoized(spark, dir, "famRecent")(
+      spark.range(0, 50000).toDF("x"))
+    val old = Shared.memoized(spark, dir, "famOld")(
+      spark.range(0, 51000).toDF("y"))
+    // make famRecent the CHEAPER eviction on cost grounds — protection
+    // must still save it
+    Shared.setBuildCostForTest(spark, dir, "famRecent", 0.001)
+    Shared.setBuildCostForTest(spark, dir, "famOld", 100.0)
+    Shared.enforceBudget(spark, Long.MaxValue) // epoch tick: both old
+    // famRecent is re-touched by the "current query"
+    Shared.memoized(spark, dir, "famRecent")(
+      fail("famRecent must still be memoized"))
+    def total = spark.sparkContext.getRDDStorageInfo
+      .map(i => i.memSize + i.diskSize).sum
+    Shared.enforceBudget(spark, total - 1)
+    assert(old.storageLevel === StorageLevel.NONE,
+      "unprotected frame not evicted")
+    assert(recent.storageLevel !== StorageLevel.NONE,
+      "frame touched by the just-finished query wrongly evicted")
+    Shared.clear()
+  }
+
+  test("budget default derives from the scratch volume and the env " +
+      "override path is crash-safe by construction") {
+    // the default is 60% of free scratch at startup — must be a real
+    // positive number on any box (floor 1 GiB)
+    assert(Shared.cacheBudgetBytes >= (1L << 30))
   }
 
   test("clear drops everything: memo, stamps, and transients") {
