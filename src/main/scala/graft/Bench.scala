@@ -69,6 +69,13 @@ object Bench {
     // q13/q17/q19/q49 runs first. Subset probes (SPARK_GRAFT_ONLY)
     // skip it so scale rows keep measuring the query as a user runs it.
     val warmCaches = only.isEmpty
+    // scheduler-informed cache release: a memo family's frames are
+    // dead the moment its last scheduled consumer has run — release
+    // them there instead of making the byte budget guess
+    // (SPARK_GRAFT_NO_RELEASE=1 keeps the budget-only arm for A/B)
+    val releaseAt: Map[Int, Seq[String]] =
+      if (sys.env.get("SPARK_GRAFT_NO_RELEASE").contains("1")) Map.empty
+      else SweepOrder.releaseSchedule(names.map(_._1))
     val samples = (1 to runs).map { run =>
       val warmTime = if (warmCaches) {
         val t0 = System.nanoTime()
@@ -78,7 +85,7 @@ object Bench {
         System.err.println(f"[bench] run $run cache_build ${dt}%.1f s")
         Seq("cache_build" -> (dt, ok))
       } else Nil
-      val times = warmTime ++ names.map { case (name, fn) =>
+      val times = warmTime ++ names.zipWithIndex.map { case ((name, fn), i) =>
         queries.Shared.beginQuery(name)
         val t0 = System.nanoTime()
         val n = try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -91,6 +98,7 @@ object Bench {
         // without this a 207-query sf10 sweep accumulates ~55 G of
         // dead rdd blocks and the late heavies ENOSPC on 80 G scratch
         queries.Shared.retireTransients()
+        releaseAt.getOrElse(i, Nil).foreach(queries.Shared.releaseMemo)
         queries.Shared.enforceBudget(spark)
         name -> (dt, n >= 0)
       }

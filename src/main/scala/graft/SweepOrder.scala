@@ -70,4 +70,75 @@ object SweepOrder {
 
   def sort[T](qs: Seq[(String, T)]): Seq[(String, T)] =
     qs.sortBy { case (n, _) => key(n) }
+
+  /** Memo-key prefix → its consumer queries, from the same discovery
+    * sweep as the group sets (prefixes because parameterized keys
+    * carry scale-derived suffixes, e.g. kmeans⟨K⟩). This is the
+    * scheduler's knowledge the byte budget cannot infer: once a
+    * family's LAST scheduled consumer has run, its frames are dead
+    * weight no matter how expensive they were to build — Bench/Verify
+    * release them right there ([[graft.queries.Shared.releaseMemo]]),
+    * so the budget never has to choose between a dead expensive
+    * family and a live cheap one. A drifted entry (a new query
+    * consuming a released family) costs one visible rebuild, never a
+    * wrong answer. Regenerate with SPARK_GRAFT_TOUCH_REPORT=1. */
+  val memoConsumers: Map[String, Set[String]] = Map(
+    "bpeVocab" -> Set("q119_bpe_merges", "q131_bpe_encode"),
+    "cosineWeights" -> Set("q29_cosine_shingles"),
+    "dupPairs" -> Set("q105_survivorship", "q111_curation_report",
+      "q123_split_leakage", "q129_triangles", "q153_degree_dist",
+      "q190_incremental_cc", "q193_source_contamination",
+      "q197_dataset_card", "q204_group_split", "q26_lsh_dup_pairs",
+      "q36_connected_components", "q59_level2_hamming",
+      "q93_curation_pipeline"),
+    "ivfpqBook" -> Set("q118_ann_recall", "q172_retrieval_metrics",
+      "q174_ivf_pq"),
+    "ivfpqCodes" -> Set("q118_ann_recall", "q172_retrieval_metrics",
+      "q174_ivf_pq"),
+    "k6walk" -> Set("q200_weight_refine_k6", "q203_trained_total_k6"),
+    "kmeans" -> Set("q106_semdedup", "q118_ann_recall",
+      "q158_ivf_kmeans", "q164_persisted_index",
+      "q172_retrieval_metrics", "q174_ivf_pq", "q186_tombstone_serve",
+      "q187_compaction_report", "q82_kmeans"),
+    "lshBuckets" -> Set("q118_ann_recall", "q162_embedding_dup_clusters",
+      "q168_knn_graph", "q171_label_prop", "q172_retrieval_metrics",
+      "q178_dbscan", "q194_multiprobe_lsh", "q31_knn_lsh",
+      "q74_embedding_dups"),
+    "mlMinhashTf" -> Set("q57_ml_minhash"),
+    "mmrCands" -> Set("q163_mmr_rerank"),
+    "mmrSims" -> Set("q163_mmr_rerank"),
+    "pairScores3" -> Set("q159_weight_grid_k3", "q160_weight_refine_k3",
+      "q161_trained_total"),
+    "pairScores6" -> Set("q199_weight_grid_k6", "q203_trained_total_k6"),
+    "partCands" -> Set("q13_entity_candidates"),
+    "partScores" -> Set("q14_entity_scores", "q15_type_filter",
+      "q16_date_filter", "q17_multitype_filter", "q18_match_stats",
+      "q43_total_score", "q44_pair_dedup", "q71_rank_eval",
+      "q94_matcher_pipeline"),
+    "partSuppScores" -> Set("q17_multitype_filter", "q43_total_score",
+      "q94_matcher_pipeline"),
+    "pivotedScores" -> Set("q19_score_pivot", "q20_weight_grid",
+      "q72_weight_refine"),
+    "pqCodebook" -> Set("q118_ann_recall", "q172_retrieval_metrics",
+      "q173_pq_ann"),
+    "pqCodes" -> Set("q118_ann_recall", "q172_retrieval_metrics",
+      "q173_pq_ann"),
+    "prEdges" -> Set("q121_pagerank", "q182_trustrank"),
+    "shingleTf3" -> Set("q111_curation_report", "q197_dataset_card",
+      "q49_rare_words", "q50_sentence_runs",
+      "q81_boilerplate_coverage", "q93_curation_pipeline"),
+    "simhashes" -> Set("q27_simhash", "q45_hamming_pairs",
+      "q59_level2_hamming"))
+
+  /** index → memo-key prefixes whose last consumer in `order` sits at
+    * that index: the sweep releases them right after running it. */
+  def releaseSchedule(order: Seq[String]): Map[Int, Seq[String]] = {
+    val idx = order.zipWithIndex.toMap
+    memoConsumers.toSeq
+      .flatMap { case (prefix, qs) =>
+        val hits = qs.flatMap(idx.get)
+        if (hits.isEmpty) None else Some(prefix -> hits.max)
+      }
+      .groupBy(_._2).view.mapValues(_.map(_._1).sorted).toMap
+  }
 }

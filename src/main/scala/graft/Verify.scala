@@ -21,9 +21,12 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // same family-clustered order as Bench: sf10 replay sweeps run
     // through this main and hit the identical cache budget
-    SweepOrder.sort(SparkEntry.queries.toSeq)
+    val ordered = SweepOrder.sort(SparkEntry.queries.toSeq)
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
+    // scheduler-informed release, as in Bench: a family's frames drop
+    // the moment its last scheduled consumer has run
+    val releaseAt = SweepOrder.releaseSchedule(ordered.map(_._1))
+    ordered.zipWithIndex.foreach { case ((name, fn), i) =>
       queries.Shared.beginQuery(name)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -33,6 +36,7 @@ object Verify {
       // same cache retirement as Bench: sf10 replay sweeps run through
       // this main and hit the identical scratch budget
       queries.Shared.retireTransients()
+      releaseAt.getOrElse(i, Nil).foreach(queries.Shared.releaseMemo)
       queries.Shared.enforceBudget(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -205,6 +205,30 @@ object Shared {
         "(un-retired transients or caller persists)")
   }
 
+  /** Scheduler-informed release: drop every memoized family whose key
+    * name starts with `prefix`, unpersisting its frames (blocking, so
+    * the next budget snapshot is truthful). Sweeps call this the
+    * moment a family's LAST scheduled consumer finishes
+    * ([[graft.SweepOrder.releaseSchedule]]): a dead family's bytes
+    * stop competing with live families for the budget, which is
+    * information the byte/cost eviction policy alone cannot have — at
+    * sf10 the cost-weighted backstop kept the 26 GiB pivotedScores
+    * family alive past its q20 consumer only to evict it two queries
+    * before q72 re-read it (a 160 s rebuild, the one real miss of the
+    * round-15 run). If a released family IS re-read (consumer-map
+    * drift), [[memoized]] transparently rebuilds it — a visible
+    * recompute, never a wrong answer. */
+  def releaseMemo(prefix: String): Unit = {
+    val victims = memo.keys.filter(_.split('|').last.startsWith(prefix))
+    victims.foreach { k =>
+      memo.remove(k).foreach { df =>
+        df.unpersist(true)
+        System.err.println(s"[graft] cache release: $k (last consumer done)")
+      }
+      lastEpoch.remove(k)
+    }
+  }
+
   /** Unpersist every frame this registry persisted (non-blocking) and
     * drop the memo table. Call between workloads in a long-lived
     * session — Verify/Bench call it before `spark.stop()`. */

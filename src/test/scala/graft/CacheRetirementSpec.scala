@@ -148,6 +148,28 @@ class CacheRetirementSpec extends AnyFunSuite {
     assert(Shared.cacheBudgetBytes >= (1L << 30))
   }
 
+  test("releaseMemo drops families by key prefix and they rebuild on " +
+      "next access") {
+    Shared.clear()
+    val dir = "/cache-spec-release"
+    val a = Shared.memoized(spark, dir, "famK8")(
+      spark.range(0, 30000).toDF("x"))
+    val b = Shared.memoized(spark, dir, "other")(
+      spark.range(0, 31000).toDF("y"))
+    // prefix match: "famK" catches the parameterized "famK8" key
+    Shared.releaseMemo("famK")
+    assert(a.storageLevel === org.apache.spark.storage.StorageLevel.NONE,
+      "released family still persisted")
+    assert(b.storageLevel !== org.apache.spark.storage.StorageLevel.NONE,
+      "unrelated family wrongly released")
+    var rebuilt = false
+    Shared.memoized(spark, dir, "famK8") {
+      rebuilt = true; spark.range(0, 10).toDF("x")
+    }
+    assert(rebuilt, "released family must rebuild on next access")
+    Shared.clear()
+  }
+
   test("clear drops everything: memo, stamps, and transients") {
     val m = Shared.memoized(spark, "/cache-spec2", "fam")(
       spark.range(0, 100).toDF("x"))
