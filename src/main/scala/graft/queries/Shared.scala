@@ -141,6 +141,42 @@ object Shared {
     }
   }
 
+  /** Deficit-cover eviction plan (pure, spec-pinned): choose victims
+    * minimizing total rebuild seconds for the bytes that must go.
+    * While over budget: if any candidate alone covers the remaining
+    * deficit, evict the cheapest-rebuild such cover; otherwise evict
+    * the best bytes-per-rebuild-second frame and continue. Protected
+    * frames (touched by the query that just finished) are considered
+    * only once unprotected ones are exhausted.
+    *
+    * Why not pure cost-per-byte: at sf10 both round-15 arms sat
+    * 2.5 G over budget at q43 and cost-per-byte picked the ~25 G
+    * pivotedScores frame (148 s build, still wanted by q72) because
+    * big frames have great ratios — when a 3 G frame at 80 s, or two
+    * sub-GiB frames at 48 s total, would have covered the deficit.
+    * Candidates: (key, bytes, buildSec, protected). */
+  private[graft] def evictionPlan(
+      cands: Seq[(String, Long, Double, Boolean)],
+      deficit: Long): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var left = deficit
+    var rest = cands
+    while (left > 0 && rest.nonEmpty) {
+      val tier = {
+        val unprot = rest.filter(!_._4)
+        if (unprot.nonEmpty) unprot else rest
+      }
+      val coverers = tier.filter(_._2 >= left)
+      val pick =
+        if (coverers.nonEmpty) coverers.minBy(_._3)
+        else tier.minBy(c => c._3 / c._2.toDouble)
+      out += pick._1
+      left -= pick._2
+      rest = rest.filterNot(_._1 == pick._1)
+    }
+    out.result()
+  }
+
   /** Evict memoized frames until total persisted RDD storage (memory +
     * disk, ALL blocks — the budget is a machine resource, not a
     * bookkeeping one) fits [[cacheBudgetBytes]]. An evicted family is
@@ -155,14 +191,15 @@ object Shared {
     * over-evict, and each never-materialized frame burned a 2 s poll
     * (ADVICE r15).
     *
-    * Order: cheapest rebuild per byte freed first — ascending
-    * buildSec/bytes, both measured at memoization time — so the
-    * quadratic match family (expensive to rebuild, the round-14
-    * thrash) outlives cheap shingle/bucket tables at equal recency.
-    * Frames touched since the previous enforceBudget call (i.e. by the
-    * query that just finished) are evicted only after everything else:
-    * under a family-clustered sweep they are exactly the frames the
-    * next query re-reads. */
+    * Order: [[evictionPlan]] — deficit-cover selection minimizing
+    * total rebuild seconds (costs measured at memoization time), so
+    * the quadratic match family (expensive to rebuild, the round-14
+    * thrash) outlives cheap shingle/bucket tables, and a small frame
+    * that covers the whole deficit beats a huge one with a better
+    * ratio. Frames touched since the previous enforceBudget call
+    * (i.e. by the query that just finished) are evicted only after
+    * everything else: under a family-clustered sweep they are exactly
+    * the frames the next query re-reads. */
   def enforceBudget(s: SparkSession,
                     budget: Long = cacheBudgetBytes): Unit = synchronized {
     if (budget <= 0) { epoch += 1; return }
@@ -175,17 +212,21 @@ object Shared {
     def frameBytes(df: DataFrame): Long =
       org.apache.spark.sql.GraftCacheProbe.cachedRddId(df)
         .flatMap(sizeOf.get).getOrElse(0L)
-    val order = memo.toSeq
+    val cands = memo.toSeq
       .map { case (k, df) => (k, df, frameBytes(df)) }
       // a frame with no accounted storage frees nothing: skip it
       // instead of burning an eviction (and a rebuild) on it
       .filter(_._3 > 0L)
-      .sortBy { case (k, _, bytes) =>
-        (if (lastEpoch.getOrElse(k, -1L) == curEpoch) 1 else 0,
-         buildSec.getOrElse(k, 0.0) / bytes.toDouble)
-      }
-    var memoBytes = order.map(_._3).sum
-    for ((k, df, bytes) <- order if total > budget) {
+    var memoBytes = cands.map(_._3).sum
+    val byKey = cands.map { case (k, df, bytes) => k -> (df, bytes) }.toMap
+    val plan = evictionPlan(
+      cands.map { case (k, _, bytes) =>
+        (k, bytes, buildSec.getOrElse(k, 0.0),
+         lastEpoch.getOrElse(k, -1L) == curEpoch)
+      },
+      total - budget)
+    for (k <- plan) {
+      val (df, bytes) = byKey(k)
       memo.remove(k)
       lastEpoch.remove(k)
       df.unpersist(true)

@@ -148,6 +148,42 @@ class CacheRetirementSpec extends AnyFunSuite {
     assert(Shared.cacheBudgetBytes >= (1L << 30))
   }
 
+  test("evictionPlan: a cheap single cover beats the best " +
+      "bytes-per-second ratio (the round-15 q43 scenario)") {
+    // the sf10 state at q43: 2.5 G over budget; pivotedScores (25 G,
+    // 148 s) has the best ratio, but a 3 G frame at 80 s covers the
+    // whole deficit for half the rebuild cost — and two sub-GiB
+    // frames would be cheaper still if either covered alone
+    val plan = Shared.evictionPlan(Seq(
+      ("pivotedScores", 25L << 30, 148.0, false),
+      ("dupPairs", 3L << 30, 80.0, false),
+      ("shingleTf3", 1L << 29, 44.0, false),
+      ("pairScores6", 55L << 20, 3.9, false)),
+      deficit = (5L << 29)) // 2.5 GiB
+    assert(plan === Seq("dupPairs"),
+      s"expected the cheapest single cover, got $plan")
+  }
+
+  test("evictionPlan: without a single cover, ratio-greedy until one " +
+      "appears; protected frames go last") {
+    // deficit 6 G, biggest unprotected frame 4 G: no single cover —
+    // take the best ratio (bigCheap), leaving 2 G, now covered by the
+    // cheapest cover among the rest
+    val plan = Shared.evictionPlan(Seq(
+      ("bigCheap", 4L << 30, 10.0, false),
+      ("midA", 3L << 30, 90.0, false),
+      ("midB", 3L << 30, 60.0, false),
+      ("hot", 8L << 30, 5.0, true)),
+      deficit = 6L << 30)
+    assert(plan === Seq("bigCheap", "midB"))
+    // only a protected frame can cover: unprotected exhaust first
+    val plan2 = Shared.evictionPlan(Seq(
+      ("small", 1L << 30, 1.0, false),
+      ("hot", 8L << 30, 5.0, true)),
+      deficit = 6L << 30)
+    assert(plan2 === Seq("small", "hot"))
+  }
+
   test("releaseMemo drops families by key prefix and they rebuild on " +
       "next access") {
     Shared.clear()
