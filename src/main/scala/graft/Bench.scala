@@ -68,7 +68,16 @@ object Bench {
     // instead of loading the cold-cache build onto whichever of
     // q13/q17/q19/q49 runs first. Subset probes (SPARK_GRAFT_ONLY)
     // skip it so scale rows keep measuring the query as a user runs it.
+    // The warm is STAGED per family cluster (round 16): each group's
+    // families build right before its first query, so a family
+    // occupies cache budget only across its own consumer cluster — an
+    // up-front warm held every family resident from minute 0, and at
+    // sf10 that residency is what forced the one round-15 eviction
+    // (pivotedScores out at q43, q72 rebuilt it for 98 s).
+    // SPARK_GRAFT_WARM_UPFRONT=1 keeps the old all-at-once arm for A/B;
+    // either way the summed build cost reports as one `cache_build`.
     val warmCaches = only.isEmpty
+    val upfront = sys.env.get("SPARK_GRAFT_WARM_UPFRONT").contains("1")
     // scheduler-informed cache release: a memo family's frames are
     // dead the moment its last scheduled consumer has run — release
     // them there instead of making the byte budget guess
@@ -77,15 +86,38 @@ object Bench {
       if (sys.env.get("SPARK_GRAFT_NO_RELEASE").contains("1")) Map.empty
       else SweepOrder.releaseSchedule(names.map(_._1))
     val samples = (1 to runs).map { run =>
-      val warmTime = if (warmCaches) {
+      var warmSec = 0.0
+      var warmOk = true
+      def timedWarm(what: String)(body: => Unit): Unit = {
+        // warm builds are UNATTRIBUTED in the touch report (curQuery
+        // would otherwise still name the previous query — the exact
+        // ADVICE-r15 misattribution, which shifts release points when
+        // the frozen consumer map is regenerated)
+        queries.Shared.beginQuery("")
         val t0 = System.nanoTime()
-        val ok = try { queries.Shared.warm(spark, sfDir); true }
-          catch { case _: Throwable => false }
-        val dt = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[bench] run $run cache_build ${dt}%.1f s")
-        Seq("cache_build" -> (dt, ok))
-      } else Nil
-      val times = warmTime ++ names.zipWithIndex.map { case ((name, fn), i) =>
+        try body catch { case _: Throwable => warmOk = false }
+        warmSec += (System.nanoTime() - t0) / 1e9
+        System.err.println(
+          f"[bench] run $run cache_build $what, cum $warmSec%.1f s")
+      }
+      if (warmCaches && upfront)
+        timedWarm("upfront")(queries.Shared.warm(spark, sfDir))
+      val warmed = scala.collection.mutable.Set.empty[Int]
+      var prevGroup = -1
+      val times = names.zipWithIndex.map { case ((name, fn), i) =>
+        val group = SweepOrder.group(name)
+        if (group != prevGroup) {
+          // cluster boundary: the previous cluster's shuffle files are
+          // deleted but can stay mmap'd by the JVM until a GC — at
+          // sf10 that transient ran whole-disk df 20–40 G above du
+          // (round 15's 88 G spike). Force the unmap here instead of
+          // waiting out the periodic-GC interval mid-heavy-query.
+          if (prevGroup >= 0) System.gc()
+          prevGroup = group
+        }
+        if (warmCaches && !upfront && warmed.add(group))
+          timedWarm(s"group $group")(
+            queries.Shared.warmGroup(spark, sfDir, group))
         queries.Shared.beginQuery(name)
         val t0 = System.nanoTime()
         val n = try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -111,7 +143,9 @@ object Bench {
       // drop every session-level cache so the next sweep is cold —
       // otherwise run 2 times the cached path, not the query
       queries.Shared.clear()
-      times.toMap
+      val warmTime =
+        if (warmCaches) Seq("cache_build" -> (warmSec, warmOk)) else Nil
+      (warmTime ++ times).toMap
     }
     // min over SUCCESSFUL sweeps only — a crashed sweep's short
     // duration must not masquerade as a timing; all-failed → -1

@@ -52,21 +52,27 @@ object SweepOrder {
   // consumers of the small graph/vocab families (prEdges, bpeVocab)
   private val graphFamily = Set(119, 121, 131, 182)
 
+  // total on ANY name: one not shaped q<digits>… sorts into the
+  // no-memo tail group instead of throwing NumberFormatException out
+  // of a harness's startup sort (ADVICE r15 — "".toInt)
   private def numericId(name: String): Int =
-    name.drop(1).takeWhile(_.isDigit).toInt
+    name.drop(1).takeWhile(_.isDigit).toIntOption.getOrElse(Int.MaxValue)
+
+  /** Memo-family group of a query name (0 match, 1 text, 2 vector,
+    * 3 graph, 4 none) — the staged warm pass builds group g's cache
+    * families right before its first query runs. */
+  def group(name: String): Int = {
+    val id = numericId(name)
+    if (matchFamily(id)) 0
+    else if (textFamily(id)) 1
+    else if (vectorFamily(id)) 2
+    else if (graphFamily(id)) 3
+    else 4
+  }
 
   /** Sort key: (family group, numeric id). Ties inside a group run in
     * numeric order; queries touching no memo family run last. */
-  def key(name: String): (Int, Int) = {
-    val id = numericId(name)
-    val group =
-      if (matchFamily(id)) 0
-      else if (textFamily(id)) 1
-      else if (vectorFamily(id)) 2
-      else if (graphFamily(id)) 3
-      else 4
-    (group, id)
-  }
+  def key(name: String): (Int, Int) = (group(name), numericId(name))
 
   def sort[T](qs: Seq[(String, T)]): Seq[(String, T)] =
     qs.sortBy { case (n, _) => key(n) }

@@ -118,6 +118,16 @@ object Shared {
     * as the explicit override (whole GiB; malformed values warn and
     * fall back rather than poisoning every query with an
     * ExceptionInInitializerError). */
+  /** Scratch the budget must LEAVE FREE for what it cannot govern:
+    * live shuffle files plus the deleted-but-still-mmap'd shuffle
+    * transient (the round-15 sf10 run sampled whole-disk df 20–40 GiB
+    * above du until the periodic GC unmapped the files). The derived
+    * budget is capped at `free - headroom`, so on a nearly-full volume
+    * the cache yields before the shuffle path ENOSPCs — the r13 mode a
+    * pure percentage can re-create (ADVICE r15). Sweeps also trigger a
+    * GC at each family-cluster boundary to cut the transient itself. */
+  private[graft] val ShuffleHeadroomBytes: Long = 16L << 30
+
   val cacheBudgetBytes: Long = {
     def derived: Long = {
       // persisted blocks + shuffle files land under spark.local.dir
@@ -126,7 +136,10 @@ object Shared {
         .orElse(sys.env.get("SPARK_LOCAL_DIRS").map(_.split(",").head))
         .getOrElse(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
       val usable = new java.io.File(dir).getUsableSpace
-      math.max(usable * 6 / 10, 1L << 30)
+      // floor at min(1 GiB, half of free): a 1 GiB floor above the
+      // volume's actual free space would BE the next ENOSPC
+      math.max(math.min(usable * 6 / 10, usable - ShuffleHeadroomBytes),
+               math.min(1L << 30, usable / 2))
     }
     sys.env.get("SPARK_GRAFT_CACHE_BUDGET_GB") match {
       case Some(v) => v.toLongOption match {
@@ -209,31 +222,49 @@ object Shared {
     epoch += 1
     if (total <= budget) return
     val sizeOf = infos.map(i => i.id -> (i.memSize + i.diskSize)).toMap
-    def frameBytes(df: DataFrame): Long =
+    // Candidates are PHYSICAL cache entries, not memo keys: two keys
+    // whose plans are canonically equal share one CacheManager entry
+    // (same storage RDD), so counting per key double-counts the bytes
+    // and — worse — evicting one key silently unpersists its twin
+    // while the twin stays in the memo, recomputing on every read
+    // with no cache until clear() (ADVICE r15). Group by resolved RDD
+    // id; an eviction drops EVERY key of the group. A frame with no
+    // accounted storage frees nothing: skipped rather than burning an
+    // eviction (and a rebuild) on it.
+    val byRdd = memo.toSeq.flatMap { case (k, df) =>
       org.apache.spark.sql.GraftCacheProbe.cachedRddId(df)
-        .flatMap(sizeOf.get).getOrElse(0L)
-    val cands = memo.toSeq
-      .map { case (k, df) => (k, df, frameBytes(df)) }
-      // a frame with no accounted storage frees nothing: skip it
-      // instead of burning an eviction (and a rebuild) on it
-      .filter(_._3 > 0L)
-    var memoBytes = cands.map(_._3).sum
-    val byKey = cands.map { case (k, df, bytes) => k -> (df, bytes) }.toMap
+        .filter(id => sizeOf.getOrElse(id, 0L) > 0L)
+        .map(id => (id, k, df))
+    }.groupBy(_._1)
+    var memoBytes = byRdd.keysIterator.map(sizeOf).sum
+    // representative key per entry (first alphabetically) carries the
+    // group through the pure plan; rebuild cost is the MAX member's —
+    // twins share one physical rebuild (the CacheManager re-dedups the
+    // canonically-equal plan on the next persist)
+    val members = byRdd.map { case (id, grp) =>
+      grp.map(_._2).min -> (id, grp)
+    }
     val plan = evictionPlan(
-      cands.map { case (k, _, bytes) =>
-        (k, bytes, buildSec.getOrElse(k, 0.0),
-         lastEpoch.getOrElse(k, -1L) == curEpoch)
+      members.toSeq.map { case (rep, (id, grp)) =>
+        (rep, sizeOf(id),
+         grp.map(g => buildSec.getOrElse(g._2, 0.0)).max,
+         grp.exists(g => lastEpoch.getOrElse(g._2, -1L) == curEpoch))
       },
       total - budget)
-    for (k <- plan) {
-      val (df, bytes) = byKey(k)
-      memo.remove(k)
-      lastEpoch.remove(k)
-      df.unpersist(true)
+    for (rep <- plan) {
+      val (id, grp) = members(rep)
+      val bytes = sizeOf(id)
+      grp.foreach { case (_, k, _) =>
+        memo.remove(k)
+        lastEpoch.remove(k)
+      }
+      grp.head._3.unpersist(true)
       total -= bytes
       memoBytes -= bytes
-      System.err.println(f"[graft] cache budget: evicted $k " +
-        f"(${bytes >> 20} MiB, build ${buildSec.getOrElse(k, 0.0)}%.1f s; " +
+      val names = grp.map(_._2).sorted.mkString(", ")
+      val cost = grp.map(g => buildSec.getOrElse(g._2, 0.0)).max
+      System.err.println(f"[graft] cache budget: evicted $names " +
+        f"(${bytes >> 20} MiB, build $cost%.1f s; " +
         f"${total >> 20} MiB persisted vs budget ${budget >> 20} MiB)")
     }
     // the memo is all this policy CAN evict; if non-memo persists
@@ -278,6 +309,13 @@ object Shared {
     memo.clear()
     lastEpoch.clear()
     buildSec.clear()
+    buildLocks.clear()
+    // reset the touch attribution too: without this, run 2's warm
+    // builds are attributed to run 1's LAST query in the touch report,
+    // and a misattributed consumer shifts a family's release point
+    // when the frozen map is regenerated from it (ADVICE r15)
+    curQuery = ""
+    touches.clear()
     retireTransients()
   }
 
@@ -333,12 +371,37 @@ object Shared {
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
     Seq(
-      Future(MatchingQueries.warmShared(s, dir)),
-      Future(ParityQueries.warmShared(s, dir)),
-      Future(VectorQueries.warmShared(s, dir)),
-      Future { dupPairs(s, dir).count(); () },
-      Future { simhashes(s, dir).count(); () })
+      Future(warmGroup(s, dir, 0)),
+      Future(warmGroup(s, dir, 1)),
+      Future(warmGroup(s, dir, 2)))
       .foreach(Await.result(_, Duration.Inf))
+  }
+
+  /** Build ONE sweep-order group's cache families
+    * ([[graft.SweepOrder.group]]: 0 match, 1 text, 2 vector) — the
+    * staged spelling of [[warm]]. An up-front warm holds every family
+    * resident from minute 0 even when its first consumer is an hour
+    * away; at sf10 that residency is exactly what forced the one
+    * round-15 eviction (pivotedScores pushed out at q43 → q72's 98 s
+    * rebuild). Sweeps call this at each cluster's FIRST query instead,
+    * so a family occupies budget only across its own consumer cluster.
+    * The graph-family frames (prEdges, bpeVocab) are sub-MiB and build
+    * lazily at first consumer — no stage needed. */
+  def warmGroup(s: SparkSession, dir: String, group: Int): Unit = group match {
+    case 0 => MatchingQueries.warmShared(s, dir)
+    case 1 =>
+      // three independent text families — build concurrently, same
+      // rationale as warm()
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      Seq(
+        Future(ParityQueries.warmShared(s, dir)),
+        Future { dupPairs(s, dir).count(); () },
+        Future { simhashes(s, dir).count(); () })
+        .foreach(Await.result(_, Duration.Inf))
+    case 2 => VectorQueries.warmShared(s, dir)
+    case _ => ()
   }
 
   /** MinHash-LSH near-dup pairs over documents (q26/q36/q59). */

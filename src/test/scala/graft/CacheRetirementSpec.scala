@@ -143,9 +143,10 @@ class CacheRetirementSpec extends AnyFunSuite {
 
   test("budget default derives from the scratch volume and the env " +
       "override path is crash-safe by construction") {
-    // the default is 60% of free scratch at startup — must be a real
-    // positive number on any box (floor 1 GiB)
-    assert(Shared.cacheBudgetBytes >= (1L << 30))
+    // the default is min(60% of free scratch, free − shuffle headroom)
+    // at startup, floored at min(1 GiB, free/2) — positive on any box,
+    // and never above the volume's actual free space
+    assert(Shared.cacheBudgetBytes > 0L)
   }
 
   test("evictionPlan: a cheap single cover beats the best " +
@@ -203,6 +204,53 @@ class CacheRetirementSpec extends AnyFunSuite {
       rebuilt = true; spark.range(0, 10).toDF("x")
     }
     assert(rebuilt, "released family must rebuild on next access")
+    Shared.clear()
+  }
+
+  test("twin memo keys sharing one physical cache entry are accounted " +
+      "once and evicted together") {
+    Shared.clear()
+    val dir = "/cache-spec-twins"
+    // canonically-equal plans: the CacheManager keeps ONE entry, so
+    // both memo keys resolve to the same storage RDD. Per-key
+    // accounting would double-count the bytes, and evicting one key
+    // would silently unpersist the twin while it stayed in the memo —
+    // recomputing on EVERY later access with no cache (ADVICE r15)
+    val a = Shared.memoized(spark, dir, "twinA")(
+      spark.range(0, 40000).toDF("n"))
+    val b = Shared.memoized(spark, dir, "twinB")(
+      spark.range(0, 40000).toDF("n"))
+    import org.apache.spark.sql.GraftCacheProbe
+    assert(GraftCacheProbe.cachedRddId(a) === GraftCacheProbe.cachedRddId(b),
+      "fixture broke: twins no longer share a cache entry")
+    Shared.enforceBudget(spark, Long.MaxValue) // age out of protection
+    Shared.enforceBudget(spark, 1L)            // evict everything
+    assert(a.storageLevel === StorageLevel.NONE)
+    // BOTH keys must be out of the memo: the next access of either
+    // twin rebuilds (and re-persists) instead of recomputing forever
+    var rebuilt = false
+    Shared.memoized(spark, dir, "twinB") {
+      rebuilt = true; spark.range(0, 40000).toDF("n")
+    }
+    assert(rebuilt,
+      "twinB stayed memoized after its shared cache entry was evicted")
+    Shared.clear()
+  }
+
+  test("clear resets touch attribution: a new sweep starts clean") {
+    Shared.clear()
+    Shared.beginQuery("qXX_probe")
+    Shared.memoized(spark, "/cache-spec-touch", "famT")(
+      spark.range(0, 10).toDF("x"))
+    assert(Shared.touchReport.exists(_._1 == "famT"))
+    Shared.clear()
+    // without the reset, run 2's warm builds are attributed to run 1's
+    // LAST query and the regenerated consumer map drifts (ADVICE r15)
+    assert(Shared.touchReport.isEmpty, "touches survived clear()")
+    Shared.memoized(spark, "/cache-spec-touch", "famT2")(
+      spark.range(0, 10).toDF("x"))
+    assert(Shared.touchReport.isEmpty,
+      "memo touch recorded with no query attribution set")
     Shared.clear()
   }
 

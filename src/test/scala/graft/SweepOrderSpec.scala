@@ -44,6 +44,15 @@ class SweepOrderSpec extends AnyFunSuite {
     assert(!sched.values.flatten.toSeq.contains("dupPairs"))
   }
 
+  test("key is total: names not shaped q<digits> sort into the tail group") {
+    // a harness sorting a mixed name list (e.g. cache_build alongside
+    // queries) must not crash on "".toInt (ADVICE r15)
+    assert(SweepOrder.key("cache_build") === ((4, Int.MaxValue)))
+    assert(SweepOrder.key("") === ((4, Int.MaxValue)))
+    assert(SweepOrder.key("q") === ((4, Int.MaxValue)))
+    assert(SweepOrder.key("q13_entity_candidates") === ((0, 13)))
+  }
+
   test("clustered order covers exactly the input and reverse respects it") {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val ordered = SweepOrder.sort(names.map(_ -> ())).map(_._1)
