@@ -70,9 +70,22 @@ object SweepOrder {
     else 4
   }
 
-  /** Sort key: (family group, numeric id). Ties inside a group run in
-    * numeric order; queries touching no memo family run last. */
-  def key(name: String): (Int, Int) = (group(name), numericId(name))
+  /** Intra-group scheduling rank (lower runs earlier). q19 — the ONLY
+    * consumer of the biggest match-family frame (pivotedScores,
+    * ~25 GiB at sf10) — opens the match cluster, so the scheduler
+    * releases that frame after the very first query; in numeric order
+    * the match family's own residency (pivot + score tables together
+    * exceed a 40 GiB budget) forced an eviction before q19 was
+    * reached. Everything else keeps numeric order. */
+  private def rank(id: Int): Int = if (id == 19) 0 else 1
+
+  /** Sort key: (family group, intra-group rank, numeric id). Ties
+    * inside a group run in numeric order; queries touching no memo
+    * family run last. */
+  def key(name: String): (Int, Int, Int) = {
+    val id = numericId(name)
+    (group(name), rank(id), id)
+  }
 
   def sort[T](qs: Seq[(String, T)]): Seq[(String, T)] =
     qs.sortBy { case (n, _) => key(n) }
@@ -113,6 +126,7 @@ object SweepOrder {
     "mlMinhashTf" -> Set("q57_ml_minhash"),
     "mmrCands" -> Set("q163_mmr_rerank"),
     "mmrSims" -> Set("q163_mmr_rerank"),
+    "pairScores2" -> Set("q20_weight_grid", "q72_weight_refine"),
     "pairScores3" -> Set("q159_weight_grid_k3", "q160_weight_refine_k3",
       "q161_trained_total"),
     "pairScores6" -> Set("q199_weight_grid_k6", "q203_trained_total_k6"),
@@ -123,8 +137,11 @@ object SweepOrder {
       "q94_matcher_pipeline"),
     "partSuppScores" -> Set("q17_multitype_filter", "q43_total_score",
       "q94_matcher_pipeline"),
-    "pivotedScores" -> Set("q19_score_pivot", "q20_weight_grid",
-      "q72_weight_refine"),
+    // q20/q72 consume the memoized pairScores2 INTERSECTION since
+    // round 16, leaving q19 as the pivot's only consumer — so the
+    // ~25 GiB (sf10) frame releases at the cluster's start instead of
+    // sitting resident until q72
+    "pivotedScores" -> Set("q19_score_pivot"),
     "pqCodebook" -> Set("q118_ann_recall", "q172_retrieval_metrics",
       "q173_pq_ann"),
     "pqCodes" -> Set("q118_ann_recall", "q172_retrieval_metrics",

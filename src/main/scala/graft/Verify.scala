@@ -26,7 +26,28 @@ object Verify {
     // scheduler-informed release, as in Bench: a family's frames drop
     // the moment its last scheduled consumer has run
     val releaseAt = SweepOrder.releaseSchedule(ordered.map(_._1))
+    // staged warm + boundary GC, as in Bench: full-suite sweeps build
+    // each memo family at its cluster's first query (a family whose
+    // derived frames — e.g. pairScores2 off pivotedScores — were left
+    // to build lazily AFTER the parent's scheduled release would
+    // silently rebuild the parent), and a GC at each cluster boundary
+    // unmaps deleted-but-still-mmap'd shuffle files. Subset runs skip
+    // the warm: a single replayed query builds only what it reads.
+    val warmed = scala.collection.mutable.Set.empty[Int]
+    var prevGroup = -1
     ordered.zipWithIndex.foreach { case ((name, fn), i) =>
+      val group = SweepOrder.group(name)
+      if (group != prevGroup) {
+        if (prevGroup >= 0) System.gc()
+        prevGroup = group
+      }
+      if (only.isEmpty && warmed.add(group)) {
+        queries.Shared.beginQuery("")
+        try queries.Shared.warmGroup(spark, sfDir, group)
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] warm group $group failed: ${e.getMessage}")
+        }
+      }
       queries.Shared.beginQuery(name)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -77,13 +77,22 @@ object MatchingQueries {
             .as("partsupp_overlap"))
         .na.fill(0.0, Seq("part_overlap", "partsupp_overlap")))
 
-  /** Weight-training input (q20/q72): pairs matched by BOTH types —
-    * tiny (the intersection of the two matchers). */
+  /** Weight-training input (q20/q72, and the base of the k=3/k=6
+    * score tables): pairs matched by BOTH types — tiny (the
+    * intersection of the two matchers). MEMOIZED as its own family
+    * (round 16): deriving it from [[pivotedScores]] on every consumer
+    * access kept the ~25 GiB (sf10) pivot frame resident across the
+    * whole match cluster just to serve this sub-GiB projection — the
+    * exact residency that forced the one round-15 eviction and q72's
+    * 98 s rebuild. With the intersection memoized at warm time, q19
+    * is the pivot's ONLY remaining consumer, so the scheduler can
+    * release the big frame at the cluster's start. */
   private[graft] def weightPairScores(s: SparkSession, dir: String): DataFrame =
-    pivotedScores(s, dir)
-      .filter(col("part_overlap") > 0.0 && col("partsupp_overlap") > 0.0)
-      .select(col("doc1"), col("doc2"),
-        col("part_overlap").as("s1"), col("partsupp_overlap").as("s2"))
+    memoized(s, dir, "pairScores2")(
+      pivotedScores(s, dir)
+        .filter(col("part_overlap") > 0.0 && col("partsupp_overlap") > 0.0)
+        .select(col("doc1"), col("doc2"),
+          col("part_overlap").as("s1"), col("partsupp_overlap").as("s2")))
 
   /** Materialize the shared match-pipeline caches layer by layer, so a
     * bench sweep can pay the build cost in a dedicated `cache_build`
@@ -101,6 +110,7 @@ object MatchingQueries {
     val supp = Future { partSuppScores(s, dir).count(); () }
     Seq(part, supp).foreach(Await.result(_, Duration.Inf))
     pivotedScores(s, dir).count()
+    weightPairScores(s, dir).count()
     weightPairScores3(s, dir).count()
     weightPairScores6(s, dir).count()
     k6Walk(s, dir).count()

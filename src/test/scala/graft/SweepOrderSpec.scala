@@ -14,6 +14,7 @@ class SweepOrderSpec extends AnyFunSuite {
     val ordered = SweepOrder.sort(names.map(_ -> ())).map(_._1)
     val matchQs = SweepOrder.memoConsumers("partScores") ++
       SweepOrder.memoConsumers("pivotedScores") ++
+      SweepOrder.memoConsumers("pairScores2") ++
       SweepOrder.memoConsumers("pairScores3") ++
       SweepOrder.memoConsumers("pairScores6") ++
       SweepOrder.memoConsumers("k6walk") ++
@@ -47,10 +48,19 @@ class SweepOrderSpec extends AnyFunSuite {
   test("key is total: names not shaped q<digits> sort into the tail group") {
     // a harness sorting a mixed name list (e.g. cache_build alongside
     // queries) must not crash on "".toInt (ADVICE r15)
-    assert(SweepOrder.key("cache_build") === ((4, Int.MaxValue)))
-    assert(SweepOrder.key("") === ((4, Int.MaxValue)))
-    assert(SweepOrder.key("q") === ((4, Int.MaxValue)))
-    assert(SweepOrder.key("q13_entity_candidates") === ((0, 13)))
+    assert(SweepOrder.key("cache_build") === ((4, 1, Int.MaxValue)))
+    assert(SweepOrder.key("") === ((4, 1, Int.MaxValue)))
+    assert(SweepOrder.key("q") === ((4, 1, Int.MaxValue)))
+    assert(SweepOrder.key("q13_entity_candidates") === ((0, 1, 13)))
+  }
+
+  test("q19 opens the match cluster so the pivot frame releases first") {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val ordered = SweepOrder.sort(names.map(_ -> ())).map(_._1)
+    assert(ordered.head === "q19_score_pivot")
+    // and the release schedule drops pivotedScores right there
+    val sched = SweepOrder.releaseSchedule(ordered)
+    assert(sched(0) === Seq("pivotedScores"))
   }
 
   test("clustered order covers exactly the input and reverse respects it") {
