@@ -95,7 +95,14 @@ object Bench {
         // the frozen consumer map is regenerated)
         queries.Shared.beginQuery("")
         val t0 = System.nanoTime()
-        try body catch { case _: Throwable => warmOk = false }
+        // name the cause, as Verify does: a failed group warm degrades
+        // to lazy per-query builds, and a sweep read that way must not
+        // hide its reason behind the JSON ok-flag (VERDICT r16)
+        try body catch { case e: Throwable =>
+          warmOk = false
+          System.err.println(
+            s"[bench] cache_build $what failed: ${e.getMessage}")
+        }
         warmSec += (System.nanoTime() - t0) / 1e9
         System.err.println(
           f"[bench] run $run cache_build $what, cum $warmSec%.1f s")
@@ -112,10 +119,15 @@ object Bench {
           // sf10 that transient ran whole-disk df 20–40 G above du
           // (round 15's 88 G spike). Force the unmap here instead of
           // waiting out the periodic-GC interval mid-heavy-query.
-          if (prevGroup >= 0) System.gc()
+          // Full-suite sweeps only: a subset cold probe must not carry
+          // a GC pause production queries never see (VERDICT r16).
+          if (prevGroup >= 0 && only.isEmpty) System.gc()
           prevGroup = group
         }
-        if (warmCaches && !upfront && warmed.add(group))
+        // groups without staged families (3/4) skip the warm: timing a
+        // no-op would log bogus cache_build rows (ADVICE r16)
+        if (warmCaches && !upfront && queries.Shared.warmable(group) &&
+            warmed.add(group))
           timedWarm(s"group $group")(
             queries.Shared.warmGroup(spark, sfDir, group))
         queries.Shared.beginQuery(name)

@@ -70,21 +70,47 @@ object SweepOrder {
     else 4
   }
 
-  /** Intra-group scheduling rank (lower runs earlier). q19 — the ONLY
-    * consumer of the biggest match-family frame (pivotedScores,
-    * ~25 GiB at sf10) — opens the match cluster, so the scheduler
-    * releases that frame after the very first query; in numeric order
-    * the match family's own residency (pivot + score tables together
-    * exceed a 40 GiB budget) forced an eviction before q19 was
-    * reached. Everything else keeps numeric order. */
-  private def rank(id: Int): Int = if (id == 19) 0 else 1
+  /** Derivation depth of a memo family — how long the rebuild chain
+    * under it is ([[graft.queries.Shared.derivedFrom]]): partCands 0,
+    * partScores 1, pivotedScores 2, … Deeper chain = costlier rebuild
+    * class, without hand-coding per-family sizes here. */
+  private def chainDepth(fam: String): Int = {
+    val hits = queries.Shared.derivedFrom
+      .filter { case (p, _) => fam.startsWith(p) }
+    if (hits.isEmpty) 0
+    else 1 + hits.maxBy(_._1.length)._2.map(chainDepth).max
+  }
 
-  /** Sort key: (family group, intra-group rank, numeric id). Ties
-    * inside a group run in numeric order; queries touching no memo
-    * family run last. */
-  def key(name: String): (Int, Int, Int) = {
+  /** Queries that are the SOLE consumer of some memo family, mapped to
+    * the deepest chain depth among those families. DERIVED from
+    * [[memoConsumers]] + the derivation edges, not hand-picked
+    * (VERDICT r16 item 1): a family with exactly one consumer should
+    * have that consumer OPEN its cluster, so the scheduler releases
+    * the frame after the very first query instead of holding it
+    * resident across the whole cluster — at sf10 the ~25 GiB
+    * pivotedScores plus the score tables together exceed a 40 GiB
+    * budget, and in numeric order that residency forced the one
+    * round-15 eviction. Deeper-chain (costlier-rebuild-class) openers
+    * run first, so q19 opens the match cluster as a CONSEQUENCE; the
+    * next big single-consumer frame gets the release-early treatment
+    * automatically when its family lands in [[memoConsumers]]. */
+  // lazy: memoConsumers is declared below — a strict val here reads
+  // null during object init
+  private[graft] lazy val openerDepth: Map[String, Int] =
+    memoConsumers.toSeq
+      .collect { case (fam, qs) if qs.size == 1 => qs.head -> chainDepth(fam) }
+      .groupMapReduce(_._1)(_._2)(math.max)
+
+  /** Sort key: (family group, opener flag, −opener depth, numeric id).
+    * Sole-consumer openers lead their group, deepest chain first; ties
+    * and everything else run in numeric order; queries touching no
+    * memo family run last. */
+  def key(name: String): (Int, Int, Int, Int) = {
     val id = numericId(name)
-    (group(name), rank(id), id)
+    openerDepth.get(name) match {
+      case Some(d) => (group(name), 0, -d, id)
+      case None    => (group(name), 1, 0, id)
+    }
   }
 
   def sort[T](qs: Seq[(String, T)]): Seq[(String, T)] =

@@ -38,10 +38,14 @@ object Verify {
     ordered.zipWithIndex.foreach { case ((name, fn), i) =>
       val group = SweepOrder.group(name)
       if (group != prevGroup) {
-        if (prevGroup >= 0) System.gc()
+        // boundary GC on full sweeps only — a subset replay must not
+        // carry a pause production queries never see (VERDICT r16)
+        if (prevGroup >= 0 && only.isEmpty) System.gc()
         prevGroup = group
       }
-      if (only.isEmpty && warmed.add(group)) {
+      // groups 3/4 have no staged families — skip the no-op warm
+      if (only.isEmpty && queries.Shared.warmable(group) &&
+          warmed.add(group)) {
         queries.Shared.beginQuery("")
         try queries.Shared.warmGroup(spark, sfDir, group)
         catch { case e: Throwable =>

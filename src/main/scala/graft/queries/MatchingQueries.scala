@@ -305,6 +305,87 @@ object MatchingQueries {
        allscores AS (SELECT * FROM scores_p UNION ALL SELECT * FROM scores_ps)"""
   }
 
+  /** q72's weight-training input as a SELECT body: the both-types
+    * intersection (`pairsc`) — the oracle replay of
+    * [[weightPairScores]]. One fragment, consumed by BOTH the
+    * monolithic oracle and the sharded sf1 replay so they cannot
+    * drift. */
+  private def q72PairscSql: String =
+    """SELECT doc1, doc2, s1, s2 FROM (
+       SELECT doc1, doc2,
+         coalesce(max(CASE WHEN score_type = 'part_overlap' THEN score END), 0.0) AS s1,
+         coalesce(max(CASE WHEN score_type = 'partsupp_overlap' THEN score END), 0.0) AS s2
+       FROM allscores GROUP BY doc1, doc2)
+       WHERE s1 > 0.0 AND s2 > 0.0"""
+
+  /** Per-lattice-point rank-error evaluation over a pairsc relation —
+    * q72's scored→ranked→error chain as one WITH body. The lattice
+    * selection is pluggable so the sharded replay can evaluate a
+    * subset of the 81 num/80 points per pass (each pass's window sort
+    * then spills at |pairsc| × points-per-shard instead of × 81). */
+  private def q72ErrsSql(pairscRel: String, latticeFilter: String): String =
+    s"""lattice AS (SELECT i AS num, CAST(i AS DOUBLE)/80 AS w1,
+         1.0 - CAST(i AS DOUBLE)/80 AS w2 FROM range(0, 81) t(i)$latticeFilter),
+       scored AS (SELECT num, doc1, doc2,
+         ((doc1 + doc2) % 5 = 0) AS accepted,
+         CAST(round((w1 * s1 + w2 * s2) * 1e6) AS BIGINT) AS total_micro
+         FROM $pairscRel, lattice),
+       ranked AS (SELECT *, row_number() OVER (PARTITION BY num, doc1
+         ORDER BY total_micro DESC, doc2) AS rnk FROM scored)
+       SELECT num,
+         CAST(sum(CASE WHEN accepted THEN rnk - 1 ELSE 0 END) AS BIGINT) AS error
+       FROM ranked GROUP BY num"""
+
+  /** The q72 walk — coarse pick (multiples of 16) plus four halving
+    * rounds (±8, ±4, ±2, ±1) as argmin CTEs over an `errs(num, error)`
+    * relation (out-of-range probes vanish via the IN-list) — and the
+    * final per-round report. */
+  private def q72WalkSql: String =
+    """r0 AS (SELECT num, error FROM errs WHERE num % 16 = 0
+         ORDER BY error, num LIMIT 1),
+       r1 AS (SELECT e.num, e.error FROM errs e, r0
+         WHERE e.num IN (r0.num - 8, r0.num, r0.num + 8)
+         ORDER BY e.error, e.num LIMIT 1),
+       r2 AS (SELECT e.num, e.error FROM errs e, r1
+         WHERE e.num IN (r1.num - 4, r1.num, r1.num + 4)
+         ORDER BY e.error, e.num LIMIT 1),
+       r3 AS (SELECT e.num, e.error FROM errs e, r2
+         WHERE e.num IN (r2.num - 2, r2.num, r2.num + 2)
+         ORDER BY e.error, e.num LIMIT 1),
+       r4 AS (SELECT e.num, e.error FROM errs e, r3
+         WHERE e.num IN (r3.num - 1, r3.num, r3.num + 1)
+         ORDER BY e.error, e.num LIMIT 1)
+       SELECT CAST(0 AS INTEGER) AS round, CAST(num AS DOUBLE)/80 AS w1, error FROM r0
+       UNION ALL SELECT 1, CAST(num AS DOUBLE)/80, error FROM r1
+       UNION ALL SELECT 2, CAST(num AS DOUBLE)/80, error FROM r2
+       UNION ALL SELECT 3, CAST(num AS DOUBLE)/80, error FROM r3
+       UNION ALL SELECT 4, CAST(num AS DOUBLE)/80, error FROM r4
+       ORDER BY round"""
+
+  /** Sharded replay plan for q72 — the sf1-volume gate (VERDICT r16
+    * item 2): the monolithic replay is disk-bound at sf1 (the 81-point
+    * lattice × 4-round walk over the pivot chain ENOSPCs >67 G of
+    * DuckDB temp, BASELINE r16). Staged: the intersection materializes
+    * once (one pivot-chain pass — the q19-oracle class, PASS at sf1),
+    * the lattice evaluates in point shards (each pass's expansion is
+    * |pairsc| × ⌈81/NSH⌉ rows), and the argmin walk runs once over the
+    * materialized per-point errors. Composed from the SAME fragments
+    * as the monolithic oracle above; executed by
+    * `tools/shard_replay.py` via [[graft.tools.ShardSqlDump]]. */
+  private[graft] def shardReplayPlan(name: String): Seq[(String, String)] =
+    name match {
+      case "q72_weight_refine" => Seq(
+        "once" -> (s"CREATE TABLE pairsc_t AS WITH $bothScoresSql, " +
+          s"pairsc AS ($q72PairscSql) SELECT * FROM pairsc"),
+        "once" -> "CREATE TABLE errs_t (num BIGINT, error BIGINT)",
+        "shard" -> ("INSERT INTO errs_t WITH " +
+          q72ErrsSql("pairsc_t", " WHERE i % {NSH} = {S}")),
+        "once" -> (s"CREATE TABLE want AS WITH errs AS " +
+          s"(SELECT * FROM errs_t), $q72WalkSql"))
+      case other =>
+        throw new IllegalArgumentException(s"no shard plan for $other")
+    }
+
   /** Rank evaluation (reference `RankEvaluatorApp.scala:43-57`): where
     * do the labelled-true pairs rank among their document's candidates?
     * Output: rank-bucket histogram (1..10, 11 = "below top-10"). */
@@ -1410,45 +1491,12 @@ object MatchingQueries {
          FROM dups GROUP BY 1, 2, 3 ORDER BY pair_lo, pair_hi""",
     // refineWeights walks the num/80 lattice (WeightTraining scaladoc):
     // evaluate every lattice point once, then unroll the coarse pick
-    // (multiples of 16) and the four halving rounds (±8, ±4, ±2, ±1)
-    // as argmin CTEs — out-of-range probes vanish via the IN-list
+    // and the four halving rounds as argmin CTEs — composed from the
+    // q72PairscSql/q72ErrsSql/q72WalkSql fragments the sharded sf1
+    // replay also uses, so the two replays cannot drift
     "q72_weight_refine" ->
       s"""WITH $bothScoresSql,
-         pairsc AS (SELECT doc1, doc2, s1, s2 FROM (
-           SELECT doc1, doc2,
-             coalesce(max(CASE WHEN score_type = 'part_overlap' THEN score END), 0.0) AS s1,
-             coalesce(max(CASE WHEN score_type = 'partsupp_overlap' THEN score END), 0.0) AS s2
-           FROM allscores GROUP BY doc1, doc2)
-           WHERE s1 > 0.0 AND s2 > 0.0),
-         lattice AS (SELECT i AS num, CAST(i AS DOUBLE)/80 AS w1,
-           1.0 - CAST(i AS DOUBLE)/80 AS w2 FROM range(0, 81) t(i)),
-         scored AS (SELECT num, doc1, doc2,
-           ((doc1 + doc2) % 5 = 0) AS accepted,
-           CAST(round((w1 * s1 + w2 * s2) * 1e6) AS BIGINT) AS total_micro
-           FROM pairsc, lattice),
-         ranked AS (SELECT *, row_number() OVER (PARTITION BY num, doc1
-           ORDER BY total_micro DESC, doc2) AS rnk FROM scored),
-         errs AS (SELECT num,
-           CAST(sum(CASE WHEN accepted THEN rnk - 1 ELSE 0 END) AS BIGINT) AS error
-           FROM ranked GROUP BY num),
-         r0 AS (SELECT num, error FROM errs WHERE num % 16 = 0
-           ORDER BY error, num LIMIT 1),
-         r1 AS (SELECT e.num, e.error FROM errs e, r0
-           WHERE e.num IN (r0.num - 8, r0.num, r0.num + 8)
-           ORDER BY e.error, e.num LIMIT 1),
-         r2 AS (SELECT e.num, e.error FROM errs e, r1
-           WHERE e.num IN (r1.num - 4, r1.num, r1.num + 4)
-           ORDER BY e.error, e.num LIMIT 1),
-         r3 AS (SELECT e.num, e.error FROM errs e, r2
-           WHERE e.num IN (r2.num - 2, r2.num, r2.num + 2)
-           ORDER BY e.error, e.num LIMIT 1),
-         r4 AS (SELECT e.num, e.error FROM errs e, r3
-           WHERE e.num IN (r3.num - 1, r3.num, r3.num + 1)
-           ORDER BY e.error, e.num LIMIT 1)
-         SELECT CAST(0 AS INTEGER) AS round, CAST(num AS DOUBLE)/80 AS w1, error FROM r0
-         UNION ALL SELECT 1, CAST(num AS DOUBLE)/80, error FROM r1
-         UNION ALL SELECT 2, CAST(num AS DOUBLE)/80, error FROM r2
-         UNION ALL SELECT 3, CAST(num AS DOUBLE)/80, error FROM r3
-         UNION ALL SELECT 4, CAST(num AS DOUBLE)/80, error FROM r4
-         ORDER BY round""")
+         pairsc AS ($q72PairscSql),
+         errs AS (WITH ${q72ErrsSql("pairsc", "")}),
+         $q72WalkSql""")
 }

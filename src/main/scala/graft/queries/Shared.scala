@@ -76,6 +76,63 @@ object Shared {
                                          key: String, sec: Double): Unit =
     buildSec.put(s"${s.sparkContext.applicationId}|$dir|$key", sec)
 
+  /** Memo-family derivation edges: child key-name prefix → the parent
+    * family prefixes its build READS (prefixes, because parameterized
+    * keys carry scale-derived suffixes — "kmeans" covers "kmeans8").
+    * Declared here, next to the policy that needs it, and consumed two
+    * ways: [[effectiveCost]] prices a frame's rebuild at its own
+    * measured build PLUS every uncached ancestor's, and
+    * [[graft.SweepOrder]] derives the cluster-opener rank from the
+    * chain depth (deeper chain = costlier rebuild class). */
+  private[graft] val derivedFrom: Map[String, Seq[String]] = Map(
+    "partScores"    -> Seq("partCands"),
+    "pivotedScores" -> Seq("partScores", "partSuppScores"),
+    "pairScores2"   -> Seq("pivotedScores"),
+    "pairScores3"   -> Seq("pairScores2"),
+    "pairScores6"   -> Seq("pairScores2"),
+    "k6walk"        -> Seq("pairScores6"),
+    "pqCodes"       -> Seq("pqCodebook"),
+    "ivfpqBook"     -> Seq("kmeans"),
+    "ivfpqCodes"    -> Seq("ivfpqBook", "kmeans"))
+
+  // longest declared prefix wins, so "pqCodes" can never accidentally
+  // resolve through a shorter sibling key
+  private def parentsOf(name: String): Seq[String] = {
+    val hits = derivedFrom.filter { case (p, _) => name.startsWith(p) }
+    if (hits.isEmpty) Nil else hits.maxBy(_._1.length)._2
+  }
+
+  /** TRUE rebuild price of memo key `mk`: its own measured build plus
+    * the last measured build of every ancestor family that is no
+    * longer cached — rebuilding `mk` would silently rebuild those
+    * first. buildSec alone records the INCREMENTAL cost measured
+    * while the parents were still cached; once the scheduler releases
+    * a parent (pivotedScores at q19), pricing the survivors at that
+    * incremental cost makes the evictor see the most dangerous frames
+    * as near-free victims — a mid-cluster eviction of pairScores2
+    * would re-run the full ~150 s (sf10) pivot chain the round-16
+    * redesign exists to avoid (ADVICE r16). Ancestor prices survive
+    * release/eviction because buildSec is only dropped by clear(). */
+  private def effectiveCost(mk: String): Double = {
+    val scope = mk.take(mk.lastIndexOf('|') + 1) // "app|dir|"
+    val cached = memo.keysIterator.filter(_.startsWith(scope))
+      .map(_.drop(scope.length)).toSet
+    def famCost(prefix: String): Double = buildSec.iterator.collect {
+      case (k, v) if k.startsWith(scope) &&
+        k.drop(scope.length).startsWith(prefix) => v
+    }.foldLeft(0.0)(math.max)
+    def missing(name: String, seen: Set[String]): Double =
+      parentsOf(name).filterNot(seen).map { p =>
+        if (cached.exists(_.startsWith(p))) 0.0
+        else famCost(p) + missing(p, seen + p)
+      }.sum
+    buildSec.getOrElse(mk, 0.0) + missing(mk.drop(scope.length), Set.empty)
+  }
+
+  private[graft] def effectiveCostForTest(s: SparkSession, dir: String,
+                                          key: String): Double =
+    effectiveCost(s"${s.sparkContext.applicationId}|$dir|$key")
+
   // every ANONYMOUS frame this module persisted (per-query transients
   // registered via track), so long-lived sessions can release them
   // (VERDICT r3: session-lifetime caches accumulating is wrong for a
@@ -125,34 +182,77 @@ object Shared {
     * budget is capped at `free - headroom`, so on a nearly-full volume
     * the cache yields before the shuffle path ENOSPCs — the r13 mode a
     * pure percentage can re-create (ADVICE r15). Sweeps also trigger a
-    * GC at each family-cluster boundary to cut the transient itself. */
+    * GC at each family-cluster boundary to cut the transient itself.
+    *
+    * 16 GiB is this box's MEASURED transient class at sf10 — as a flat
+    * constant it is the right ceiling here but over-charges a
+    * small-scratch machine (VERDICT r16): [[headroomBytes]] sizes the
+    * working headroom to the observed shuffle watermark instead, with
+    * this constant as the big-box ceiling of the floor. */
   private[graft] val ShuffleHeadroomBytes: Long = 16L << 30
 
-  val cacheBudgetBytes: Long = {
-    def derived: Long = {
-      // persisted blocks + shuffle files land under spark.local.dir
-      // (java.io.tmpdir when unset, as in local[] mode here)
-      val dir = sys.props.get("spark.local.dir")
-        .orElse(sys.env.get("SPARK_LOCAL_DIRS").map(_.split(",").head))
-        .getOrElse(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
-      val usable = new java.io.File(dir).getUsableSpace
-      // floor at min(1 GiB, half of free): a 1 GiB floor above the
-      // volume's actual free space would BE the next ENOSPC
-      math.max(math.min(usable * 6 / 10, usable - ShuffleHeadroomBytes),
-               math.min(1L << 30, usable / 2))
-    }
-    sys.env.get("SPARK_GRAFT_CACHE_BUDGET_GB") match {
-      case Some(v) => v.toLongOption match {
-        case Some(g) => g << 30
+  // persisted blocks + shuffle files land under spark.local.dir
+  // (java.io.tmpdir when unset, as in local[] mode here)
+  private val scratchDir: String = sys.props.get("spark.local.dir")
+    .orElse(sys.env.get("SPARK_LOCAL_DIRS").map(_.split(",").head))
+    .getOrElse(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+  private val scratchUsable0: Long = new java.io.File(scratchDir).getUsableSpace
+
+  /** Max observed non-cache scratch consumption (live shuffle files +
+    * the mmap'd transient), sampled at every [[enforceBudget]] call as
+    * startup-free − current-free − disk-persisted cache bytes. Other
+    * processes sharing the volume inflate it — which shrinks the
+    * budget, the safe direction. Survives [[clear]]: it is a machine
+    * observation, not cache state. */
+  @volatile private[graft] var shuffleWatermark: Long = 0L
+
+  /** Headroom the derived budget leaves free, sized to the WORKLOAD
+    * (VERDICT r16): twice the observed shuffle watermark, never below
+    * a floor of min(16 GiB, free/4). On a big box the floor IS the
+    * measured 16 GiB constant (identical behavior to round 16); a
+    * small-scratch machine is no longer charged headroom its workload
+    * never uses; and a workload whose observed transient exceeds the
+    * constant GROWS the headroom past it, yielding cache before the
+    * shuffle path ENOSPCs. */
+  private[graft] def headroomBytes(watermark: Long, usable0: Long): Long =
+    math.max(math.min(ShuffleHeadroomBytes, usable0 / 4), 2L * watermark)
+
+  /** Pure derived-budget formula: min(60% of startup-free, startup-free
+    * − headroom), floored at min(1 GiB, free/2) — a 1 GiB floor above
+    * the volume's actual free space would BE the next ENOSPC — and
+    * never below 64 MiB: on a (near-)full volume the round-16 spelling
+    * returned 0, which [[enforceBudget]] reads as DISABLED — eviction
+    * switched off exactly when the disk is most constrained (ADVICE
+    * r16). 64 MiB keeps the policy live: it evicts essentially
+    * everything instead of nothing. */
+  private[graft] def derivedBudget(usable: Long, headroom: Long): Long =
+    math.max(
+      math.max(math.min(usable * 6 / 10, usable - headroom),
+               math.min(1L << 30, usable / 2)),
+      64L << 20)
+
+  private val envBudgetBytes: Option[Long] =
+    sys.env.get("SPARK_GRAFT_CACHE_BUDGET_GB").flatMap { v =>
+      v.toLongOption match {
+        case Some(g) => Some(g << 30)
         case None =>
           System.err.println("[graft] SPARK_GRAFT_CACHE_BUDGET_GB=" +
             s"'$v' is not a whole number of GiB; using the " +
             "scratch-derived default")
-          derived
+          None
       }
-      case None => derived
     }
-  }
+
+  val cacheBudgetBytes: Long = envBudgetBytes.getOrElse(
+    derivedBudget(scratchUsable0, headroomBytes(0L, scratchUsable0)))
+
+  /** Budget as of NOW: re-derived each enforcement with the headroom
+    * sized to the shuffle watermark observed so far this JVM. The env
+    * override pins it (the sf10 arms are measured under a pinned
+    * 40 GiB); with no watermark yet this equals [[cacheBudgetBytes]]. */
+  def currentBudget: Long = envBudgetBytes.getOrElse(
+    derivedBudget(scratchUsable0,
+      headroomBytes(shuffleWatermark, scratchUsable0)))
 
   /** Deficit-cover eviction plan (pure, spec-pinned): choose victims
     * minimizing total rebuild seconds for the bytes that must go.
@@ -214,10 +314,17 @@ object Shared {
     * everything else: under a family-clustered sweep they are exactly
     * the frames the next query re-reads. */
   def enforceBudget(s: SparkSession,
-                    budget: Long = cacheBudgetBytes): Unit = synchronized {
+                    budget: Long = currentBudget): Unit = synchronized {
     if (budget <= 0) { epoch += 1; return }
     val infos = s.sparkContext.getRDDStorageInfo
     var total = infos.map(i => i.memSize + i.diskSize).sum
+    // shuffle-watermark sample (feeds currentBudget's derived
+    // headroom): what the scratch volume lost since startup beyond
+    // what the persisted cache accounts for is shuffle + transient
+    val nonCache = (scratchUsable0 -
+      new java.io.File(scratchDir).getUsableSpace) -
+      infos.map(_.diskSize).sum
+    if (nonCache > shuffleWatermark) shuffleWatermark = nonCache
     val curEpoch = epoch
     epoch += 1
     if (total <= budget) return
@@ -244,16 +351,21 @@ object Shared {
     val members = byRdd.map { case (id, grp) =>
       grp.map(_._2).min -> (id, grp)
     }
+    // rebuild price is the EFFECTIVE cost (own build + every uncached
+    // ancestor's — ADVICE r16): a family whose parent the scheduler
+    // already released would otherwise be priced at the cheap
+    // incremental cost measured while the parent was cached
     val plan = evictionPlan(
       members.toSeq.map { case (rep, (id, grp)) =>
         (rep, sizeOf(id),
-         grp.map(g => buildSec.getOrElse(g._2, 0.0)).max,
+         grp.map(g => effectiveCost(g._2)).max,
          grp.exists(g => lastEpoch.getOrElse(g._2, -1L) == curEpoch))
       },
       total - budget)
     for (rep <- plan) {
       val (id, grp) = members(rep)
       val bytes = sizeOf(id)
+      val cost = grp.map(g => effectiveCost(g._2)).max
       grp.foreach { case (_, k, _) =>
         memo.remove(k)
         lastEpoch.remove(k)
@@ -262,7 +374,6 @@ object Shared {
       total -= bytes
       memoBytes -= bytes
       val names = grp.map(_._2).sorted.mkString(", ")
-      val cost = grp.map(g => buildSec.getOrElse(g._2, 0.0)).max
       System.err.println(f"[graft] cache budget: evicted $names " +
         f"(${bytes >> 20} MiB, build $cost%.1f s; " +
         f"${total >> 20} MiB persisted vs budget ${budget >> 20} MiB)")
@@ -317,6 +428,13 @@ object Shared {
     curQuery = ""
     touches.clear()
     retireTransients()
+    // forensics: the sweep's observed shuffle peak (what currentBudget
+    // sized headroom to). NOT reset — a machine observation, and the
+    // next sweep in this JVM faces the same volume.
+    if (shuffleWatermark > (1L << 30))
+      System.err.println(s"[graft] shuffle watermark " +
+        s"${shuffleWatermark >> 20} MiB (headroom " +
+        s"${headroomBytes(shuffleWatermark, scratchUsable0) >> 20} MiB)")
   }
 
   /** Persist `build` once per (session, dir), MATERIALIZED eagerly so
@@ -387,6 +505,14 @@ object Shared {
     * so a family occupies budget only across its own consumer cluster.
     * The graph-family frames (prEdges, bpeVocab) are sub-MiB and build
     * lazily at first consumer — no stage needed. */
+  /** Sweep groups with staged-warm cache families ([[graft.SweepOrder]]:
+    * 0 match, 1 text, 2 vector). Groups 3/4 have none — their sub-MiB
+    * frames build lazily at first consumer — so warming them is a
+    * no-op that would only log a bogus `cache_build group 3/4` row and
+    * muddy the cache forensics (ADVICE r16). Harnesses gate the staged
+    * warm on this. */
+  def warmable(group: Int): Boolean = group <= 2
+
   def warmGroup(s: SparkSession, dir: String, group: Int): Unit = group match {
     case 0 => MatchingQueries.warmShared(s, dir)
     case 1 =>

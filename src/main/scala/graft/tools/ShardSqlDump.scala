@@ -15,9 +15,11 @@ object ShardSqlDump {
     val name = args(0)
     // each plan lives next to the monolithic oracle whose fragments it
     // shares: vector queries (q106/q178) in VectorQueries, the audio
-    // fingerprint (q207) in ScalarQueries
+    // fingerprint (q207) in ScalarQueries, weight refinement (q72) in
+    // MatchingQueries
     val stages =
       if (name.startsWith("q207")) graft.queries.ScalarQueries.shardReplayPlan(name)
+      else if (name.startsWith("q72")) graft.queries.MatchingQueries.shardReplayPlan(name)
       else graft.queries.VectorQueries.shardReplayPlan(name)
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""

@@ -254,6 +254,89 @@ class CacheRetirementSpec extends AnyFunSuite {
     Shared.clear()
   }
 
+  test("a released parent re-prices its derived family at the chain " +
+      "cost: the evictor no longer sees it as a near-free victim") {
+    Shared.clear()
+    val dir = "/cache-spec-chain"
+    // real family names: the derivation edge pairScores2→pivotedScores
+    // is the declared one (Shared.derivedFrom)
+    val parent = Shared.memoized(spark, dir, "pivotedScores")(
+      spark.range(0, 40000).toDF("x"))
+    val child = Shared.memoized(spark, dir, "pairScores2")(
+      spark.range(0, 41000).toDF("y"))
+    val other = Shared.memoized(spark, dir, "famOther")(
+      spark.range(0, 42000).toDF("z"))
+    Shared.setBuildCostForTest(spark, dir, "pivotedScores", 150.0)
+    Shared.setBuildCostForTest(spark, dir, "pairScores2", 0.5)
+    Shared.setBuildCostForTest(spark, dir, "famOther", 5.0)
+    // parent still cached: the child's price is its own incremental
+    assert(Shared.effectiveCostForTest(spark, dir, "pairScores2") === 0.5)
+    // scheduler releases the parent (the q19 moment): the child's true
+    // rebuild is now the whole chain (ADVICE r16)
+    Shared.releaseMemo("pivotedScores")
+    assert(Shared.effectiveCostForTest(spark, dir, "pairScores2") === 150.5)
+    // and the evictor acts on it: one byte over budget must pick the
+    // mid-priced famOther, NOT the incrementally-cheap child whose
+    // eviction would re-run the 150 s chain
+    Shared.enforceBudget(spark, Long.MaxValue) // age out of protection
+    def total = spark.sparkContext.getRDDStorageInfo
+      .map(i => i.memSize + i.diskSize).sum
+    Shared.enforceBudget(spark, total - 1)
+    assert(other.storageLevel === org.apache.spark.storage.StorageLevel.NONE,
+      "expected the truly-cheaper family to go")
+    assert(child.storageLevel !== org.apache.spark.storage.StorageLevel.NONE,
+      "derived family evicted at its stale incremental price")
+    assert(parent.storageLevel === org.apache.spark.storage.StorageLevel.NONE)
+    Shared.clear()
+  }
+
+  test("effective cost accumulates over multi-level uncached chains") {
+    Shared.clear()
+    val dir = "/cache-spec-chain2"
+    // only the deepest frame is cached; every ancestor (pairScores2 →
+    // pivotedScores → partScores/partSuppScores → partCands) is absent
+    // but priced — rebuilding pairScores3 rebuilds them all
+    Shared.memoized(spark, dir, "pairScores3")(
+      spark.range(0, 1000).toDF("x"))
+    Shared.setBuildCostForTest(spark, dir, "pairScores3", 1.0)
+    Shared.setBuildCostForTest(spark, dir, "pairScores2", 2.0)
+    Shared.setBuildCostForTest(spark, dir, "pivotedScores", 40.0)
+    Shared.setBuildCostForTest(spark, dir, "partScores", 80.0)
+    Shared.setBuildCostForTest(spark, dir, "partSuppScores", 70.0)
+    Shared.setBuildCostForTest(spark, dir, "partCands", 30.0)
+    assert(Shared.effectiveCostForTest(spark, dir, "pairScores3")
+      === (1.0 + 2.0 + 40.0 + 80.0 + 70.0 + 30.0))
+    Shared.clear()
+  }
+
+  test("derived budget is never 0: a near-full scratch volume keeps " +
+      "eviction LIVE instead of disabling it (ADVICE r16)") {
+    // usable ≈ 0 made the round-16 formula return 0, which
+    // enforceBudget reads as 'disabled' — eviction off exactly when
+    // the disk is most constrained
+    assert(Shared.derivedBudget(0L, 16L << 30) === (64L << 20))
+    assert(Shared.derivedBudget(100L << 20, 16L << 30) === (64L << 20))
+    // healthy volumes unchanged: 60% binds on a big box...
+    assert(Shared.derivedBudget(100L << 30, 16L << 30) === (60L << 30))
+    // ...free−headroom binds when they cross; floor min(1G, free/2)
+    assert(Shared.derivedBudget(20L << 30, 16L << 30) === (4L << 30))
+  }
+
+  test("headroom sizes to the observed shuffle watermark with the " +
+      "measured 16 GiB constant as the big-box floor ceiling") {
+    val G = 1L << 30
+    // big box, nothing observed yet: the measured constant
+    assert(Shared.headroomBytes(0L, 100 * G) === 16 * G)
+    // small-scratch box: proportionate floor, not 16 GiB flat
+    assert(Shared.headroomBytes(0L, 24 * G) === 6 * G)
+    // observed transient dominates once it exceeds half the floor
+    assert(Shared.headroomBytes(10 * G, 100 * G) === 20 * G)
+    assert(Shared.headroomBytes(5 * G, 24 * G) === 10 * G)
+    // the startup budget equals the watermark-0 derivation
+    assert(Shared.cacheBudgetBytes > 0L)
+    assert(Shared.currentBudget > 0L)
+  }
+
   test("clear drops everything: memo, stamps, and transients") {
     val m = Shared.memoized(spark, "/cache-spec2", "fam")(
       spark.range(0, 100).toDF("x"))
