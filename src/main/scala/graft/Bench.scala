@@ -32,6 +32,13 @@ object Bench {
       // throughput, BASELINE.md): zstd halves shuffle bytes vs lz4 for
       // a CPU cost the 32 idle-on-IO cores absorb
       .config("spark.io.compression.codec", "zstd")
+      // subset-key co-partitioning (round 17, guide §2.4): the match
+      // chain is cached hash-partitioned by doc1, and its (doc1, doc2)
+      // joins — e.g. the pivot's full outer — are exchange-free only
+      // when co-partitioning accepts a subset of the join keys (the
+      // same rule aggregations/windows already use). No correctness
+      // effect; only which exchanges ENSURE_REQUIREMENTS inserts.
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -140,6 +140,7 @@ object SweepOrder {
       "q174_ivf_pq"),
     "ivfpqCodes" -> Set("q118_ann_recall", "q172_retrieval_metrics",
       "q174_ivf_pq"),
+    "k3walk" -> Set("q160_weight_refine_k3", "q161_trained_total"),
     "k6walk" -> Set("q200_weight_refine_k6", "q203_trained_total_k6"),
     "kmeans" -> Set("q106_semdedup", "q118_ann_recall",
       "q158_ivf_kmeans", "q164_persisted_index",
@@ -153,8 +154,9 @@ object SweepOrder {
     "mmrCands" -> Set("q163_mmr_rerank"),
     "mmrSims" -> Set("q163_mmr_rerank"),
     "pairScores2" -> Set("q20_weight_grid", "q72_weight_refine"),
-    "pairScores3" -> Set("q159_weight_grid_k3", "q160_weight_refine_k3",
-      "q161_trained_total"),
+    // q160 reads the memoized k3 walk since round 17; q161 still reads
+    // the score table directly for serving
+    "pairScores3" -> Set("q159_weight_grid_k3", "q161_trained_total"),
     "pairScores6" -> Set("q199_weight_grid_k6", "q203_trained_total_k6"),
     "partCands" -> Set("q13_entity_candidates"),
     "partScores" -> Set("q14_entity_scores", "q15_type_filter",

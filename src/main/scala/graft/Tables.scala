@@ -16,8 +16,39 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Scan-parallelism floor (round 17, guide §2.5 "input skew: one huge
+  // unsplittable file — repartition immediately after the read"). The
+  // local fixtures are single-row-group parquet files, so every scan
+  // plans ONE task and each query's first map phase — tokenize/explode
+  // over documents, the entity explode over lineitem, the quantize
+  // over embeddings — ran serially on one core (measured: q84's whole
+  // 5.3 s was one task at sf0.1). The rule is SCALE-ADAPTIVE: it fires
+  // only when the planned scan has fewer partitions than the session's
+  // cores AND the file is big enough for the exchange to pay for
+  // itself; a production table with splittable files/row groups scans
+  // wide naturally, the condition is false, and no repartition (no
+  // payload movement, the q206 concern) is ever inserted. Decisions
+  // (and the footer-read of the schema) are memoized per (session,
+  // dir, table) — plans are immutable, so handing back the same
+  // DataFrame is safe and saves a footer read per call.
+  private val MinParallelizeBytes = 256L << 10
+  private val scans = scala.collection.concurrent.TrieMap
+    .empty[(Int, String, String), DataFrame]
+
+  private def diskBytes(f: java.io.File): Long =
+    if (f.isDirectory) f.listFiles.map(diskBytes).sum else f.length
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    scans.getOrElseUpdate(
+      (System.identityHashCode(spark), dir, name), {
+        val df = spark.read.parquet(s"$dir/$name.parquet")
+        val target = spark.sparkContext.defaultParallelism
+        val parts = df.rdd.getNumPartitions
+        val bytes = diskBytes(new java.io.File(s"$dir/$name.parquet"))
+        if (parts < target && bytes >= MinParallelizeBytes)
+          df.repartition(target)
+        else df
+      })
 
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")

@@ -62,7 +62,19 @@ object WeightTraining {
     * inputs. */
   def refineWeights(spark: SparkSession, pairScores: DataFrame,
                     labels: DataFrame, coarseSteps: Int = 5,
-                    rounds: Int = 4): DataFrame = {
+                    rounds: Int = 4): DataFrame =
+    refineWeightsLabeled(spark, joinLabels(pairScores, labels),
+      coarseSteps, rounds)
+
+  /** [[refineWeights]] over an already-labelled pair table (doc1, doc2,
+    * s1, s2, accepted) — the entry for callers whose labels are an
+    * expression over the pair table itself (round 17, guide §2.3): a
+    * column projection instead of a per-evaluation join, so every
+    * probe batch is exactly scan → broadcast-cross → window →
+    * aggregate, with no join or label broadcast in the loop. */
+  def refineWeightsLabeled(spark: SparkSession, labeled: DataFrame,
+                           coarseSteps: Int = 5,
+                           rounds: Int = 4): DataFrame = {
     import spark.implicits._
     val denom = coarseSteps << rounds
     def errOf(nums: Seq[Int]): Seq[(Int, Long)] = {
@@ -70,7 +82,7 @@ object WeightTraining {
         .map { case (n, i) =>
           (i.toLong, n.toDouble / denom, 1.0 - n.toDouble / denom) }
         .toDF("weight_id", "w1", "w2")
-      evaluateGrid(pairScores, labels, grid)
+      evaluateGridLabeled(labeled, grid)
         .select("weight_id", "error").collect()
         .map(r => (nums(r.getLong(0).toInt), r.getLong(1))).toSeq
     }
@@ -137,10 +149,21 @@ object WeightTraining {
     * the decomposition is deterministic. */
   def evaluateSimplex(pairScores: DataFrame, labels: DataFrame,
                       grid: DataFrame, k: Int,
-                      chunkPoints: Int = 32): DataFrame = {
+                      chunkPoints: Int = 32): DataFrame =
+    evaluateSimplexLabeled(joinLabels(pairScores, labels), grid, k,
+      chunkPoints)
+
+  /** [[evaluateSimplex]] over an already-labelled pair table (doc1,
+    * doc2, s1..sk, accepted) — for callers whose labels are an
+    * expression over the pair table itself (round 17, guide §2.3): a
+    * column projection instead of a per-chunk join, so every chunk is
+    * exactly scan → broadcast-cross → window → aggregate. */
+  def evaluateSimplexLabeled(labeled: DataFrame, grid: DataFrame,
+                             k: Int,
+                             chunkPoints: Int = 32): DataFrame = {
     val pts = grid.collect() // dimension-sized by contract (≤ C(s+k−1, k−1))
     if (pts.length <= chunkPoints)
-      evaluateSimplexPass(pairScores, labels, grid, k)
+      evaluateSimplexPass(labeled, grid, k)
     else {
       val spark = grid.sparkSession
       import scala.math.Ordering.Implicits._
@@ -149,19 +172,23 @@ object WeightTraining {
       sorted.grouped(chunkPoints).map { chunk =>
         val g = spark.createDataFrame(
           java.util.Arrays.asList(chunk: _*), grid.schema)
-        evaluateSimplexPass(pairScores, labels, g, k)
+        evaluateSimplexPass(labeled, g, k)
       }.reduce(_ unionByName _)
     }
   }
 
-  private def evaluateSimplexPass(pairScores: DataFrame, labels: DataFrame,
+  /** The shared label attach: left join + absent-label ⇒ not accepted. */
+  private def joinLabels(pairScores: DataFrame, labels: DataFrame): DataFrame =
+    pairScores
+      .join(labels, Seq("doc1", "doc2"), "left")
+      .na.fill(false, Seq("accepted"))
+
+  private def evaluateSimplexPass(labeled: DataFrame,
                                   grid: DataFrame, k: Int): DataFrame = {
     val nCols = (1 to k).map(i => col(s"n$i"))
     val wCols = (1 to k).map(i => col(s"w$i"))
     val total = (1 to k).map(i => col(s"w$i") * col(s"s$i")).reduce(_ + _)
-    val scored = pairScores
-      .join(labels, Seq("doc1", "doc2"), "left")
-      .na.fill(false, Seq("accepted"))
+    val scored = labeled
       .crossJoin(broadcast(grid))
       .withColumn("total_micro", round(total * 1e6).cast("long"))
     val w = Window.partitionBy(nCols :+ col("doc1"): _*)
@@ -201,7 +228,16 @@ object WeightTraining {
     * incumbent after that round. */
   def refineWeightsSimplex(spark: SparkSession, pairScores: DataFrame,
                            labels: DataFrame, k: Int,
-                           coarseSteps: Int = 4, rounds: Int = 3): DataFrame = {
+                           coarseSteps: Int = 4, rounds: Int = 3): DataFrame =
+    refineWeightsSimplexLabeled(spark, joinLabels(pairScores, labels), k,
+      coarseSteps, rounds)
+
+  /** [[refineWeightsSimplex]] over an already-labelled pair table —
+    * same rationale as [[refineWeightsLabeled]]: no join or label
+    * broadcast inside the walk's probe evaluations (round 17). */
+  def refineWeightsSimplexLabeled(spark: SparkSession, labeled: DataFrame,
+                                  k: Int, coarseSteps: Int = 4,
+                                  rounds: Int = 3): DataFrame = {
     import spark.implicits._
     import scala.math.Ordering.Implicits._
     val denom = coarseSteps << rounds
@@ -209,7 +245,7 @@ object WeightTraining {
       val grid = points.map(ns => Tuple1(ns.map(_.toLong))).toDF("nums")
         .select((1 to k).map(i => col("nums")(i - 1).as(s"n$i")) ++
           (1 to k).map(i => (col("nums")(i - 1) / denom.toDouble).as(s"w$i")): _*)
-      evaluateSimplex(pairScores, labels, grid, k)
+      evaluateSimplexLabeled(labeled, grid, k)
         .select((1 to k).map(i => col(s"n$i")) :+ col("error"): _*)
         .collect()
         .map(r => ((0 until k).map(i => r.getLong(i).toInt).toList,
@@ -243,10 +279,14 @@ object WeightTraining {
   }
 
   def evaluateGrid(pairScores: DataFrame, labels: DataFrame,
-                   grid: DataFrame): DataFrame = {
-    val scored = pairScores
-      .join(labels, Seq("doc1", "doc2"), "left")
-      .na.fill(false, Seq("accepted"))
+                   grid: DataFrame): DataFrame =
+    evaluateGridLabeled(joinLabels(pairScores, labels), grid)
+
+  /** [[evaluateGrid]] over an already-labelled pair table — same
+    * no-join-in-the-loop rationale as [[refineWeightsLabeled]]. */
+  def evaluateGridLabeled(labeled: DataFrame,
+                          grid: DataFrame): DataFrame = {
+    val scored = labeled
       .crossJoin(broadcast(grid))
       .withColumn("total_micro",
         round((col("w1") * col("s1") + col("w2") * col("s2")) * 1e6).cast("long"))

@@ -38,22 +38,39 @@ object MatchingQueries {
     * composing several queries over one match table would do. */
   import Shared.memoized
 
+  // Partitioned by doc1 ALONE (round 17, guide §2.4): HashPartitioning
+  // on a subset of downstream keys satisfies every ClusteredDistribution
+  // that includes doc1 — so scorePairs' groupBy(doc1, doc2), the pivot
+  // full-outer join on (doc1, doc2), AND the weight-family rank windows
+  // over (grid point, doc1) all plan with ZERO exchanges off this
+  // layout. The previous (doc1, doc2) layout satisfied the first two
+  // but NOT the windows, which re-shuffled |pairs|×|grid points| rows
+  // on every training evaluation pass.
   private def partCands(s: SparkSession, dir: String): DataFrame =
-    memoized(s, dir, "partCands", Seq("doc1", "doc2"))(
+    memoized(s, dir, "partCands", Seq("doc1"))(
       EntityMatching.candidatePairs(partEntities(s, dir)))
 
-  // No repartition before caching: scorePairs groups by (doc1, doc2),
-  // so its output is already hash-partitioned on the pair key with the
-  // session's explicit partition count — an extra repartition would
-  // re-shuffle 9M rows into the same layout they are in.
+  // No repartition before caching: scorePairs groups by (doc1, doc2)
+  // over the doc1-partitioned candidate cache, so the aggregation is
+  // exchange-free and its output KEEPS the doc1 hash layout — an extra
+  // repartition would re-shuffle 9M rows into the layout they are in.
   private def partScores(s: SparkSession, dir: String): DataFrame =
     memoized(s, dir, "partScores")(
       EntityMatching.scorePairs(partCands(s, dir), "part_overlap"))
 
+  // The partsupp chain is not memoized below the score level, so the
+  // doc1 layout is established by repartitioning the candidate frame
+  // BEFORE the roll-up: the groupBy then needs no exchange of its own
+  // (same one-exchange build cost as before, but the cached output is
+  // doc1-partitioned like partScores, which the pivot join and the
+  // weight windows require to stay exchange-free).
   private def partSuppScores(s: SparkSession, dir: String): DataFrame =
-    memoized(s, dir, "partSuppScores")(
+    memoized(s, dir, "partSuppScores") {
+      val n = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
       EntityMatching.scorePairs(
-        EntityMatching.candidatePairs(partSuppEntities(s, dir)), "partsupp_overlap"))
+        EntityMatching.candidatePairs(partSuppEntities(s, dir))
+          .repartition(n, col("doc1")), "partsupp_overlap")
+    }
 
   /** Pivoted per-pair scores (A13 shape), shared by q19/q20/q72: the
     * pivot's input is the full 2×quadratic score union, so the 18M-row
@@ -63,18 +80,23 @@ object MatchingQueries {
     * ~2 s for the whole of q72's eleven cached evaluations at sf0.1. */
   private def pivotedScores(s: SparkSession, dir: String): DataFrame =
     memoized(s, dir, "pivotedScores")(
-      partScores(s, dir).unionByName(partSuppScores(s, dir))
-        .groupBy("doc1", "doc2")
-        // max(when(...)) instead of .pivot(): identical result for a
-        // known column set, but a codegen'd spillable HashAggregate
-        // instead of PivotFirst's ObjectHashAggregate — under the
-        // sf1/4g memory-pressure drill the pivot OOMed while this
-        // spelling (q17's) degrades by spilling (BASELINE.md)
-        .agg(
-          max(when(col("score_type") === "part_overlap", col("score")))
-            .as("part_overlap"),
-          max(when(col("score_type") === "partsupp_overlap", col("score")))
-            .as("partsupp_overlap"))
+      // Full-outer join instead of union + groupBy(max(when)) (round
+      // 17, guide §2.4): each score frame holds at most one row per
+      // (doc1, doc2) — its own groupBy key — so pivoting the union is
+      // equivalent to the keyed full outer with missing sides filled
+      // 0.0. Both inputs are cached hash-partitioned on doc1, so the
+      // join plans with ZERO exchanges (in-partition sorts only),
+      // where the union + groupBy spelling shuffled the full
+      // 2×quadratic row set (18M rows at sf0.1, ~25 GiB at sf10).
+      // (The earlier max(when) spelling — kept in q17 — replaced
+      // .pivot()'s ObjectHashAggregate for spillability; the join
+      // needs no aggregation buffer at all, and SMJ spills likewise.)
+      partScores(s, dir)
+        .select(col("doc1"), col("doc2"), col("score").as("part_overlap"))
+        .join(partSuppScores(s, dir)
+          .select(col("doc1"), col("doc2"),
+            col("score").as("partsupp_overlap")),
+          Seq("doc1", "doc2"), "full_outer")
         .na.fill(0.0, Seq("part_overlap", "partsupp_overlap")))
 
   /** Weight-training input (q20/q72, and the base of the k=3/k=6
@@ -88,7 +110,13 @@ object MatchingQueries {
     * is the pivot's ONLY remaining consumer, so the scheduler can
     * release the big frame at the cluster's start. */
   private[graft] def weightPairScores(s: SparkSession, dir: String): DataFrame =
-    memoized(s, dir, "pairScores2")(
+    // parts = doc1 (round 17): the pivot's full-outer join reports
+    // UnknownPartitioning (outer nulls), so the intersection re-pins
+    // the doc1 hash layout here — a sub-GiB repartition at build that
+    // makes every training evaluation's rank window over (grid point,
+    // doc1) exchange-free (subset clustering), for q20/q72 and the
+    // k=3/k=6 tables derived from this frame.
+    memoized(s, dir, "pairScores2", Seq("doc1"))(
       pivotedScores(s, dir)
         .filter(col("part_overlap") > 0.0 && col("partsupp_overlap") > 0.0)
         .select(col("doc1"), col("doc2"),
@@ -112,6 +140,7 @@ object MatchingQueries {
     pivotedScores(s, dir).count()
     weightPairScores(s, dir).count()
     weightPairScores3(s, dir).count()
+    k3Walk(s, dir).count()
     weightPairScores6(s, dir).count()
     k6Walk(s, dir).count()
   }
@@ -176,14 +205,20 @@ object MatchingQueries {
 
   /** A9/W3/J7: weight-grid evaluation — one pass over the match table
     * for the whole grid. Labels are a deterministic synthetic rule. */
-  def q20WeightGrid(s: SparkSession, dir: String): DataFrame = {
-    val pairScores = weightPairScores(s, dir)
-    val labels = pairScores.select(col("doc1"), col("doc2"),
-      ((col("doc1") + col("doc2")) % 5 === 0).as("accepted"))
-    WeightTraining.evaluateGrid(pairScores, labels,
+  /** The synthetic label rule as a COLUMN over the pair table (round
+    * 17): the labels "frame" of q20/q72/q159/q160/q199/q200 is a
+    * projection of the pair table itself, so attaching it as an
+    * expression instead of a (doc1, doc2)-keyed left join removes one
+    * join + one label broadcast from EVERY training evaluation pass —
+    * identical rows (the join was 1:1 by construction, its na.fill
+    * never fired). */
+  private def withLabels(ps: DataFrame): DataFrame =
+    ps.withColumn("accepted", (col("doc1") + col("doc2")) % 5 === 0)
+
+  def q20WeightGrid(s: SparkSession, dir: String): DataFrame =
+    WeightTraining.evaluateGridLabeled(withLabels(weightPairScores(s, dir)),
         WeightTraining.twoTypeGrid(s, steps = 5))
       .orderBy("weight_id")
-  }
 
   /** A8/W2 (reference `TotalStatisticStage.scala:58-132`): join the
     * per-type weight dim, contextual score = score normalized by the
@@ -408,13 +443,10 @@ object MatchingQueries {
     * unrolling the 4-round argmin walk in CTEs — the same scheme
     * q82's oracle uses for Lloyd iterations; WeightSpec asserts the
     * error trajectory on top. */
-  def q72WeightRefine(s: SparkSession, dir: String): DataFrame = {
-    val pairScores = weightPairScores(s, dir)
-    val labels = pairScores.select(col("doc1"), col("doc2"),
-      ((col("doc1") + col("doc2")) % 5 === 0).as("accepted"))
-    WeightTraining.refineWeights(s, pairScores, labels)
+  def q72WeightRefine(s: SparkSession, dir: String): DataFrame =
+    WeightTraining.refineWeightsLabeled(s,
+        withLabels(weightPairScores(s, dir)))
       .orderBy("round")
-  }
 
   /** Three-type weight-training input: the q20 pair universe (matched
     * by BOTH entity types) widened with a third score of a wholly
@@ -428,7 +460,10 @@ object MatchingQueries {
     // serving) each drives MULTIPLE distributed passes over this frame
     // (one per lattice/probe evaluation round) — a user tuning weights
     // persists the score table once, so the sweep should too
-    memoized(s, dir, "pairScores3") {
+    // parts = doc1: the year-dim joins broadcast one side or the
+    // other, so the layout is re-pinned for the rank windows (same
+    // rationale as pairScores2; the frame is intersection-sized)
+    memoized(s, dir, "pairScores3", Seq("doc1")) {
       val yrs = Tables.orders(s, dir)
         .select(col("o_orderkey").as("doc_id"), year(col("o_orderdate")).as("yr"))
       weightPairScores(s, dir)
@@ -444,14 +479,11 @@ object MatchingQueries {
     * lattice (Σnᵢ = 5, 21 points) generated by iterated constrained
     * cross joins, every point evaluated in ONE distributed pass over
     * the 3-score match table. */
-  def q159WeightGridK3(s: SparkSession, dir: String): DataFrame = {
-    val ps = weightPairScores3(s, dir)
-    val labels = ps.select(col("doc1"), col("doc2"),
-      ((col("doc1") + col("doc2")) % 5 === 0).as("accepted"))
-    WeightTraining.evaluateSimplex(ps, labels,
+  def q159WeightGridK3(s: SparkSession, dir: String): DataFrame =
+    WeightTraining.evaluateSimplexLabeled(
+        withLabels(weightPairScores3(s, dir)),
         WeightTraining.simplexGrid(s, k = 3, steps = 5), k = 3)
       .orderBy("n1", "n2")
-  }
 
   /** q160: Walker refinement on the 3-type simplex (the q72 driver
     * loop generalized past the 1-D case): coarse sub-simplex
@@ -460,13 +492,19 @@ object MatchingQueries {
     * by evaluating the full 561-point n/32 lattice once and unrolling
     * the argmin walk in CTEs — the q72 scheme with 2-D probe sets;
     * WeightSpec asserts the trajectory laws on top. */
-  def q160WeightRefineK3(s: SparkSession, dir: String): DataFrame = {
-    val ps = weightPairScores3(s, dir)
-    val labels = ps.select(col("doc1"), col("doc2"),
-      ((col("doc1") + col("doc2")) % 5 === 0).as("accepted"))
-    WeightTraining.refineWeightsSimplex(s, ps, labels, k = 3)
-      .orderBy("round")
-  }
+  /** The k=3 Walker trajectory, memoized (round 17 — the k6Walk
+    * pattern applied at k=3): the trained vector is the persisted
+    * artifact; q160 reports it and q161 applies it, so the
+    * 4-evaluation-pass walk runs once per (session, dir) instead of
+    * once per consumer. */
+  private def k3Walk(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "k3walk") {
+      WeightTraining.refineWeightsSimplexLabeled(s,
+        withLabels(weightPairScores3(s, dir)), k = 3)
+    }
+
+  def q160WeightRefineK3(s: SparkSession, dir: String): DataFrame =
+    k3Walk(s, dir).orderBy("round")
 
   /** q161: trained weights APPLIED — the reference's train→score loop
     * closed (`FullMatcherApp` runs `WeightTrainerStage` and then
@@ -480,9 +518,7 @@ object MatchingQueries {
     * the same r3 weights — training and serving provably agree. */
   def q161TrainedTotal(s: SparkSession, dir: String): DataFrame = {
     val ps = weightPairScores3(s, dir)
-    val labels = ps.select(col("doc1"), col("doc2"),
-      ((col("doc1") + col("doc2")) % 5 === 0).as("accepted"))
-    val fin = WeightTraining.refineWeightsSimplex(s, ps, labels, k = 3)
+    val fin = k3Walk(s, dir)
       .orderBy(col("round").desc).limit(1)
       .select("n1", "n2", "n3").head
     val Seq(w1, w2, w3) =
@@ -512,7 +548,8 @@ object MatchingQueries {
     // memoized: the k=6 family (q199 grid, q200 Walker) drives many
     // distributed passes over this frame (126-point coarse lattice +
     // up to 31 probes per round)
-    memoized(s, dir, "pairScores6") {
+    // parts = doc1 — same rank-window rationale as pairScores2/3
+    memoized(s, dir, "pairScores6", Seq("doc1")) {
       val dim = Tables.orders(s, dir).select(
         col("o_orderkey").as("doc_id"),
         year(col("o_orderdate")).as("yr"),
@@ -533,9 +570,6 @@ object MatchingQueries {
         .select("doc1", "doc2", "s1", "s2", "s3", "s4", "s5", "s6")
     }
 
-  private def labels6(ps: DataFrame): DataFrame =
-    ps.select(col("doc1"), col("doc2"),
-      ((col("doc1") + col("doc2")) % 5 === 0).as("accepted"))
 
   /** q199: weight-grid evaluation at the reference's real arity (k=6;
     * J7/A9): the constrained 6-type simplex lattice (Σnᵢ = 4,
@@ -544,12 +578,11 @@ object MatchingQueries {
     * 6-score match table — the |pairs|×|grid| shuffle the verdict
     * flagged as the cost that grows with k, measured here as its own
     * BASELINE row. */
-  def q199WeightGridK6(s: SparkSession, dir: String): DataFrame = {
-    val ps = weightPairScores6(s, dir)
-    WeightTraining.evaluateSimplex(ps, labels6(ps),
+  def q199WeightGridK6(s: SparkSession, dir: String): DataFrame =
+    WeightTraining.evaluateSimplexLabeled(
+        withLabels(weightPairScores6(s, dir)),
         WeightTraining.simplexGrid(s, k = 6, steps = 4), k = 6)
       .orderBy("n1", "n2", "n3", "n4", "n5")
-  }
 
   /** The k=6 Walker trajectory, memoized: the trained weight vector
     * is THE artifact a user persists (train once, serve many) — q200
@@ -558,8 +591,8 @@ object MatchingQueries {
     * the eager driver loop at build. */
   private def k6Walk(s: SparkSession, dir: String): DataFrame =
     memoized(s, dir, "k6walk") {
-      val ps = weightPairScores6(s, dir)
-      WeightTraining.refineWeightsSimplex(s, ps, labels6(ps), k = 6)
+      WeightTraining.refineWeightsSimplexLabeled(s,
+        withLabels(weightPairScores6(s, dir)), k = 6)
     }
 
   /** q200: Walker refinement on the 6-type simplex — the full

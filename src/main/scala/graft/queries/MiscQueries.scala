@@ -266,17 +266,28 @@ object MiscQueries {
     val edges = Shared.memoized(s, dir, "prEdges", Seq("src"))(
       trades.select(col("c").as("src"), col("p").as("dst"))
         .unionByName(trades.select(col("p").as("src"), col("c").as("dst"))))
-    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // outdeg is node-count-sized and read by EVERY iteration (plus the
+    // init and final projections) — persist it once instead of
+    // re-aggregating the edge cache per iteration (round 17, guide
+    // §2.4); the count() both forces it and serves the S9 scalar
+    val outdeg = Shared.track(edges.groupBy("src")
+      .agg(count(lit(1)).as("outdeg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val n = outdeg.count() // driver scalar (S9 shape): node count
     val base = 1000000000000L / n * 15L / 100L
     var ranks = outdeg.select(col("src").as("node"),
       lit(1000000000000L / n).as("r"))
     for (i <- 1 to iterations) {
+      // per-edge contribution c = r div outdeg is a function of the
+      // NODE alone: compute it on the node-sized ranks ⋈ outdeg frame
+      // first, then join the edge cache ONCE — the previous spelling
+      // joined the edge-expanded rows against outdeg a second time,
+      // doubling the edge-sized join work per iteration (round 17)
       val contrib = ranks
-        .join(edges, ranks("node") === edges("src"))
-        .join(outdeg, Seq("src"))
-        .select(col("dst").as("node"),
-          expr("r div outdeg").as("c"))
+        .join(outdeg, ranks("node") === outdeg("src"))
+        .select(col("src"), expr("r div outdeg").as("c"))
+        .join(edges, Seq("src"))
+        .select(col("dst").as("node"), col("c"))
         .groupBy("node").agg(sum("c").as("in_sum"))
       ranks = contrib.select(col("node"),
         (lit(base) + expr("in_sum * 85 div 100")).as("r"))
@@ -386,7 +397,11 @@ object MiscQueries {
     val edges = Shared.memoized(s, dir, "prEdges", Seq("src"))(
       trades.select(col("c").as("src"), col("p").as("dst"))
         .unionByName(trades.select(col("p").as("src"), col("c").as("dst"))))
-    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // persisted node-sized outdeg + single edge join per iteration —
+    // same round-17 restructure as q121 (see pageRank)
+    val outdeg = Shared.track(edges.groupBy("src")
+      .agg(count(lit(1)).as("outdeg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val seeds = Tables.customer(s, dir)
       .filter(col("c_mktsegment") === "BUILDING")
       .select(col("c_custkey").as("node"))
@@ -401,9 +416,10 @@ object MiscQueries {
     val seedBase = 1000000000000L / nSeeds * 15L / 100L
     for (_ <- 1 to 3) {
       val contrib = ranks
-        .join(edges, ranks("node") === edges("src"))
-        .join(outdeg, Seq("src"))
-        .select(col("dst").as("node"), expr("r div outdeg").as("c"))
+        .join(outdeg, ranks("node") === outdeg("src"))
+        .select(col("src"), expr("r div outdeg").as("c"))
+        .join(edges, Seq("src"))
+        .select(col("dst").as("node"), col("c"))
         .groupBy("node").agg(sum("c").as("in_sum"))
       ranks = contrib
         .join(broadcast(seeds.withColumn("is_seed", lit(1L))), Seq("node"),

@@ -82,20 +82,30 @@ object NlpQueries {
     * the corpus itself only ever flows through split/explode/hash-agg. */
   def q84FormulaEntities(s: SparkSession, dir: String): DataFrame = {
     // the reference's exact text split: [\s+|\n]|– (FormulaAnalyserService)
-    val words = Tables.documents(s, dir)
+    // ONE corpus pass (round 17, guide §2.3): the raw token stream
+    // aggregates to per-(w, doc) counts map-side first; the vocabulary
+    // (for the classifier) and the join-back both run off that
+    // aggregated frame, where the previous spelling tokenized and
+    // exploded the whole corpus twice (once for the distinct, once for
+    // the join). Σ tf over w→entity groups equals counting the raw
+    // occurrence rows — identical output.
+    val wtf = Tables.documents(s, dir)
       .select(col("doc_id"),
         explode(split(col("text"), "[\\s+|\\n]|–")).as("raw"))
       .withColumn("w", injectCol(col("raw")))
+      .groupBy("w", "doc_id").agg(count(lit(1)).as("wtf"))
     val classifyFormula = udf { w: String =>
       val (clean, types) = WordClassifier.classify(w, dicts, blackList)
       if (types.contains("formula")) clean else null
     }
-    val formulas = words.select("w").distinct()
+    // the classifier still runs once per DISTINCT word — the distinct
+    // is now over the (w, doc) frame, not the raw occurrence stream
+    val formulas = wtf.select("w").distinct()
       .select(col("w"), classifyFormula(col("w")).as("entity"))
       .filter(col("entity").isNotNull)
-    words.join(broadcast(formulas), Seq("w"))
+    wtf.join(broadcast(formulas), Seq("w"))
       .groupBy("entity", "doc_id")
-      .agg(count(lit(1)).as("tf"))
+      .agg(sum("wtf").as("tf"))
       .withColumn("entity_id",
         dense_rank().over(Window.orderBy("entity")).cast("long"))
       .select("entity_id", "entity", "doc_id", "tf")

@@ -90,6 +90,7 @@ object Shared {
     "pairScores2"   -> Seq("pivotedScores"),
     "pairScores3"   -> Seq("pairScores2"),
     "pairScores6"   -> Seq("pairScores2"),
+    "k3walk"        -> Seq("pairScores3"),
     "k6walk"        -> Seq("pairScores6"),
     "pqCodes"       -> Seq("pqCodebook"),
     "ivfpqBook"     -> Seq("kmeans"),

@@ -1180,31 +1180,103 @@ object VectorQueries {
     * (q169's overflow discipline — the micro grid's +1e6 shift
     * cancels exactly), so the Dim×Dim matrix is EXACT at any corpus
     * size and partitioning. Power iterations run on that Dim²-row
-    * frame entirely: w = C·v via a broadcast join + combinable sum,
-    * truncating integer rescale (DIV 10¹², spelled sign-aware in the
-    * oracle because DuckDB's // floors), one sqrt per iteration on an
-    * exactly-summed integer norm² — both engines walk the identical
-    * trajectory, and ties/signs are fixed by the all-ones start.
-    * Output: the micro-quantized eigenvector plus the explained-
-    * variance share (Rayleigh quotient over the trace) in milli.
+    * integer matrix: w = C·v with a truncating integer rescale
+    * (DIV 10¹², spelled sign-aware in the oracle because DuckDB's //
+    * floors), one sqrt per iteration on an exactly-summed integer
+    * norm² — both engines walk the identical trajectory, and
+    * ties/signs are fixed by the all-ones start. Output: the
+    * micro-quantized eigenvector plus the explained-variance share
+    * (Rayleigh quotient over the trace) in milli.
     *
     * Scale shape: ONE combinable pass over the corpus accumulates all
     * Dim² sums (the per-vector Dim² fan-out is map-side and combines
-    * before the shuffle — Dim²-row traffic at any n); every
-    * iteration is dimension-sized (4096-row joins against a 64-row
-    * broadcast vector). */
+    * before the shuffle — Dim²-row traffic at any n); the iterations
+    * are Dim²-sized exact integer arithmetic on the collected matrix
+    * (driver-scalar class — see [[q180PcaPower]]'s round-17 note). */
+  /** Round 17 (guide §1.2/§5): the corpus work of q180 is exactly ONE
+    * combinable covariance pass; the three power iterations then
+    * operate on the Dim²-row integer matrix — dimension-sized at any
+    * corpus scale, i.e. the S9 driver-scalar class (the weight walks'
+    * argmin collects are the precedent). The previous spelling ran
+    * the iterations as distributed jobs over the persisted Dim²-row
+    * frame: 3 localCheckpoints + per-iteration broadcasts + the final
+    * Rayleigh chain ≈ 10 scheduler round-trips over 4096 rows, which
+    * dominated the query (9.0 s vs ~2.5 s at sf0.1, zero change in
+    * bytes read). The driver mirror reproduces Spark's arithmetic
+    * EXACTLY — DECIMAL(38,0) sums as BigInt, `DIV` as BigInteger
+    * truncating division, Round(double) as BigDecimal HALF_UP,
+    * Decimal→Double via BigDecimal.doubleValue — so the trajectory
+    * (and the oracle hash) is bit-identical; the DuckDB oracle replays
+    * the same unrolled walk unchanged. */
   def q180PcaPower(s: SparkSession, dir: String): DataFrame = {
-    val (cov, res) = pcaChain(s, dir)
-    val out = res.localCheckpoint()
-    cov.unpersist()
-    out
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val covRows = pcaCovariance(s, dir).collect()
+    // Spark Round on DoubleType: BigDecimal HALF_UP, then CAST(BIGINT)
+    def sparkRound(x: Double): Long =
+      JBD.valueOf(x).setScale(0, RoundingMode.HALF_UP).doubleValue().toLong
+    // Decimal→Double cast = toJavaBigDecimal.doubleValue
+    def toD(b: BigInt): Double = new JBD(b.bigInteger).doubleValue()
+    def cvOf(r: org.apache.spark.sql.Row): BigInt =
+      BigInt(r.getDecimal(2).toBigIntegerExact)
+    val div = BigInt(1000000000000L)
+    // w = C·v followed by the truncating integer rescale (sum of
+    // DECIMAL products, then DIV 1e12 — BigInteger division truncates
+    // toward zero exactly like Decimal.quot)
+    def wOf(v: Map[Int, Long]): Map[Int, Long] = {
+      val acc = scala.collection.mutable.Map.empty[Int, BigInt]
+      covRows.foreach { r =>
+        val j = r.getInt(1)
+        if (v.contains(j)) {
+          val i = r.getInt(0)
+          acc(i) = acc.getOrElse(i, BigInt(0)) + cvOf(r) * v(j)
+        }
+      }
+      acc.iterator.map { case (i, s) => i -> (s / div).toLong }.toMap
+    }
+    // all-ones (×1e6) start over the dimensions present in column 0
+    var v: Map[Int, Long] = covRows.collect {
+      case r if r.getInt(1) == 0 => r.getInt(0) -> 1000000L
+    }.toMap
+    for (_ <- 1 to 3) {
+      val w = wOf(v)
+      val n2 = w.valuesIterator.map(x => BigInt(x) * x).sum
+      // n2 = 0 (zero covariance matrix) yields the zero vector — the
+      // same guard as the distributed CASE (0/0 would diverge engines)
+      v = if (n2 == 0) w.map { case (i, _) => i -> 0L }
+      else {
+        val nrm = math.sqrt(toD(n2))
+        w.map { case (i, x) => i -> sparkRound(x.toDouble / nrm * 1e6) }
+      }
+    }
+    val w4 = wOf(v)
+    val trace = covRows.iterator
+      .filter(r => r.getInt(0) == r.getInt(1)).map(cvOf).sum
+    // Rayleigh/trace ratio over the v3 ⋈ w4 inner join, in DOUBLES of
+    // exactly-agreed integers — operation order mirrors the SQL
+    // (a·1000·1e12 / b / c, left-associated)
+    val both = v.keySet.intersect(w4.keySet)
+    val svw = both.iterator.map(i => BigInt(v(i)) * w4(i)).sum
+    val svv = both.iterator.map(i => BigInt(v(i)) * v(i)).sum
+    val ev = if (svv == 0 || trace == 0) 0L
+      else sparkRound(toD(svw) * 1000 * 1e12 / toD(svv) / toD(trace))
+    val out = v.toSeq.sortBy(_._1).map { case (i, x) =>
+      org.apache.spark.sql.Row(i, x, ev) }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("v_mic",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ev_milli",
+        org.apache.spark.sql.types.LongType)))
+    s.createDataFrame(java.util.Arrays.asList(out: _*), schema)
+      .orderBy("pos")
   }
 
-  /** The q180 chain BEFORE the checkpoint/unpersist epilogue, exposed
-    * for NewQueryPlanSpec's physical pin (the fsTrajectory pattern).
-    * Returns (cached covariance frame to unpersist, result frame). */
-  private[graft] def pcaChain(
-      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  /** q180's distributed leg — the single combinable covariance pass
+    * (i, j, cv = n·Σxᵢxⱼ − Σxᵢ·Σxⱼ in DECIMAL(38,0)), exposed for
+    * NewQueryPlanSpec's physical pin. */
+  private[graft] def pcaCovariance(
+      s: SparkSession, dir: String): DataFrame = {
     val q = quantized(Tables.embeddings(s, dir))
     // join-free outer-product fan-out: explode i carrying qe, then the
     // j-products map-side via transform — the per-element product is a
@@ -1229,60 +1301,13 @@ object VectorQueries {
     val sx = q.select(posexplode(col("qe")).as(Seq("i", "xi")))
       .groupBy("i")
       .agg(sum("xi").as("s"), count(lit(1)).as("n"))
-    val cov = sxy
+    sxy
       .join(broadcast(sx.select(col("i"), col("s").as("si"), col("n"))),
         Seq("i"))
       .join(broadcast(sx.select(col("i").as("j"), col("s").as("sj"))),
         Seq("j"))
       .select(col("i"), col("j"), expr(
         "n * sxy - CAST(si AS DECIMAL(38,0)) * sj").as("cv"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val v0 = cov.filter(col("j") === 0)
-      .select(col("i"), lit(1000000L).as("v"))
-    def iter(v: DataFrame): DataFrame = {
-      val w = cov.join(broadcast(v.select(col("i").as("j"), col("v"))),
-          Seq("j"))
-        .groupBy("i")
-        .agg(expr("sum(cv * v) DIV 1000000000000").as("w"))
-      val nrm = w.agg(
-        expr("sum(CAST(w AS DECIMAL(38,0)) * w)").as("n2"))
-      // n2 = 0 (a zero covariance matrix: n <= 1 or a constant corpus)
-      // must yield the zero vector, not 0/0 (Spark NaN-casts to null,
-      // DuckDB errors — divergent exactly where unguarded)
-      w.crossJoin(broadcast(nrm))
-        .select(col("i"),
-          expr("""CASE WHEN n2 = 0 THEN CAST(0 AS BIGINT)
-            ELSE CAST(round(CAST(w AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE)) * 1e6) AS BIGINT) END""")
-            .as("v"))
-        // 64 integer rows; cut the lineage — w's subtree is otherwise
-        // referenced twice per level (nrm + the select) and the
-        // re-execution count grows 2^iterations
-        .localCheckpoint()
-    }
-    val v3 = iter(iter(iter(v0)))
-    val w4 = cov.join(broadcast(v3.select(col("i").as("j"), col("v"))),
-        Seq("j"))
-      .groupBy("i")
-      .agg(expr("sum(cv * v) DIV 1000000000000").as("w"))
-    // the Rayleigh/trace ratio in DOUBLES of exactly-agreed integers
-    // (q136 precedent): an integer-DIV spelling overflows the
-    // BIGINT-returning DIV once Σv²·trace passes ~9e18 (caught by the
-    // sf1 sweep — the quotient fit, the intermediate did not)
-    val ev = v3.join(w4, Seq("i"))
-      .crossJoin(broadcast(cov.filter(col("i") === col("j"))
-        .agg(sum("cv").as("trace"))))
-      .agg(expr(
-        """CASE WHEN sum(CAST(v AS DECIMAL(38,0)) * v) = 0
-                  OR first(trace) = 0 THEN CAST(0 AS BIGINT)
-           ELSE CAST(round(
-             CAST(sum(CAST(v AS DECIMAL(38,0)) * w) AS DOUBLE)
-             * 1000 * 1e12
-             / CAST(sum(CAST(v AS DECIMAL(38,0)) * v) AS DOUBLE)
-             / CAST(first(trace) AS DOUBLE)) AS BIGINT) END""").as("ev_milli"))
-    val res = v3.crossJoin(broadcast(ev))
-      .select(col("i").as("pos"), col("v").as("v_mic"), col("ev_milli"))
-      .orderBy("pos")
-    (cov, res)
   }
 
   // DBSCAN parameters: eps as a cosine floor (lower than q74's 0.3

@@ -300,8 +300,12 @@ class NewQueryPlanSpec extends AnyFunSuite {
     // batch-side check of the same verdict expression tree the stream
     // runs: stateless map-side columns only — any exchange before the
     // output sort means the stream would need state
+    // direct read (not Tables): the pin asserts the OPERATOR adds no
+    // exchange — Tables' adaptive scan-parallelize (round 17) would
+    // legitimately insert one below it on the 1-row-group fixture
     val df = graft.streaming.CurationStream
-      .verdict(Tables.documents(spark, sf).select("doc_id", "text"))
+      .verdict(spark.read.parquet(s"$sf/documents.parquet")
+        .select("doc_id", "text"))
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"),
@@ -312,9 +316,10 @@ class NewQueryPlanSpec extends AnyFunSuite {
     // both codec hops are mapPartitions inside the same partition —
     // the payload column must never cross an exchange (at 100 TB the
     // container bytes stay where the text was read)
+    // direct read — same rationale as the q108 pin above (round 17)
     val df = graft.operators.Multimodal.wavFrames(
       graft.operators.Multimodal.packWav(
-        Tables.documents(spark, sf), "doc_id", "text"))
+        spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text"))
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"),
@@ -329,6 +334,26 @@ class NewQueryPlanSpec extends AnyFunSuite {
   }
   private def finalPlan(plan: String): String =
     plan.split("== Initial Plan ==")(0)
+
+  test("q20/q159: training rank windows rank IN-PLACE off the doc1-" +
+      "partitioned pair cache — no per-pass re-shuffle (round 17)") {
+    // the pair memos are hash-partitioned by doc1, a SUBSET of every
+    // rank window's (grid point.., doc1) partition spec — so the
+    // |pairs|×|grid| expansion must sort within partitions, never
+    // exchange. A hashpartitioning carrying doc1 in the executed plan
+    // means the layout was lost and every evaluation pass re-shuffles
+    // the expanded frame (the pre-round-17 shape).
+    // the window's re-shuffle would hash on (grid point.., doc1) — the
+    // memo builds legitimately hash on doc1 alone (the pinned layout),
+    // so the assertion keys on a point column and doc1 TOGETHER
+    for (df <- Seq(queries.MatchingQueries.q20WeightGrid(spark, sf),
+                   queries.MatchingQueries.q159WeightGridK3(spark, sf))) {
+      val plan = executed(df)
+      assert("hashpartitioning\\((weight_id|n1)[^)]*doc1".r
+          .findFirstIn(plan).isEmpty,
+        s"rank window must not re-shuffle the pair frame by doc1:\n$plan")
+    }
+  }
 
   test("q121: edge cache reused per iteration, keyed by src; equi joins only") {
     val plan = executed(queries.MiscQueries.q121PageRank(spark, sf))
@@ -803,15 +828,27 @@ class NewQueryPlanSpec extends AnyFunSuite {
       s"q179's top-K must be TakeOrdered (per-partition top-K + K-row merge):\n$plan")
   }
 
-  test("q180: PCA — one combinable covariance pass, iterations dimension-sized broadcasts") {
-    val (cov, res) = queries.VectorQueries.pcaChain(spark, sf)
-    val plan = try executed(res) finally cov.unpersist()
+  test("q180: PCA — one combinable covariance pass; iterations are " +
+      "dimension-sized driver arithmetic (round 17)") {
+    // the distributed leg: the Dim²-row covariance accumulation must
+    // combine map-side and never cartesian
+    val plan = executed(queries.VectorQueries.pcaCovariance(spark, sf))
     assert(!plan.contains("CartesianProduct"),
-      s"q180's 64-row vector frames must broadcast, never cartesian:\n$plan")
-    assert(plan.contains("BroadcastHashJoin"),
-      s"q180's per-iteration C·v joins must broadcast the vector:\n$plan")
+      s"q180's covariance joins must broadcast, never cartesian:\n$plan")
     assert(plan.contains("partial_sum"),
       s"q180's covariance accumulation must combine map-side:\n$plan")
+    // the full query: iterations run on the collected integer matrix,
+    // so the result plan is a local relation — result laws instead of
+    // plan shape: unit-normalized eigenvector (Σ(v/1e6)² ≈ 1) and a
+    // [0, 1000] explained-variance share
+    val rows = queries.VectorQueries.q180PcaPower(spark, sf).collect()
+    assert(rows.length === 64, "one row per embedding dimension")
+    val norm2 = rows.map(r => math.pow(r.getLong(1) / 1e6, 2)).sum
+    assert(math.abs(norm2 - 1.0) < 0.01,
+      s"v3 must be unit-normalized, got |v|²=$norm2")
+    val ev = rows.map(_.getLong(2)).distinct
+    assert(ev.length === 1 && ev.head >= 0L && ev.head <= 1000L,
+      s"explained-variance share must be one milli-value in [0,1000]: ${ev.toSeq}")
   }
 
   test("q182: TrustRank — seed flags broadcast, per-iteration sums combine map-side") {

@@ -17,6 +17,7 @@ class SweepOrderSpec extends AnyFunSuite {
       SweepOrder.memoConsumers("pairScores2") ++
       SweepOrder.memoConsumers("pairScores3") ++
       SweepOrder.memoConsumers("pairScores6") ++
+      SweepOrder.memoConsumers("k3walk") ++
       SweepOrder.memoConsumers("k6walk") ++
       SweepOrder.memoConsumers("partCands")
     val idxs = ordered.zipWithIndex.collect {
