@@ -46,7 +46,15 @@ object Tables {
         val parts = df.rdd.getNumPartitions
         val bytes = diskBytes(new java.io.File(s"$dir/$name.parquet"))
         if (parts < target && bytes >= MinParallelizeBytes)
-          df.repartition(target)
+          // HASH repartition on the table's leading column (its
+          // high-cardinality key in this star schema): a keyless
+          // round-robin repartition first pays a local sort of the
+          // whole input for retry determinism (sortBeforeRepartition,
+          // guide §2.5) — measured ~0.2–0.5 s on every cheap
+          // scan-and-aggregate query; the hash spelling skips the sort,
+          // is retry-deterministic by construction, and hands key-
+          // clustered input to downstream groupBys on the same key
+          df.repartition(target, col(df.columns.head))
         else df
       })
 
