@@ -39,6 +39,13 @@ object Bench {
       // same rule aggregations/windows already use). No correctness
       // effect; only which exchanges ENSURE_REQUIREMENTS inserts.
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      // parallel file-listing job sized to the session, not the 10000
+      // default (round 17, guide §6): listing q95's 5000 partition
+      // dirs as 5000 one-stat tasks was 8.1 s of pure scheduling on
+      // local[32]; 2×cores tasks do the same listing in ~0.5 s, and
+      // the value scales with the executor count on a real cluster
+      .config("spark.sql.sources.parallelPartitionDiscovery.parallelism",
+        (cpus.toInt * 2).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

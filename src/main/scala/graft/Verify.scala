@@ -17,6 +17,9 @@ object Verify {
       .config("spark.cleaner.periodicGC.interval", "45s")
       // subset-key co-partitioning — see Bench.scala (round 17)
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      // listing-job parallelism sized to the session — see Bench.scala
+      .config("spark.sql.sources.parallelPartitionDiscovery.parallelism",
+        (cpus.toInt * 2).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -139,10 +139,12 @@ object MatchingQueries {
     Seq(part, supp).foreach(Await.result(_, Duration.Inf))
     pivotedScores(s, dir).count()
     weightPairScores(s, dir).count()
-    weightPairScores3(s, dir).count()
-    k3Walk(s, dir).count()
-    weightPairScores6(s, dir).count()
-    k6Walk(s, dir).count()
+    // the k=3 and k=6 chains both hang off pairScores2 and are
+    // independent of each other — build them as concurrent Spark jobs
+    // (round 17; the same rationale as the part/supp fork above)
+    val k3 = Future { weightPairScores3(s, dir).count(); k3Walk(s, dir).count() }
+    val k6 = Future { weightPairScores6(s, dir).count(); k6Walk(s, dir).count() }
+    Seq(k3, k6).foreach(Await.result(_, Duration.Inf))
   }
 
   /** Document-type dim: open orders play the PROPOSAL role. */

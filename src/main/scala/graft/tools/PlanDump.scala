@@ -22,6 +22,8 @@ object PlanDump {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // match the Bench session so captured plans are the sweep's
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      .config("spark.sql.sources.parallelPartitionDiscovery.parallelism",
+        (cpus.toInt * 2).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

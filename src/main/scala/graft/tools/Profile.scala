@@ -29,6 +29,8 @@ object Profile {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // match the Bench session so profiled plans are the sweep's
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      .config("spark.sql.sources.parallelPartitionDiscovery.parallelism",
+        (cpus.toInt * 2).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
