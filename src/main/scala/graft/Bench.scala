@@ -30,8 +30,11 @@ object Bench {
       .config("spark.cleaner.periodicGC.interval", "45s")
       // this box is disk-bound (run-to-run spread tracks disk
       // throughput, BASELINE.md): zstd halves shuffle bytes vs lz4 for
-      // a CPU cost the 32 idle-on-IO cores absorb
-      .config("spark.io.compression.codec", "zstd")
+      // a CPU cost the 32 idle-on-IO cores absorb. Parameterized for
+      // A/B probes (round 18, guide §2.3 "there is no universal
+      // answer — measure both"); the default stays the recorded arm.
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "zstd"))
       // subset-key co-partitioning (round 17, guide §2.4): the match
       // chain is cached hash-partitioned by doc1, and its (doc1, doc2)
       // joins — e.g. the pivot's full outer — are exchange-free only

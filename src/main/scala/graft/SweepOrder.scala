@@ -128,6 +128,30 @@ object SweepOrder {
     * consuming a released family) costs one visible rebuild, never a
     * wrong answer. Regenerate with SPARK_GRAFT_TOUCH_REPORT=1. */
   val memoConsumers: Map[String, Set[String]] = Map(
+    // round-18 families: the shared candidate-cosine verifier frame
+    // and the memoized ANN search legs (each leg = its standalone
+    // query + the graders that re-read it)
+    "candCosines" -> Set("q74_embedding_dups",
+      "q162_embedding_dup_clusters", "q168_knn_graph",
+      "q171_label_prop", "q178_dbscan"),
+    "annBrute" -> Set("q30_knn_brute", "q118_ann_recall",
+      "q172_retrieval_metrics", "q188_matryoshka_recall",
+      "q194_multiprobe_lsh"),
+    "annLsh" -> Set("q31_knn_lsh", "q118_ann_recall",
+      "q172_retrieval_metrics", "q194_multiprobe_lsh"),
+    "annIvfFlat" -> Set("q70_ivf_ann", "q118_ann_recall",
+      "q172_retrieval_metrics"),
+    "annIvfKmeans" -> Set("q158_ivf_kmeans", "q118_ann_recall",
+      "q172_retrieval_metrics"),
+    "annSq8" -> Set("q166_sq8_ann", "q118_ann_recall",
+      "q172_retrieval_metrics"),
+    "annPq" -> Set("q173_pq_ann", "q118_ann_recall",
+      "q172_retrieval_metrics"),
+    "annIvfpq" -> Set("q174_ivf_pq", "q118_ann_recall",
+      "q172_retrieval_metrics"),
+    "annMlsh" -> Set("q194_multiprobe_lsh", "q172_retrieval_metrics"),
+    "annMrl" -> Set("q188_matryoshka_recall", "q172_retrieval_metrics"),
+    "knnEdges" -> Set("q168_knn_graph", "q171_label_prop"),
     "bpeVocab" -> Set("q119_bpe_merges", "q131_bpe_encode"),
     "cosineWeights" -> Set("q29_cosine_shingles"),
     "dupPairs" -> Set("q105_survivorship", "q111_curation_report",

@@ -24,10 +24,36 @@ import org.apache.spark.storage.StorageLevel
   */
 object GraphComponents {
 
+  /** Run `body` with the session's shuffle-partition count pinned to
+    * the STATE-sized value the CC round frames need (round 18, guide
+    * §2.2 "fewer, larger reduce partitions"): every per-round frame is
+    * graph-sized — labels + edges, kilobytes to megabytes — while the
+    * session conf is sized for corpus-scale shuffles, so each of the
+    * O(rounds) tiny exchanges otherwise fans out into
+    * `spark.sql.shuffle.partitions` near-empty tasks whose scheduling
+    * overhead dominates the round (the q178/EventStream drainSized
+    * rationale, measured ~2.5× on q178 in round 16). The pin is
+    * scoped to the loop: the conf is restored before the result's
+    * consumers plan their own corpus-sized shuffles. */
+  private def withStatePartitions[T](df: DataFrame)(body: => T): T = {
+    val s = df.sparkSession
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    val pinned = math.min(8, prev.toInt).max(1).toString
+    s.conf.set(key, pinned)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** nodes: (node); edges: (src, dst). Returns (node, component) with
     * component = min node id reachable. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-                          maxIter: Int = 30): DataFrame = {
+                          maxIter: Int = 30): DataFrame =
+    withStatePartitions(nodes) {
+      connectedComponentsLoop(nodes, edges, maxIter)
+    }
+
+  private def connectedComponentsLoop(nodes: DataFrame, edges: DataFrame,
+                                      maxIter: Int): DataFrame = {
     val undirected = edges.select("src", "dst")
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -81,7 +107,14 @@ object GraphComponents {
     * (and u itself) onto it. Convergence = (count, hash-sum) checksum
     * of the canonical edge set unchanged — one aggregate per round. */
   def connectedComponentsStar(nodes: DataFrame, edges: DataFrame,
-                              maxIter: Int = 50): DataFrame = {
+                              maxIter: Int = 50): DataFrame =
+    withStatePartitions(nodes) {
+      connectedComponentsStarLoop(nodes, edges, maxIter)
+    }
+
+  private def connectedComponentsStarLoop(nodes: DataFrame,
+                                          edges: DataFrame,
+                                          maxIter: Int): DataFrame = {
     def canon(df: DataFrame): DataFrame =
       df.filter(col("a") =!= col("b"))
         .select(greatest(col("a"), col("b")).as("u"),

@@ -94,7 +94,16 @@ object Shared {
     "k6walk"        -> Seq("pairScores6"),
     "pqCodes"       -> Seq("pqCodebook"),
     "ivfpqBook"     -> Seq("kmeans"),
-    "ivfpqCodes"    -> Seq("ivfpqBook", "kmeans"))
+    "ivfpqCodes"    -> Seq("ivfpqBook", "kmeans"),
+    // round 18: the shared candidate-cosine frame and the memoized
+    // ANN search legs (rebuilding a leg re-reads its index family)
+    "candCosines"   -> Seq("lshBuckets"),
+    "annLsh"        -> Seq("lshBuckets"),
+    "annMlsh"       -> Seq("lshBuckets"),
+    "annIvfKmeans"  -> Seq("kmeans"),
+    "annIvfpq"      -> Seq("ivfpqCodes", "kmeans"),
+    "annPq"         -> Seq("pqCodes"),
+    "knnEdges"      -> Seq("candCosines"))
 
   // longest declared prefix wins, so "pqCodes" can never accidentally
   // resolve through a shorter sibling key

@@ -90,6 +90,10 @@ object VectorQueries {
     * precedent). */
   private[queries] def warmShared(s: SparkSession, dir: String): Unit = {
     bucketsOf(s, dir)._1.count()
+    // candCosines hangs off the bucket table and feeds five consumers
+    // (q74/q162/q168/q171/q178) — build it here so its cost lands in
+    // cache_build, not on whichever consumer runs first (round 18)
+    candCosines(s, dir).count()
     kmeansAssignment(s, dir,
       semDedupK(Tables.embeddings(s, dir).count())).count()
     pqIndex(s, dir)._2.count() // forces the codebook build too
@@ -116,6 +120,34 @@ object VectorQueries {
     (df, bits)
   }
 
+  /** Exact cosine over the LSH-bucket candidate pairs (v1 < v2) at
+    * the corpus-derived resolution — the shared verifier input of
+    * q74/q162 (near-dup pairs/clusters), q168/q171 (kNN graph/label
+    * prop) and q178 (DBSCAN neighbourhoods): all of them filter or
+    * rank exactly this frame, so the banded self-join + double
+    * embedding join + cosine runs ONCE per session instead of once
+    * per consumer (round 18, guide §2.4 — the same subplan was
+    * rebuilt three times per sweep). Pair volume is the bucket-depth-
+    * bounded candidate set (linear in the corpus at the derived band
+    * width), id + cosine columns only — never embeddings. */
+  private def candCosines(s: SparkSession, dir: String): DataFrame =
+    Shared.memoized(s, dir, "candCosines") {
+      val emb = Tables.embeddings(s, dir)
+      val (buckets, _) = bucketsOf(s, dir)
+      val cands = buckets.select(col("band"), col("key"), col("vec_id").as("v1"))
+        .join(buckets.select(col("band"), col("key"), col("vec_id").as("v2")),
+          Seq("band", "key"))
+        .filter(col("v1") < col("v2"))
+        .select("v1", "v2").distinct()
+      cands
+        .join(emb.select(col("vec_id").as("v1"), col("embedding").as("e1")),
+          Seq("v1"))
+        .join(emb.select(col("vec_id").as("v2"), col("embedding").as("e2")),
+          Seq("v2"))
+        .select(col("v1"), col("v2"),
+          r6(cosine(col("e1"), col("e2"))).as("cosine"))
+    }
+
   /** Fixed query-batch bound: ids are dense, so `% 50 = 0 AND
     * < QBatchMax` keeps ≤ 20 queries forever (10 at the sf0.01 gate
     * scale, where the corpus has 500 vectors and the cap is loose). */
@@ -125,38 +157,51 @@ object VectorQueries {
     emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < QBatchMax)
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
 
-  /** Brute-force cosine top-k: broadcast query batch × corpus scan. */
-  def q30KnnBrute(s: SparkSession, dir: String): DataFrame = {
+  /** Brute-force truth, memoized pre-sort (round 18, guide §2.4):
+    * the SAME ranked batch grades every approximate index — q118's
+    * six recall legs, q172's ten metric legs, q188's Matryoshka curve
+    * and q194's multi-probe report each re-ran the O(batch·n) corpus
+    * scan; one session computes it once. Batch·K rows — bytes. */
+  private def annBrute(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    VectorSearch.cosineTopK(
-        emb.select("vec_id", "embedding"), queriesOf(emb), K)
-      .orderBy("qid", "rnk")
+    Shared.memoized(s, dir, "annBrute")(
+      VectorSearch.cosineTopK(
+        emb.select("vec_id", "embedding"), queriesOf(emb), K))
   }
+
+  /** Brute-force cosine top-k: broadcast query batch × corpus scan. */
+  def q30KnnBrute(s: SparkSession, dir: String): DataFrame =
+    annBrute(s, dir).orderBy("qid", "rnk")
 
   /** LSH-bucketed ANN: sign-bit signatures over fixed hyperplanes at
     * the corpus-derived band width (see the derivation block above),
     * banded; candidates = corpus vectors sharing any band key with the
     * query; exact cosine + top-k within candidates only. */
-  def q31KnnLsh(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-    val (buckets, _) = bucketsOf(s, dir)
-    val qIds = queriesOf(emb).select("qid")
-    val qBuckets = buckets
-      .join(qIds, buckets("vec_id") === qIds("qid"))
-      .select(col("qid"), col("band"), col("key"))
-    val cands = qBuckets.join(buckets, Seq("band", "key"))
-      .filter(col("vec_id") =!= col("qid"))
-      .select("qid", "vec_id").distinct()
-    val scored = cands
-      .join(Tables.embeddings(s, dir).select(col("vec_id").as("qid"), col("embedding").as("qemb")), Seq("qid"))
-      .join(Tables.embeddings(s, dir).select("vec_id", "embedding"), Seq("vec_id"))
-      .withColumn("cosine", r6(cosine(col("qemb"), col("embedding"))))
-    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= K)
-      .select("qid", "vec_id", "cosine", "rnk")
-      .orderBy("qid", "rnk")
-  }
+  /** q31's ranked result pre-sort, memoized for the graders (q118/
+    * q172/q194) — the annBrute pattern. */
+  private def annLsh(s: SparkSession, dir: String): DataFrame =
+    Shared.memoized(s, dir, "annLsh") {
+      val emb = Tables.embeddings(s, dir)
+      val (buckets, _) = bucketsOf(s, dir)
+      val qIds = queriesOf(emb).select("qid")
+      val qBuckets = buckets
+        .join(qIds, buckets("vec_id") === qIds("qid"))
+        .select(col("qid"), col("band"), col("key"))
+      val cands = qBuckets.join(buckets, Seq("band", "key"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select("qid", "vec_id").distinct()
+      val scored = cands
+        .join(Tables.embeddings(s, dir).select(col("vec_id").as("qid"), col("embedding").as("qemb")), Seq("qid"))
+        .join(Tables.embeddings(s, dir).select("vec_id", "embedding"), Seq("vec_id"))
+        .withColumn("cosine", r6(cosine(col("qemb"), col("embedding"))))
+      val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= K)
+        .select("qid", "vec_id", "cosine", "rnk")
+    }
+
+  def q31KnnLsh(s: SparkSession, dir: String): DataFrame =
+    annLsh(s, dir).orderBy("qid", "rnk")
 
   /** Per-label centroids, elementwise over the array column. Sums are
     * micro-quantized so the distributed aggregation is exact. */
@@ -178,7 +223,15 @@ object VectorQueries {
     * scanning only those cells. At 100 TB the corpus is bucketed by
     * cell id, the centroid table is a broadcast dim, and a probe reads
     * `NProbe / nCells` of the data — the standard IVF trade. */
-  def q70IvfAnn(s: SparkSession, dir: String): DataFrame = {
+  /** q70's ranked result pre-sort, memoized for the graders (q118/
+    * q172) — the annBrute pattern. */
+  private def annIvf(s: SparkSession, dir: String): DataFrame =
+    Shared.memoized(s, dir, "annIvfFlat")(q70Body(s, dir))
+
+  def q70IvfAnn(s: SparkSession, dir: String): DataFrame =
+    annIvf(s, dir).orderBy("qid", "rnk")
+
+  private def q70Body(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val centroids = emb
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
@@ -204,7 +257,6 @@ object VectorQueries {
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= K)
       .select("qid", "vec_id", "cosine", "rnk")
-      .orderBy("qid", "rnk")
   }
 
   /** Embedding-cosine near-duplicate pairs over the whole corpus:
@@ -216,22 +268,14 @@ object VectorQueries {
     * as the verifier, the embedding-space analogue of the MinHash
     * near-dup pipeline (q26). Output pairs are exactly "shared a band
     * key AND cosine >= MinDupCosine" at that resolution. */
-  def q74EmbeddingDups(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-    val (buckets, _) = bucketsOf(s, dir)
-    val cands = buckets.select(col("band"), col("key"), col("vec_id").as("v1"))
-      .join(buckets.select(col("band"), col("key"), col("vec_id").as("v2")),
-        Seq("band", "key"))
-      .filter(col("v1") < col("v2"))
-      .select("v1", "v2").distinct()
-    cands
-      .join(emb.select(col("vec_id").as("v1"), col("embedding").as("e1")), Seq("v1"))
-      .join(emb.select(col("vec_id").as("v2"), col("embedding").as("e2")), Seq("v2"))
-      .withColumn("cosine", r6(cosine(col("e1"), col("e2"))))
+  def q74EmbeddingDups(s: SparkSession, dir: String): DataFrame =
+    // the banded candidate + exact-cosine pass is the memoized
+    // candCosines frame shared with q168/q178 (round 18); this query
+    // is its threshold filter
+    candCosines(s, dir)
       .filter(col("cosine") >= MinDupCosine)
       .select("v1", "v2", "cosine")
       .orderBy("v1", "v2")
-  }
 
   /** Deterministic k-means over the embeddings (M8 — the reference's
     * experimental clustering, `analyser/` K-means prototypes): K=8
@@ -545,7 +589,7 @@ object VectorQueries {
     * are on (qid, vec_id) — K·|batch| rows per side, tiny relative to
     * the corpus, shuffled once per method. */
   def q118AnnRecall(s: SparkSession, dir: String): DataFrame = {
-    val truth = q30KnnBrute(s, dir).select("qid", "vec_id")
+    val truth = annBrute(s, dir).select("qid", "vec_id")
     def recall(approx: DataFrame, method: String): DataFrame =
       truth.join(approx.select(col("qid"), col("vec_id"))
           .withColumn("hit", lit(1L)), Seq("qid", "vec_id"), "left")
@@ -553,12 +597,12 @@ object VectorQueries {
         .agg(count(lit(1)).as("k"),
           sum(coalesce(col("hit"), lit(0L))).as("hits"))
         .withColumn("method", lit(method))
-    recall(q31KnnLsh(s, dir), "lsh")
-      .unionByName(recall(q70IvfAnn(s, dir), "ivf"))
-      .unionByName(recall(q158IvfKmeans(s, dir), "ivf_kmeans"))
-      .unionByName(recall(q166Sq8Ann(s, dir), "sq8"))
-      .unionByName(recall(q173PqAnn(s, dir), "pq"))
-      .unionByName(recall(q174IvfPq(s, dir), "ivfpq"))
+    recall(annLsh(s, dir), "lsh")
+      .unionByName(recall(annIvf(s, dir), "ivf"))
+      .unionByName(recall(annIvfKmeans(s, dir), "ivf_kmeans"))
+      .unionByName(recall(annSq8(s, dir), "sq8"))
+      .unionByName(recall(annPq(s, dir), "pq"))
+      .unionByName(recall(annIvfPq(s, dir), "ivfpq"))
       .withColumn("recall_milli", expr("hits * 1000 div k"))
       .select("method", "qid", "k", "hits", "recall_milli")
       .orderBy("method", "qid")
@@ -581,7 +625,7 @@ object VectorQueries {
   def q171LabelProp(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label").cast("long").as("true_label"))
-    val edges = q168KnnGraph(s, dir).select("src", "dst")
+    val edges = knnEdges(s, dir).select("src", "dst")
     val seeds = emb.select(col("vec_id"),
       when(col("vec_id") % 4 === 0, col("true_label")).as("seed_lab"))
     var labels = seeds.select(col("vec_id"), col("seed_lab").as("lab"))
@@ -628,7 +672,7 @@ object VectorQueries {
     * Same fixed query batch as q30/q118 — O(batch·K) work after the
     * index scans, at any corpus size. */
   def q172RetrievalMetrics(s: SparkSession, dir: String): DataFrame = {
-    val truth = q30KnnBrute(s, dir).select("qid", "vec_id")
+    val truth = annBrute(s, dir).select("qid", "vec_id")
       .withColumn("rel", lit(1L))
     def metrics(approx: DataFrame, method: String): DataFrame =
       approx.select("qid", "vec_id", "rnk")
@@ -644,12 +688,12 @@ object VectorQueries {
         .withColumn("method", lit(method))
     val idcg = (1 to K)
       .map(i => math.round(1e6 / (math.log(i + 1) / math.log(2.0)))).sum
-    metrics(q31KnnLsh(s, dir), "lsh")
-      .unionByName(metrics(q70IvfAnn(s, dir), "ivf"))
-      .unionByName(metrics(q158IvfKmeans(s, dir), "ivf_kmeans"))
-      .unionByName(metrics(q166Sq8Ann(s, dir), "sq8"))
-      .unionByName(metrics(q173PqAnn(s, dir), "pq"))
-      .unionByName(metrics(q174IvfPq(s, dir), "ivfpq"))
+    metrics(annLsh(s, dir), "lsh")
+      .unionByName(metrics(annIvf(s, dir), "ivf"))
+      .unionByName(metrics(annIvfKmeans(s, dir), "ivf_kmeans"))
+      .unionByName(metrics(annSq8(s, dir), "sq8"))
+      .unionByName(metrics(annPq(s, dir), "pq"))
+      .unionByName(metrics(annIvfPq(s, dir), "ivfpq"))
       .unionByName(metrics(mlshResult(s, dir), "mlsh"))
       .unionByName(MrlDims.map(p =>
         metrics(mrlResult(s, dir, p), s"mrl$p")).reduce(_.unionByName(_)))
@@ -847,7 +891,15 @@ object VectorQueries {
     * the scanned fraction FALLS as the corpus grows at fixed probe
     * count; the clustering is one Lloyd pass amortized across every
     * search batch (and maintained incrementally by the q116 shape). */
-  def q158IvfKmeans(s: SparkSession, dir: String): DataFrame = {
+  /** q158's ranked result pre-sort, memoized for the graders (q118/
+    * q172) — the annBrute pattern. */
+  private def annIvfKmeans(s: SparkSession, dir: String): DataFrame =
+    Shared.memoized(s, dir, "annIvfKmeans")(q158Body(s, dir))
+
+  def q158IvfKmeans(s: SparkSession, dir: String): DataFrame =
+    annIvfKmeans(s, dir).orderBy("qid", "rnk")
+
+  private def q158Body(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val k = semDedupK(emb.count())
     val asg = kmeansAssignment(s, dir, k)
@@ -873,7 +925,6 @@ object VectorQueries {
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= K)
       .select("qid", "vec_id", "cosine", "rnk")
-      .orderBy("qid", "rnk")
   }
 
   /** Matryoshka prefix widths evaluated by q188. */
@@ -894,7 +945,7 @@ object VectorQueries {
     * scan over a SHORTER vector (the slice is map-side); grading is
     * batch·K-row joins. */
   def q188MatryoshkaRecall(s: SparkSession, dir: String): DataFrame = {
-    val truth = q30KnnBrute(s, dir).select(col("qid"),
+    val truth = annBrute(s, dir).select(col("qid"),
       col("vec_id"), lit(1L).as("rel"))
     val legs = MrlDims.map { p =>
       val res = mrlResult(s, dir, p)
@@ -927,7 +978,10 @@ object VectorQueries {
     * memoized table; grading is batch·K joins. */
   /** Multi-probe ranked result (qid, vec_id, rnk ≤ K) — shared by
     * q194's recall report and q172's graded metrics family. */
-  private def mlshResult(s: SparkSession, dir: String): DataFrame = {
+  private def mlshResult(s: SparkSession, dir: String): DataFrame =
+    Shared.memoized(s, dir, "annMlsh")(mlshBody(s, dir))
+
+  private def mlshBody(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val (buckets, bits) = bucketsOf(s, dir)
     val qb = buckets
@@ -952,17 +1006,18 @@ object VectorQueries {
 
   /** Matryoshka P-dim prefix ranked result (qid, vec_id, rnk ≤ K) —
     * shared by q188's recall curve and q172's graded metrics. */
-  private def mrlResult(s: SparkSession, dir: String, p: Int): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-    VectorSearch.cosineTopK(
-      emb.select(col("vec_id"), slice(col("embedding"), 1, p).as("embedding")),
-      queriesOf(emb).select(col("qid"), slice(col("qemb"), 1, p).as("qemb")),
-      K)
-  }
+  private def mrlResult(s: SparkSession, dir: String, p: Int): DataFrame =
+    Shared.memoized(s, dir, s"annMrl$p") {
+      val emb = Tables.embeddings(s, dir)
+      VectorSearch.cosineTopK(
+        emb.select(col("vec_id"), slice(col("embedding"), 1, p).as("embedding")),
+        queriesOf(emb).select(col("qid"), slice(col("qemb"), 1, p).as("qemb")),
+        K)
+    }
 
   def q194MultiprobeLsh(s: SparkSession, dir: String): DataFrame = {
     val res = mlshResult(s, dir)
-    val truth = q30KnnBrute(s, dir).select(col("qid"), col("vec_id"))
+    val truth = annBrute(s, dir).select(col("qid"), col("vec_id"))
     def recall(df: DataFrame, m: String) = truth
       .join(df.select(col("qid"), col("vec_id"), lit(1L).as("found")),
         Seq("qid", "vec_id"), "left")
@@ -970,7 +1025,7 @@ object VectorQueries {
       .agg(count(lit(1)).as("k"),
         sum(coalesce(col("found"), lit(0L))).as("hits"))
       .withColumn("method", lit(m))
-    recall(q31KnnLsh(s, dir), "lsh")
+    recall(annLsh(s, dir), "lsh")
       .unionByName(recall(res, "mlsh"))
       .withColumn("recall_milli", expr("hits * 1000 div k"))
       .select("method", "qid", "k", "hits", "recall_milli")
@@ -1063,7 +1118,8 @@ object VectorQueries {
     * recursive min-label reachability over the same pair CTEs. */
   def q162EmbeddingDupClusters(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val edges = q74EmbeddingDups(s, dir)
+    val edges = candCosines(s, dir)
+      .filter(col("cosine") >= MinDupCosine)
       .select(col("v1").as("src"), col("v2").as("dst"))
     val comp = graft.operators.GraphComponents.connectedComponents(
         emb.select(col("vec_id").as("node")), edges)
@@ -1349,26 +1405,25 @@ object VectorQueries {
   private[graft] def dbscanChain(
       s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val emb = Tables.embeddings(s, dir)
-    val (buckets, _) = bucketsOf(s, dir)
-    val cands = buckets.select(col("band"), col("key"), col("vec_id").as("v1"))
-      .join(buckets.select(col("band"), col("key"), col("vec_id").as("v2")),
-        Seq("band", "key"))
-      .filter(col("v1") < col("v2"))
-      .select("v1", "v2").distinct()
-    val nb = cands
-      .join(emb.select(col("vec_id").as("v1"), col("embedding").as("e1")),
-        Seq("v1"))
-      .join(emb.select(col("vec_id").as("v2"), col("embedding").as("e2")),
-        Seq("v2"))
-      .select(col("v1"), col("v2"),
-        r6(cosine(col("e1"), col("e2"))).as("cosine"))
+    // the banded candidate + exact-cosine pass is the memoized
+    // candCosines frame shared with q74/q168 (round 18); DBSCAN's
+    // neighbourhood predicate is its eps filter
+    val nb = candCosines(s, dir)
       .filter(col("cosine") >= DbscanEps)
       .select("v1", "v2")
     // the symmetrized neighbour list feeds FOUR consumers (degrees,
     // the core-core edges, border assignment, the output join) —
-    // persist so the bucket join + cosine scan runs once
+    // persist so the eps filter over the candCosines cache runs once.
+    // Cached hash-partitioned on `a` at a STATE-sized count (the
+    // graph is edge-list-sized, not corpus-sized — round 18, guide
+    // §2.2): the union of two 32-partition cached reads otherwise
+    // persists as 64 near-empty partitions that every consumer pays
+    // 64 task launches to read, and the deg groupBy + both semi
+    // joins re-shuffle; off the a-partitioned cache the deg
+    // aggregation plans exchange-free
     val sym = nb.select(col("v1").as("a"), col("v2").as("b"))
       .unionByName(nb.select(col("v2").as("a"), col("v1").as("b")))
+      .repartition(8, col("a"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = sym.groupBy("a").agg(count(lit(1)).as("deg"))
     val core = deg.filter(col("deg") >= DbscanMinPts).select("a")
@@ -1382,15 +1437,13 @@ object VectorQueries {
     // rounds, and the per-round frames are graph-sized (17k edges at
     // sf0.1) so the round loop runs at state-sized shuffle parallelism
     // (the EventStream drainSized rationale) — together ~2.5x
-    val comp = {
-      val key = "spark.sql.shuffle.partitions"
-      val prev = s.conf.get(key)
-      s.conf.set(key, "8")
-      try graft.operators.GraphComponents.connectedComponentsStar(
-          core.select(col("a").as("node")), coreEdges)
-        .localCheckpoint()
-      finally s.conf.set(key, prev)
-    }.select(col("node").as("a"), col("comp").as("cluster"))
+    // state-sized round partitions are pinned INSIDE the operator
+    // since round 18 (GraphComponents.withStatePartitions), so every
+    // CC consumer gets the q178 treatment, not just this one
+    val comp = graft.operators.GraphComponents.connectedComponentsStar(
+        core.select(col("a").as("node")), coreEdges)
+      .localCheckpoint()
+      .select(col("node").as("a"), col("comp").as("cluster"))
     val border = sym
       .join(core, Seq("a"), "anti")
       .join(comp.select(col("a").as("b"), col("cluster")), Seq("b"))
@@ -1427,27 +1480,25 @@ object VectorQueries {
     * (buckets ~16 deep at any n), cosine touched once per candidate
     * PAIR (half the symmetrized volume), one window over the per-node
     * edge lists. */
-  def q168KnnGraph(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-    val (buckets, _) = bucketsOf(s, dir)
-    val cands = buckets.select(col("band"), col("key"), col("vec_id").as("v1"))
-      .join(buckets.select(col("band"), col("key"), col("vec_id").as("v2")),
-        Seq("band", "key"))
-      .filter(col("v1") < col("v2"))
-      .select("v1", "v2").distinct()
-    val scored = cands
-      .join(emb.select(col("vec_id").as("v1"), col("embedding").as("e1")), Seq("v1"))
-      .join(emb.select(col("vec_id").as("v2"), col("embedding").as("e2")), Seq("v2"))
-      .select(col("v1"), col("v2"), r6(cosine(col("e1"), col("e2"))).as("cosine"))
-    val sym = scored.select(col("v1").as("src"), col("v2").as("dst"), col("cosine"))
-      .unionByName(scored.select(col("v2").as("src"), col("v1").as("dst"),
-        col("cosine")))
-    val w = Window.partitionBy("src").orderBy(col("cosine").desc, col("dst"))
-    sym.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= KnnK)
-      .select("src", "dst", "cosine", "rnk")
-      .orderBy("src", "rnk")
-  }
+  /** The ranked kNN edge list pre-sort, memoized (round 18): q171's
+    * two label-prop rounds re-ran the symmetrize + rank window on
+    * every call — the graph is built once per session now. */
+  private def knnEdges(s: SparkSession, dir: String): DataFrame =
+    Shared.memoized(s, dir, "knnEdges") {
+      // the banded candidate + exact-cosine pass is the memoized
+      // candCosines frame shared with q74/q178 (round 18)
+      val scored = candCosines(s, dir)
+      val sym = scored.select(col("v1").as("src"), col("v2").as("dst"), col("cosine"))
+        .unionByName(scored.select(col("v2").as("src"), col("v1").as("dst"),
+          col("cosine")))
+      val w = Window.partitionBy("src").orderBy(col("cosine").desc, col("dst"))
+      sym.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= KnnK)
+        .select("src", "dst", "cosine", "rnk")
+    }
+
+  def q168KnnGraph(s: SparkSession, dir: String): DataFrame =
+    knnEdges(s, dir).orderBy("src", "rnk")
 
   /** q169: PER-DIMENSION EMBEDDING PROFILE — the ANALYZE pass for a
     * vector column (q127's column profile, embedding-side): count,
@@ -1541,7 +1592,15 @@ object VectorQueries {
     * ⌊(x_i−lo_i)·255/(hi_i−lo_i)⌋ over the micro-quantized grid; the
     * candidate metric is the quantized cosine qdot/√‖code‖² (the
     * query norm is constant per qid). */
-  def q166Sq8Ann(s: SparkSession, dir: String): DataFrame = {
+  /** q166's ranked result pre-sort, memoized for the graders (q118/
+    * q172) — the annBrute pattern. */
+  private def annSq8(s: SparkSession, dir: String): DataFrame =
+    Shared.memoized(s, dir, "annSq8")(q166Body(s, dir))
+
+  def q166Sq8Ann(s: SparkSession, dir: String): DataFrame =
+    annSq8(s, dir).orderBy("qid", "rnk")
+
+  private def q166Body(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val q = quantized(emb)
     val bounds = q.select(posexplode(col("qe")).as(Seq("pos", "v")))
@@ -1587,7 +1646,6 @@ object VectorQueries {
     rer.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= K)
       .select("qid", "vec_id", "qdot", "cosine", "rnk")
-      .orderBy("qid", "rnk")
   }
 
   // PQ constants: M subspaces of Dim/M dims, Ks codes per subspace —
@@ -1673,7 +1731,15 @@ object VectorQueries {
     * sum over the codes scan (shuffle carries (qid, vec_id, partial
     * sum) — embeddings never move); the exact re-rank touches
     * batch·pool rows. */
-  def q173PqAnn(s: SparkSession, dir: String): DataFrame = {
+  /** q173's ranked result pre-sort, memoized for the graders (q118/
+    * q172) — the annBrute pattern. */
+  private def annPq(s: SparkSession, dir: String): DataFrame =
+    Shared.memoized(s, dir, "annPq")(q173Body(s, dir))
+
+  def q173PqAnn(s: SparkSession, dir: String): DataFrame =
+    annPq(s, dir).orderBy("qid", "rnk")
+
+  private def q173Body(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val (book, codes) = pqIndex(s, dir)
     val qsub = pqSubs(quantized(
@@ -1699,7 +1765,6 @@ object VectorQueries {
     rer.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= K)
       .select("qid", "vec_id", "adist", "cosine", "rnk")
-      .orderBy("qid", "rnk")
   }
 
   /** Residual-PQ index over the q158 coarse cells: `(book, codes)`
@@ -1752,7 +1817,15 @@ object VectorQueries {
     * M lookups per member — no corpus-sized shuffle anywhere (codes
     * are pre-partitioned by cell; the ADC table broadcasts); the
     * re-rank is batch·pool rows. */
-  def q174IvfPq(s: SparkSession, dir: String): DataFrame = {
+  /** q174's ranked result pre-sort, memoized for the graders (q118/
+    * q172) — the annBrute pattern. */
+  private def annIvfPq(s: SparkSession, dir: String): DataFrame =
+    Shared.memoized(s, dir, "annIvfpq")(q174Body(s, dir))
+
+  def q174IvfPq(s: SparkSession, dir: String): DataFrame =
+    annIvfPq(s, dir).orderBy("qid", "rnk")
+
+  private def q174Body(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val (cents, book, codes) = ivfPqIndex(s, dir)
     val q = quantized(
@@ -1792,7 +1865,6 @@ object VectorQueries {
     rer.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= K)
       .select("qid", "vec_id", "adist", "cosine", "rnk")
-      .orderBy("qid", "rnk")
   }
 
   /** q164: PERSISTED ANN index — the build-once/serve-many lifecycle

@@ -22,6 +22,10 @@ object PlanDump {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // match the Bench session so captured plans are the sweep's
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      // match the Bench session's shuffle codec too (round 18): a
+      // codec mismatch made warm probe timings diverge from in-sweep
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "zstd"))
       .config("spark.sql.sources.parallelPartitionDiscovery.parallelism",
         (cpus.toInt * 2).toString)
       .config("spark.ui.enabled", "false")

@@ -16,6 +16,10 @@ object StageProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      // match the Bench session's shuffle codec too (round 18): a
+      // codec mismatch made warm probe timings diverge from in-sweep
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "zstd"))
       .config("spark.sql.sources.parallelPartitionDiscovery.parallelism",
         (cpus.toInt * 2).toString)
       .config("spark.ui.enabled", "false")
