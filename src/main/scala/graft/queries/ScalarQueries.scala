@@ -350,12 +350,19 @@ object ScalarQueries {
       .withColumn("prev", lag("energy_ssq", 1).over(w))
       .withColumn("bit", when(col("prev").isNotNull &&
         col("energy_ssq") > col("prev"), 1L).otherwise(0L))
-    val words = bits
+    // transient persist (round 18, guide §2.4): the fingerprint-word
+    // frame feeds the kept/probe candidate chain AND both exact-score
+    // sides (f1/f2) — unpersisted, the plan ran the WAV pack + decode
+    // mapPartitions chain TWICE (2 MapPartitions nodes in the before
+    // plan). Words are doc_count × words/doc rows of three longs —
+    // bytes; the sweep retires it right after the query.
+    val words = Shared.track(bits
       .groupBy(col("doc_id"),
         expr(s"CAST(frame_idx div $FpWordBits AS BIGINT)").as("word_idx"))
       .agg(expr(
         s"CAST(sum(bit * CAST(power(2, frame_idx % $FpWordBits) AS BIGINT)) AS BIGINT)")
         .as("word"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val kept = graft.operators.Blocking.capBlocks(
       words, Seq("word_idx", "word"), FpWordCap)
     val exactCands = kept
